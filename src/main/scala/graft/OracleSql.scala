@@ -1,0 +1,152 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[SparkEntry.queries]].
+  *
+  * Determinism contract (so value-hash comparison is exact, not approximate):
+  *  - integer columns: only counts / integer sums — exact in both engines;
+  *  - doubles: either (a) an exact integer aggregate followed by the SAME
+  *    left-to-right sequence of double ops (e.g. `CAST(SUM(d) AS DOUBLE) * 2.0
+  *    / 60.0`), which is bit-identical under IEEE-754, or (b) double sums
+  *    routed through DECIMAL(25,6) so summation order can't change the result;
+  *  - timestamps: never emitted raw — always formatted to second granularity
+  *    (strftime ↔ date_format), session TZ UTC on the Spark side;
+  *  - window order: `event_id` (unique, ts-ordered) — no tie ambiguity;
+  *  - every query has a total ORDER BY in both engines.
+  */
+object OracleSql {
+
+  /** DuckDB mirror of [[graft.schema.ParkingModel.parkingEvents]] /
+    * [[graft.schema.ParkingModel.users]]. Keep in lockstep with the Scala. */
+  val ParkingCte: String =
+    """WITH parking AS (
+      |  SELECT
+      |    event_id,
+      |    ts,
+      |    CASE WHEN event_type IN ('view','click','signup')
+      |         THEN 'PARKING_ENTRY' ELSE 'PARKING_EXIT' END AS eventType,
+      |    'P-' || CAST(user_id AS VARCHAR) AS licensePlate,
+      |    'lot-0' || CAST(user_id % 3 + 1 AS VARCHAR) AS parkingLotId,
+      |    CAST(user_id % 100 AS VARCHAR) AS parkingSpotId,
+      |    event_id % 11 = 0 AS isSlotHandicapped,
+      |    CASE user_id % 5 WHEN 0 THEN 'car' WHEN 1 THEN 'truck'
+      |         WHEN 2 THEN 'motorcycle' WHEN 3 THEN 'van' ELSE 'suv' END AS vehicleType,
+      |    CAST(FLOOR(value * 60000) AS BIGINT) AS duration_ms,
+      |    user_id
+      |  FROM events
+      |), users AS (
+      |  SELECT 'P-' || CAST(user_id AS VARCHAR) AS u_plate,
+      |         user_id % 13 = 0 AS handicapped
+      |  FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 7 <> 0)
+      |)""".stripMargin
+
+  private val pairedCte: String =
+    ParkingCte + """,
+      |seq AS (
+      |  SELECT *, lag(eventType) OVER w AS prev_type, lag(ts) OVER w AS prev_ts
+      |  FROM parking
+      |  WINDOW w AS (PARTITION BY licensePlate, parkingSpotId ORDER BY event_id)
+      |), paired AS (
+      |  SELECT event_id AS exit_event_id, licensePlate, parkingSpotId,
+      |         parkingLotId, vehicleType,
+      |         strftime(prev_ts, '%Y-%m-%d %H:%M:%S') AS entry_ts,
+      |         strftime(ts, '%Y-%m-%d %H:%M:%S') AS exit_ts,
+      |         CAST(FLOOR((FLOOR(epoch(ts)) - FLOOR(epoch(prev_ts))) / 60) AS BIGINT) AS duration_min
+      |  FROM seq
+      |  WHERE eventType = 'PARKING_EXIT' AND prev_type = 'PARKING_ENTRY'
+      |)""".stripMargin
+
+  val parking: Map[String, String] = Map(
+    "p01_hourly_stats" -> (ParkingCte + """,
+      |per_lot AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS date_str, strftime(ts, '%H') AS hour_str,
+      |         parkingLotId,
+      |         COUNT(CASE WHEN eventType = 'PARKING_ENTRY' THEN 1 END) AS entries,
+      |         COUNT(CASE WHEN eventType = 'PARKING_EXIT' THEN 1 END) AS exits
+      |  FROM parking GROUP BY 1, 2, 3
+      |)
+      |SELECT date_str, hour_str,
+      |       CAST(SUM(entries) AS BIGINT) AS nbr_entries,
+      |       CAST(SUM(exits) AS BIGINT) AS nbr_exit,
+      |       CAST(SUM(GREATEST(0, entries - exits)) AS DOUBLE) * 2.0 AS revenue_simulation
+      |FROM per_lot GROUP BY date_str, hour_str ORDER BY date_str, hour_str""".stripMargin),
+
+    "p02_occupancy_by_lot" -> (ParkingCte + """
+      |SELECT strftime(ts, '%Y-%m-%d') AS date_str, strftime(ts, '%H') AS hour_str,
+      |       parkingLotId,
+      |       COUNT(CASE WHEN eventType = 'PARKING_ENTRY' THEN 1 END) AS entries,
+      |       COUNT(CASE WHEN eventType = 'PARKING_EXIT' THEN 1 END) AS exits,
+      |       GREATEST(0, COUNT(CASE WHEN eventType = 'PARKING_ENTRY' THEN 1 END)
+      |                    - COUNT(CASE WHEN eventType = 'PARKING_EXIT' THEN 1 END)) AS occupancy
+      |FROM parking GROUP BY 1, 2, 3 ORDER BY date_str, hour_str, parkingLotId""".stripMargin),
+
+    "p03_vehicle_types" -> (ParkingCte + """
+      |SELECT vehicleType, COUNT(*) AS cnt FROM parking
+      |GROUP BY vehicleType ORDER BY vehicleType""".stripMargin),
+
+    "p04_daily_rollup" -> (ParkingCte + """
+      |SELECT strftime(ts, '%Y-%m-%d') AS date_str,
+      |       COUNT(CASE WHEN eventType = 'PARKING_ENTRY' THEN 1 END) AS entries,
+      |       COUNT(CASE WHEN eventType = 'PARKING_EXIT' THEN 1 END) AS exits,
+      |       COUNT(*) AS total_events
+      |FROM parking GROUP BY 1 ORDER BY date_str""".stripMargin),
+
+    "p05_session_pairing" -> (pairedCte + """
+      |SELECT * FROM paired ORDER BY exit_event_id""".stripMargin),
+
+    "p06_revenue_by_type" -> (pairedCte + """
+      |SELECT vehicleType, COUNT(*) AS n_sessions,
+      |       CAST(SUM(duration_min) AS DOUBLE) * 2.0 / 60.0 AS revenue
+      |FROM paired GROUP BY vehicleType ORDER BY vehicleType""".stripMargin),
+
+    "p07_avg_spent_by_type_day" -> (pairedCte + """
+      |SELECT substr(exit_ts, 1, 10) AS date_str, vehicleType, COUNT(*) AS n_sessions,
+      |       CAST(SUM(duration_min) AS DOUBLE) * 2.0 / 60.0 / COUNT(*) AS avg_spent
+      |FROM paired GROUP BY 1, 2 ORDER BY date_str, vehicleType""".stripMargin),
+
+    "p08_top_vehicles" -> (ParkingCte + """
+      |SELECT licensePlate, COUNT(*) AS cnt FROM parking
+      |GROUP BY licensePlate ORDER BY cnt DESC, licensePlate LIMIT 10""".stripMargin),
+
+    "p09_latest_slot_state" -> (ParkingCte + """,
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY parkingLotId, parkingSpotId
+      |                               ORDER BY event_id DESC) AS rn
+      |  FROM parking
+      |)
+      |SELECT parkingLotId, parkingSpotId,
+      |       eventType = 'PARKING_ENTRY' AS occupied,
+      |       CASE WHEN eventType = 'PARKING_ENTRY' THEN licensePlate END AS plate
+      |FROM ranked WHERE rn = 1 ORDER BY parkingLotId, parkingSpotId""".stripMargin),
+
+    "p10_occupancy_replay" -> (ParkingCte + """,
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY parkingLotId, parkingSpotId
+      |                               ORDER BY event_id DESC) AS rn
+      |  FROM parking WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+      |)
+      |SELECT parkingLotId,
+      |       COUNT(CASE WHEN eventType = 'PARKING_ENTRY' THEN 1 END) AS occupied_slots
+      |FROM ranked WHERE rn = 1 GROUP BY parkingLotId ORDER BY parkingLotId""".stripMargin),
+
+    "p11_violations" -> (ParkingCte + """
+      |SELECT event_id, licensePlate AS vehicle_plate, parkingSpotId AS spot_id,
+      |       parkingLotId AS lot_id,
+      |       CASE WHEN handicapped IS NULL THEN 'unknown_user'
+      |            ELSE 'unauthorized_user' END AS violation_type,
+      |       CASE WHEN handicapped IS NULL THEN 'MEDIUM' ELSE 'HIGH' END AS severity,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time
+      |FROM parking LEFT JOIN users ON licensePlate = u_plate
+      |WHERE isSlotHandicapped AND (handicapped IS NULL OR NOT handicapped)
+      |ORDER BY event_id""".stripMargin),
+
+    "p12_cumulative_hourly" -> (ParkingCte + """,
+      |hourly AS (
+      |  SELECT parkingLotId, strftime(ts, '%Y-%m-%d %H') AS hour_bucket,
+      |         COUNT(CASE WHEN eventType = 'PARKING_ENTRY' THEN 1 END) AS entries
+      |  FROM parking GROUP BY 1, 2
+      |)
+      |SELECT parkingLotId, hour_bucket, CAST(entries AS BIGINT) AS entries,
+      |       CAST(SUM(entries) OVER (PARTITION BY parkingLotId ORDER BY hour_bucket
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_entries
+      |FROM hourly ORDER BY parkingLotId, hour_bucket""".stripMargin))
+}

@@ -1,0 +1,208 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.schema.ParkingModel
+
+/** The reference's analytics surface (SURVEY.md §2), rebuilt as single-pass
+  * declarative DataFrame plans.
+  *
+  * Where the reference ran ≥6 driver-collected jobs per hour
+  * (MainHourly.scala:82-156,239) or driver-side List folds
+  * (MainDaily.scala:81-163, MainWeekly.scala:111-319), each query here is ONE
+  * distributed plan: conditional aggregation replaces multi-pass counts,
+  * window functions replace the order-fragile `zip` pairing
+  * (MainWeekly.scala:111-128), and `greatest(0, entries-exits)` replaces the
+  * keyset-union merge (MainHourly.scala:101-117).
+  *
+  * Every oracle lives in [[graft.OracleSql]]; column names and arithmetic
+  * orderings are mirrored exactly (see notes there on float determinism).
+  */
+object ParkingAnalytics {
+  import ParkingModel.{parkingEvents, users, RatePerHour, ReplayCutoff}
+
+  private def dateStr(c: String) = date_format(col(c), "yyyy-MM-dd")
+  private def hourStr(c: String) = date_format(col(c), "HH")
+  private def secondStr(c: String) = date_format(col(c), "yyyy-MM-dd HH:mm:ss")
+  private val isEntry = col("eventType") === "PARKING_ENTRY"
+  private val isExit = col("eventType") === "PARKING_EXIT"
+
+  /** A1+A4+A8 (MainHourly.scala:94-156): per clock hour — entries, exits, and
+    * RevenueSimulation = Σ_lot max(0, entries−exits) × rate. Two-level agg:
+    * the first groupBy shrinks to (hour × lot) cardinality, so the second
+    * shuffle is negligible at any scale.
+    */
+  def hourlyStats(spark: SparkSession, dir: String): DataFrame = {
+    val perLot = parkingEvents(spark, dir)
+      .groupBy(dateStr("ts").as("date_str"), hourStr("ts").as("hour_str"), col("parkingLotId"))
+      .agg(
+        count(when(isEntry, 1)).as("entries"),
+        count(when(isExit, 1)).as("exits"))
+    perLot.groupBy("date_str", "hour_str")
+      .agg(
+        sum("entries").as("nbr_entries"),
+        sum("exits").as("nbr_exit"),
+        (sum(greatest(lit(0L), col("entries") - col("exits"))).cast("double") * RatePerHour)
+          .as("revenue_simulation"))
+      .orderBy("date_str", "hour_str")
+  }
+
+  /** A4/J4: net occupancy per (hour, lot) — the keyset-union + max(0,·) merge
+    * (MainHourly.scala:101-117) as one conditional aggregation, no driver. */
+  def occupancyByLot(spark: SparkSession, dir: String): DataFrame =
+    parkingEvents(spark, dir)
+      .groupBy(dateStr("ts").as("date_str"), hourStr("ts").as("hour_str"), col("parkingLotId"))
+      .agg(
+        count(when(isEntry, 1)).as("entries"),
+        count(when(isExit, 1)).as("exits"))
+      .withColumn("occupancy", greatest(lit(0L), col("entries") - col("exits")))
+      .orderBy("date_str", "hour_str", "parkingLotId")
+
+  /** A3 (MainHourly.scala:120-126): vehicle-type distribution. */
+  def vehicleTypes(spark: SparkSession, dir: String): DataFrame =
+    parkingEvents(spark, dir)
+      .groupBy("vehicleType").agg(count(lit(1)).as("cnt"))
+      .orderBy("vehicleType")
+
+  /** A7 (MainWeekly.scala:211-231): daily entry/exit rollup. */
+  def dailyRollup(spark: SparkSession, dir: String): DataFrame =
+    parkingEvents(spark, dir)
+      .groupBy(dateStr("ts").as("date_str"))
+      .agg(
+        count(when(isEntry, 1)).as("entries"),
+        count(when(isExit, 1)).as("exits"),
+        count(lit(1)).as("total_events"))
+      .orderBy("date_str")
+
+  /** J2/F6 (MainWeekly.scala:111-128): entry/exit session pairing. The
+    * reference `zip`s two driver-side lists (order-fragile, mispairs on
+    * re-entry); here: `lag` over (plate, spot) ordered by event_id — a single
+    * shuffle on the session key, correct for any interleaving, and the same
+    * partitioning a 1000-executor cluster would want (state colocated by key).
+    * event_id is ts-ordered and unique ⇒ deterministic in both engines.
+    */
+  def sessionPairing(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("licensePlate", "parkingSpotId").orderBy("event_id")
+    parkingEvents(spark, dir)
+      .withColumn("prev_type", lag("eventType", 1).over(w))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .filter(isExit && col("prev_type") === "PARKING_ENTRY")
+      .select(
+        col("event_id").as("exit_event_id"),
+        col("licensePlate"), col("parkingSpotId"), col("parkingLotId"),
+        col("vehicleType"),
+        secondStr("prev_ts").as("entry_ts"),
+        secondStr("ts").as("exit_ts"),
+        floor((unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) / 60)
+          .cast("long").as("duration_min"))
+      .orderBy("exit_event_id")
+  }
+
+  /** A10 (MainWeekly.scala:310-319): revenue by vehicle type over paired
+    * sessions; Σduration is exact integer math, floats only at the end. */
+  def revenueByType(spark: SparkSession, dir: String): DataFrame =
+    sessionPairing(spark, dir)
+      .groupBy("vehicleType")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        (sum("duration_min").cast("double") * RatePerHour / 60.0).as("revenue"))
+      .orderBy("vehicleType")
+
+  /** A9 (MainWeekly.scala:280-308): average spend per (exit-day, type). */
+  def avgSpentByTypeDay(spark: SparkSession, dir: String): DataFrame =
+    sessionPairing(spark, dir)
+      .groupBy(substring(col("exit_ts"), 1, 10).as("date_str"), col("vehicleType"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        (sum("duration_min").cast("double") * RatePerHour / 60.0 / count(lit(1)))
+          .as("avg_spent"))
+      .orderBy("date_str", "vehicleType")
+
+  /** W5 (doc/schemas/srvc_stats.json "top_vehicles_by_frequency"): top-10
+    * plates, deterministic tiebreak. At scale: partial agg shrinks the input
+    * before the single ordered limit (TakeOrderedAndProject). */
+  def topVehicles(spark: SparkSession, dir: String): DataFrame =
+    parkingEvents(spark, dir)
+      .groupBy("licensePlate").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("licensePlate"))
+      .limit(10)
+
+  /** A12 (RepoEventsApi.scala:38-69): latest state per (lot, spot) — the live
+    * materialized view as a batch query; streaming twin in
+    * [[graft.streaming.LiveSlotView]]. */
+  def latestSlotState(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("parkingLotId", "parkingSpotId").orderBy(col("event_id").desc)
+    parkingEvents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("parkingLotId"), col("parkingSpotId"),
+        isEntry.as("occupied"),
+        when(isEntry, col("licensePlate")).as("plate"))
+      .orderBy("parkingLotId", "parkingSpotId")
+  }
+
+  /** A5 (MainDaily.scala:81-101): event-time occupancy replay at a cutoff.
+    * The reference folds a totally-ordered driver-side list; distributed
+    * equivalent: last event per (lot, spot) ≤ cutoff decides slot occupancy —
+    * one shuffle on (lot, spot), then a cheap count per lot. */
+  def occupancyReplay(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("parkingLotId", "parkingSpotId").orderBy(col("event_id").desc)
+    parkingEvents(spark, dir)
+      .filter(col("ts") <= lit(ReplayCutoff).cast("timestamp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("parkingLotId")
+      .agg(count(when(isEntry, 1)).as("occupied_slots"))
+      .orderBy("parkingLotId")
+  }
+
+  /** J1+P5+P6 (ParkingEventConsumer.scala:77-89, AlertEventSubscriber.scala:
+    * 85-91): violation detection. The reference did one Redis RTT per event;
+    * here the user registry broadcast-joins to the scan — zero shuffles on the
+    * big side, linear scale-out. Missing user ⇒ unknown_user/MEDIUM;
+    * non-handicapped user on a handicapped slot ⇒ unauthorized_user/HIGH. */
+  def violations(spark: SparkSession, dir: String): DataFrame =
+    parkingEvents(spark, dir)
+      .filter(col("isSlotHandicapped"))
+      .join(broadcast(users(spark, dir)), col("licensePlate") === col("u_plate"), "left")
+      .filter(col("handicapped").isNull || !col("handicapped"))
+      .select(
+        col("event_id"),
+        col("licensePlate").as("vehicle_plate"),
+        col("parkingSpotId").as("spot_id"),
+        col("parkingLotId").as("lot_id"),
+        when(col("handicapped").isNull, "unknown_user").otherwise("unauthorized_user")
+          .as("violation_type"),
+        when(col("handicapped").isNull, "MEDIUM").otherwise("HIGH").as("severity"),
+        secondStr("ts").as("event_time"))
+      .orderBy("event_id")
+
+  /** A6 (MainDaily.scala:132-163): cumulative per-lot entry series by hour —
+    * the reference's per-file-timestamp snapshot loop as one window sum. */
+  def cumulativeHourly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = parkingEvents(spark, dir)
+      .groupBy(col("parkingLotId"), date_format(col("ts"), "yyyy-MM-dd HH").as("hour_bucket"))
+      .agg(count(when(isEntry, 1)).as("entries"))
+    val w = Window.partitionBy("parkingLotId").orderBy("hour_bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      .withColumn("cum_entries", sum("entries").over(w))
+      .orderBy("parkingLotId", "hour_bucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_hourly_stats" -> (hourlyStats _),
+    "p02_occupancy_by_lot" -> (occupancyByLot _),
+    "p03_vehicle_types" -> (vehicleTypes _),
+    "p04_daily_rollup" -> (dailyRollup _),
+    "p05_session_pairing" -> (sessionPairing _),
+    "p06_revenue_by_type" -> (revenueByType _),
+    "p07_avg_spent_by_type_day" -> (avgSpentByTypeDay _),
+    "p08_top_vehicles" -> (topVehicles _),
+    "p09_latest_slot_state" -> (latestSlotState _),
+    "p10_occupancy_replay" -> (occupancyReplay _),
+    "p11_violations" -> (violations _),
+    "p12_cumulative_hourly" -> (cumulativeHourly _))
+}

@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * All reads are plain `spark.read.parquet` so Catalyst gets full predicate
+  * pushdown + column pruning against the parquet footers; at cluster scale the
+  * same call works against an object-store path (s3a://...) unchanged — the
+  * reference instead hand-listed MinIO objects and staged them to /tmp
+  * (reference MinioService.scala:57-135), which we deliberately do not port.
+  */
+object Tables {
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read it as nanos-since-epoch LongType (legacy conf) — the
+    * adapter converts to TimestampType with exact integer division. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
