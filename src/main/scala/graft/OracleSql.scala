@@ -34,9 +34,9 @@ object OracleSql {
       |    user_id
       |  FROM events
       |), users AS (
-      |  SELECT 'P-' || CAST(user_id AS VARCHAR) AS u_plate,
-      |         user_id % 13 = 0 AS handicapped
-      |  FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 7 <> 0)
+      |  SELECT 'P-' || CAST(c_custkey AS VARCHAR) AS u_plate,
+      |         c_custkey % 13 = 0 AS handicapped
+      |  FROM customer WHERE c_custkey % 7 <> 0
       |)""".stripMargin
 
   private val pairedCte: String =
@@ -122,7 +122,11 @@ object OracleSql {
       |ranked AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY parkingLotId, parkingSpotId
       |                               ORDER BY event_id DESC) AS rn
-      |  FROM parking WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+      |  -- µs-truncate before comparing: Spark reads ts as ns→µs (ts div
+      |  -- 1000), so an event inside (cutoff, cutoff+1µs) must be included
+      |  -- on both sides.
+      |  FROM parking
+      |  WHERE epoch_ns(ts) // 1000 <= epoch_us(TIMESTAMP '2024-01-15 00:00:00')
       |)
       |SELECT parkingLotId,
       |       COUNT(CASE WHEN eventType = 'PARKING_ENTRY' THEN 1 END) AS occupied_slots

@@ -130,43 +130,52 @@ object ParkingAnalytics {
 
   /** A12 (RepoEventsApi.scala:38-69): latest state per (lot, spot) — the live
     * materialized view as a batch query; streaming twin in
-    * [[graft.streaming.LiveSlotView]]. */
-  def latestSlotState(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("parkingLotId", "parkingSpotId").orderBy(col("event_id").desc)
+    * [[graft.streaming.LiveSlotView]].
+    *
+    * Scale note: `max_by(struct, event_id)` instead of a
+    * `row_number` window — the slot-key universe is tiny (~300), so a window
+    * would shuffle every event into ≤300 partitions and totally sort each
+    * slot's entire history. The aggregate runs map-side partial `max_by`
+    * first: each task reduces its split to ≤300 rows before the shuffle, and
+    * nothing is ever sorted. event_id is unique ⇒ deterministic.
+    */
+  def latestSlotState(spark: SparkSession, dir: String): DataFrame =
     parkingEvents(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy("parkingLotId", "parkingSpotId")
+      .agg(max_by(struct(col("eventType"), col("licensePlate")), col("event_id")).as("last"))
       .select(
         col("parkingLotId"), col("parkingSpotId"),
-        isEntry.as("occupied"),
-        when(isEntry, col("licensePlate")).as("plate"))
+        (col("last.eventType") === "PARKING_ENTRY").as("occupied"),
+        when(col("last.eventType") === "PARKING_ENTRY", col("last.licensePlate")).as("plate"))
       .orderBy("parkingLotId", "parkingSpotId")
-  }
 
   /** A5 (MainDaily.scala:81-101): event-time occupancy replay at a cutoff.
     * The reference folds a totally-ordered driver-side list; distributed
     * equivalent: last event per (lot, spot) ≤ cutoff decides slot occupancy —
     * one shuffle on (lot, spot), then a cheap count per lot. */
-  def occupancyReplay(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("parkingLotId", "parkingSpotId").orderBy(col("event_id").desc)
+  def occupancyReplay(spark: SparkSession, dir: String): DataFrame =
     parkingEvents(spark, dir)
       .filter(col("ts") <= lit(ReplayCutoff).cast("timestamp"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy("parkingLotId", "parkingSpotId")
+      // map-side partial max_by, not a row_number window: see latestSlotState.
+      .agg(max_by(col("eventType"), col("event_id")).as("last_type"))
       .groupBy("parkingLotId")
-      .agg(count(when(isEntry, 1)).as("occupied_slots"))
+      .agg(count(when(col("last_type") === "PARKING_ENTRY", 1)).as("occupied_slots"))
       .orderBy("parkingLotId")
-  }
 
   /** J1+P5+P6 (ParkingEventConsumer.scala:77-89, AlertEventSubscriber.scala:
     * 85-91): violation detection. The reference did one Redis RTT per event;
-    * here the user registry broadcast-joins to the scan — zero shuffles on the
-    * big side, linear scale-out. Missing user ⇒ unknown_user/MEDIUM;
-    * non-handicapped user on a handicapped slot ⇒ unauthorized_user/HIGH. */
+    * here the user registry joins to the scan and AQE picks broadcast-vs-
+    * shuffle from the measured dimension size (no forced broadcast of an
+    * unbounded dimension — that is how drivers OOM at 100 TB). At test scale
+    * the registry is ≤10 MB so the physical plan is still a broadcast-hash
+    * join with zero shuffles on the big side. Missing user ⇒
+    * unknown_user/MEDIUM; non-handicapped user on a handicapped slot ⇒
+    * unauthorized_user/HIGH. */
   def violations(spark: SparkSession, dir: String): DataFrame =
     parkingEvents(spark, dir)
       .filter(col("isSlotHandicapped"))
-      .join(broadcast(users(spark, dir)), col("licensePlate") === col("u_plate"), "left")
+      .join(users(spark, dir), col("licensePlate") === col("u_plate"), "left")
       .filter(col("handicapped").isNull || !col("handicapped"))
       .select(
         col("event_id"),

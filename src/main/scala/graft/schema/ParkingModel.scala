@@ -60,18 +60,25 @@ object ParkingModel {
   }
 
   /** Deterministic user registry (reference UserModel,
-    * apps/repo-account/.../data/model/UserModel.scala:6-14): plates for
-    * user_id % 7 == 0 are intentionally absent (missing ⇒ `unknown_user`,
-    * reference srvc-alert ParkingEventConsumer.scala:77-89); handicapped iff
-    * user_id % 13 == 0 (~8%, matching scripts/repo-account-bulk.py's rate).
+    * apps/repo-account/.../data/model/UserModel.scala:6-14), loaded from a
+    * real dimension source — the `customer` parquet — exactly as the
+    * reference loads `user:<plate>` keys from Redis (a store independent of
+    * the event stream). Plates for c_custkey % 7 == 0 are intentionally
+    * absent (missing ⇒ `unknown_user`, reference srvc-alert
+    * ParkingEventConsumer.scala:77-89); handicapped iff c_custkey % 13 == 0
+    * (~8%, matching scripts/repo-account-bulk.py's rate). user_id 0 has no
+    * customer row, so it is always `unknown_user`.
     *
-    * Tiny dimension (≤ distinct user count) — always broadcast-joined.
+    * Scale note: previously this was derived by a full scan + distinct of the
+    * events table and force-broadcast — at 100 TB that is an extra
+    * full-table shuffle plus an unbounded driver broadcast. Loading from the
+    * dimension table and letting AQE pick broadcast-vs-shuffle by measured
+    * size is the plan that survives a 100× scale-up.
     */
   def users(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .select(col("user_id")).distinct()
-      .filter(col("user_id") % 7 =!= 0)
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 7 =!= 0)
       .select(
-        concat(lit("P-"), col("user_id").cast("string")).as("u_plate"),
-        (col("user_id") % 13 === 0).as("handicapped"))
+        concat(lit("P-"), col("c_custkey").cast("string")).as("u_plate"),
+        (col("c_custkey") % 13 === 0).as("handicapped"))
 }

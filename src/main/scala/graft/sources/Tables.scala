@@ -13,9 +13,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   /** events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects; read it as nanos-since-epoch LongType (legacy conf) — the
-    * adapter converts to TimestampType with exact integer division. */
+    * adapter converts to TimestampType with exact integer division.
+    *
+    * Also pins the session timezone to UTC: every date_format/unix_timestamp
+    * downstream depends on it, and callers may hand us an externally built
+    * session. Both confs are session-global; they are set here (not only in
+    * Verify/Bench) so the determinism contract is self-enforcing.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     read(spark, dir, "events")
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
