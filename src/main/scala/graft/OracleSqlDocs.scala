@@ -1,0 +1,242 @@
+package graft
+
+import graft.functions.AnnPrims
+
+/** DuckDB oracle SQL for the LLM-pipeline queries (p13–p23).
+  *
+  * These mirror [[graft.functions.TextPrims]] / [[graft.functions.AnnPrims]]
+  * primitive-for-primitive: the polynomial hashes stay under 2^63 (no
+  * overflow divergence), double math is the same left-to-right fold on both
+  * engines (bit-identical under IEEE-754), and the LSH plane literals are
+  * printed from the very same Scala doubles the Spark side uses
+  * (Double.toString round-trips exactly). Several fragments are assembled
+  * programmatically so the two implementations cannot drift apart silently.
+  */
+object OracleSqlDocs {
+
+  private val P = "1000000007"
+
+  /** charHash twin: fold (h*31 + codepoint) mod P, seed 7. */
+  private def hash(s: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split($s, ''), " +
+      s"c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a*31 + b) % $P)"
+
+  private def norm(s: String): String =
+    s"regexp_replace(lower(trim($s)), '\\s+', ' ', 'g')"
+
+  /** Left-to-right double fold of element-wise products (dot product). */
+  private def dot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+      "z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))), (acc, v) -> acc + v)"
+
+  private def cos(a: String, b: String): String =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  /** One hyperplane as a DOUBLE[] literal — e0-suffixed so DuckDB parses
+    * DOUBLE, not DECIMAL. */
+  private def planeLit(j: Int): String =
+    AnnPrims.plane(j).map { d =>
+      val s = d.toString
+      if (s.contains("E") || s.contains("e")) s else s + "e0"
+    }.mkString("[", ", ", "]")
+
+  private def dotPlane(vec: String, j: Int): String = dot(vec, planeLit(j))
+
+  /** signBucket twin: bit j set iff dot(vec, plane_{first+j}) > 0. */
+  private def bucket(vec: String, firstPlane: Int, nPlanes: Int): String =
+    "CAST(" + (0 until nPlanes).map { j =>
+      s"(CASE WHEN ${dotPlane(vec, firstPlane + j)} > CAST(0 AS DOUBLE) THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ") + " AS BIGINT)"
+
+  /** Shared token/shingle CTE prefix over `documents`. */
+  private val shingleCtes: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
+       |), shdocs AS (
+       |  SELECT id, list_distinct(CASE WHEN len(t) >= 3
+       |    THEN [list_aggregate(t[i:i+2], 'string_agg', ' ') for i in range(1, len(t)-1)]
+       |    ELSE CAST([] AS VARCHAR[]) END) AS sh
+       |  FROM toks
+       |), shn AS (SELECT id, sh FROM shdocs WHERE len(sh) > 0)""".stripMargin
+
+  /** simhash twin: 30 per-bit balance folds over the token-hash list. */
+  private val simhashExpr: String = {
+    val terms = (0 until 30).map { i =>
+      s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(h, x -> ((x >> $i) % 2)*2 - 1)), (a, b) -> a + b) > 0 " +
+        s"THEN ${1L << i} ELSE 0 END)"
+    }
+    "CAST(" + terms.mkString(" + ") + " AS BIGINT)"
+  }
+
+  private val stopList = "('the','a','of','and','to','in','is','on','for','with')"
+
+  val docs: Map[String, String] = Map(
+    "p13_exact_dedup" ->
+      s"""SELECT ${hash(norm("text"))} AS text_hash,
+         |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "p14_minhash_neardup" -> (shingleCtes +
+      s""",
+         |sigs AS (
+         |  SELECT id, sh, list_transform(range(0, 32), j ->
+         |    list_min(list_transform(list_transform(sh, g -> ${hash("g")}), x ->
+         |      (((j*2+1)*2654435761 % $P) * x + ((j*40503+17) % $P)) % $P))) AS sig
+         |  FROM shn
+         |),
+         |bands AS (
+         |  SELECT id, r.band AS band,
+         |    list_reduce(list_prepend(CAST(7 AS BIGINT), sig[r.band*4+1 : r.band*4+4]),
+         |                (a, v) -> (a*31 + v) % $P) AS bucket
+         |  FROM sigs, range(0, 8) r(band)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS da, b.id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+         |),
+         |ver AS (
+         |  SELECT da, db, len(list_intersect(x.sh, y.sh)) AS i,
+         |         len(x.sh) AS na, len(y.sh) AS nb
+         |  FROM cand JOIN shn x ON da = x.id JOIN shn y ON db = y.id
+         |)
+         |SELECT da AS doc_a, db AS doc_b, CAST(i AS DOUBLE)/(na + nb - i) AS jaccard
+         |FROM ver WHERE CAST(i AS DOUBLE)/(na + nb - i) >= CAST(0.8 AS DOUBLE)
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "p15_ngram_jaccard" -> (shingleCtes +
+      s""",
+         |sizes AS (SELECT id, len(sh) AS n FROM shn),
+         |ex AS (SELECT id, unnest(sh) AS g FROM shn),
+         |inter AS (
+         |  SELECT a.id AS da, b.id AS db, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2
+         |)
+         |SELECT da AS doc_a, db AS doc_b, CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard
+         |FROM inter JOIN sizes sa ON da = sa.id JOIN sizes sb ON db = sb.id
+         |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= CAST(0.8 AS DOUBLE)
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "p16_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
+         |), th AS (SELECT id, list_transform(t, tok -> ${hash("tok")}) AS h FROM toks)
+         |SELECT id, $simhashExpr AS simhash FROM th ORDER BY id""".stripMargin,
+
+    "p17_simhash_neardup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
+         |), th AS (SELECT id, list_transform(t, tok -> ${hash("tok")}) AS h FROM toks),
+         |sigs AS (SELECT id, $simhashExpr AS sig FROM th),
+         |bands AS (
+         |  SELECT id, sig, r.band AS band, (sig >> (r.band*15)) % 32768 AS bucket
+         |  FROM sigs, range(0, 2) r(band)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS da, a.sig AS sa, b.id AS db, b.sig AS sb
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+         |)
+         |SELECT da AS doc_a, db AS doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 1 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "p18_text_stats" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, ${norm("text")} AS norm,
+         |         string_split(${norm("text")}, ' ') AS t
+         |  FROM documents
+         |)
+         |SELECT id,
+         |  CAST(length(norm) AS BIGINT) AS n_chars,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_tokens,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |       list_transform(t, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+         |    / len(t) AS avg_token_len,
+         |  CAST(len(list_filter(t, x -> x IN $stopList)) AS DOUBLE) / len(t) AS stopword_ratio,
+         |  least(CAST(1.0 AS DOUBLE), CAST(len(t) AS DOUBLE) / CAST(200.0 AS DOUBLE))
+         |    * (CAST(1.0 AS DOUBLE)
+         |       - CAST(len(list_filter(t, x -> x IN $stopList)) AS DOUBLE) / len(t))
+         |    AS quality_score
+         |FROM toks ORDER BY id""".stripMargin,
+
+    "p19_lang_id" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
+         |), hits AS (
+         |  SELECT id,
+         |    CAST(len(list_filter(t, x -> x IN ('the','is','and','of'))) AS BIGINT) AS en,
+         |    CAST(len(list_filter(t, x -> x IN ('el','la','que','de'))) AS BIGINT) AS es,
+         |    CAST(len(list_filter(t, x -> x IN ('le','les','une','est'))) AS BIGINT) AS fr,
+         |    CAST(len(list_filter(t, x -> x IN ('der','die','und','ist'))) AS BIGINT) AS de
+         |  FROM toks
+         |)
+         |SELECT id, en AS en_hits, es AS es_hits, fr AS fr_hits, de AS de_hits,
+         |  CASE WHEN en + es + fr + de = 0 THEN 'und'
+         |       WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+         |       WHEN es >= fr AND es >= de THEN 'es'
+         |       WHEN fr >= de THEN 'fr' ELSE 'de' END AS predicted_lang
+         |FROM hits ORDER BY id""".stripMargin,
+
+    "p20_doc_fingerprint" ->
+      s"""WITH n AS (SELECT doc_id AS id, ${norm("text")} AS norm FROM documents),
+         |g AS (
+         |  SELECT id, norm, CASE WHEN length(norm) >= 8
+         |    THEN [substr(norm, CAST(i AS INT), 8) for i in range(1, length(norm) - 6)]
+         |    ELSE CAST([] AS VARCHAR[]) END AS grams
+         |  FROM n
+         |), h AS (SELECT id, norm, list_transform(grams, x -> ${hash("x")}) AS gh FROM g)
+         |SELECT id, ${hash("norm")} AS content_hash,
+         |       list_min(gh) AS min_gram_hash, list_max(gh) AS max_gram_hash,
+         |       CAST(len(gh) AS BIGINT) AS n_grams
+         |FROM h ORDER BY id""".stripMargin,
+
+    "p21_knn_bruteforce" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20),
+         |sims AS (
+         |  SELECT query_id, v.vec_id AS neighbor_id, ${cos("qe", "e")} AS sim
+         |  FROM q JOIN v ON v.vec_id <> query_id
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM sims
+         |)
+         |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, sim
+         |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin,
+
+    "p22_knn_lsh" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |bk AS (SELECT vec_id, e, ${bucket("e", 0, 8)} AS bucket FROM v),
+         |q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM bk WHERE vec_id < 20),
+         |sims AS (
+         |  SELECT query_id, b.vec_id AS neighbor_id, ${cos("qe", "b.e")} AS sim
+         |  FROM q JOIN bk b USING (bucket) WHERE b.vec_id <> query_id
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM sims
+         |)
+         |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, sim
+         |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin,
+
+    "p23_embedding_neardup" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |bk AS (
+         |  SELECT vec_id, e, 0 AS tbl, ${bucket("e", 0, 4)} AS bucket FROM v
+         |  UNION ALL SELECT vec_id, e, 1, ${bucket("e", 4, 4)} FROM v
+         |  UNION ALL SELECT vec_id, e, 2, ${bucket("e", 8, 4)} FROM v
+         |  UNION ALL SELECT vec_id, e, 3, ${bucket("e", 12, 4)} FROM v
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |),
+         |sims AS (
+         |  SELECT va AS vec_a, vb AS vec_b, ${cos("x.e", "y.e")} AS sim
+         |  FROM cand JOIN v x ON va = x.vec_id JOIN v y ON vb = y.vec_id
+         |)
+         |SELECT vec_a, vec_b, sim FROM sims
+         |WHERE sim >= CAST(0.4 AS DOUBLE) ORDER BY vec_a, vec_b""".stripMargin)
+}

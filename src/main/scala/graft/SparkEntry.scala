@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.ops.ParkingAnalytics
+import graft.ops.{DocAnalytics, ParkingAnalytics}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -8,12 +8,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ParkingAnalytics.hourlyStats(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * LLM-pipeline surface (dedup / similarity / text analysis). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParkingAnalytics.queries
+    ParkingAnalytics.queries ++ DocAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    OracleSql.parking
+    OracleSql.parking ++ OracleSqlDocs.docs
 }

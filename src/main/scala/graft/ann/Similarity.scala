@@ -1,0 +1,95 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.AnnPrims._
+
+/** Embedding similarity search over an `Array[Float]` column: brute-force
+  * cosine top-k as the exact baseline, random-hyperplane LSH bucketing as
+  * the scale path, and blocked near-duplicate pair mining.
+  *
+  * Scale design:
+  *  - the query set is broadcast, the corpus is streamed — one pass, no
+  *    corpus shuffle for the similarity compute;
+  *  - top-k is a two-phase tournament (per-partition top-k, then merge),
+  *    never a global sort: each scan task reduces its split to k rows per
+  *    query before anything shuffles;
+  *  - LSH buckets turn all-pairs O(n²) into a join keyed on (table,
+  *    bucket) — only same-bucket vectors are ever compared.
+  */
+object Similarity {
+
+  /** Two-phase deterministic top-k: candidates (query_id, neighbor_id, sim)
+    * → per input-partition top-k → merged global top-k. The result is
+    * independent of partitioning because merging per-partition top-k lists
+    * under the total order (sim desc, neighbor_id asc) is associative. */
+  private def topK(cands: DataFrame, k: Int): DataFrame =
+    cands
+      .withColumn("pid", spark_partition_id())
+      .groupBy("query_id", "pid")
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("sim")).as("neg"), col("neighbor_id").as("nid"), col("sim").as("s")))),
+        1, k).as("top"))
+      .groupBy("query_id")
+      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("knn_rank"),
+        col("col.nid").as("neighbor_id"),
+        col("col.s").as("sim"))
+      .orderBy("query_id", "knn_rank")
+
+  /** Exact cosine top-k: every query against the full corpus. */
+  def knnBruteForce(emb: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column, k: Int = 5): DataFrame = {
+    val v = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("ne"))
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qe"))
+    val cands = v.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("sim"))
+    topK(cands, k)
+  }
+
+  /** Approximate cosine top-k: compare only vectors in the same
+    * random-hyperplane sign bucket (2^nPlanes buckets). Queries whose
+    * bucket holds fewer than k neighbors return fewer rows — the standard
+    * IVF/LSH recall trade. */
+  def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
+             queryPred: Column, k: Int = 5, nPlanes: Int = 8,
+             dim: Int = 64): DataFrame = {
+    val bucketed = emb.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("ne"),
+      signBucket(col(vecCol), 0, nPlanes, dim).as("bucket"))
+    val q = emb.filter(queryPred).select(
+      col(idCol).as("query_id"), col(vecCol).as("qe"),
+      signBucket(col(vecCol), 0, nPlanes, dim).as("bucket"))
+    val cands = bucketed.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("sim"))
+    topK(cands, k)
+  }
+
+  /** Near-duplicate vector pairs with cosine ≥ `minSim`, blocked by
+    * multi-table LSH (pairs must share a sign bucket in at least one of
+    * `tables` independent plane sets — the OR-construction that recovers
+    * recall at moderate similarity). Output: (vec_a, vec_b, sim). */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   minSim: Double = 0.4, tables: Int = 4,
+                   planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("e"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          signBucket(col(vecCol), t * planesPerTable, planesPerTable, dim).as("bucket"))): _*))
+        .as("bb"))
+      .select(col("id"), col("e"), col("bb.tbl"), col("bb.bucket"))
+    val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("vec_a"), col("e").as("ea"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("vec_b"), col("e").as("eb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("sim"))
+      .filter(col("sim") >= minSim)
+      .orderBy("vec_a", "vec_b")
+  }
+}

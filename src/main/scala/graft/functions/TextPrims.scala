@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable text/hash primitives used by the dedup / similarity /
+  * text-analysis operators (the LLM-data-pipeline surface, SURVEY.md §7.1
+  * `extra/`).
+  *
+  * Everything here is built from Spark higher-order functions
+  * (`transform`/`aggregate`/`filter`) — no UDFs, no serialization, fully
+  * distributed — and every primitive has an exact DuckDB twin in
+  * [[graft.OracleSqlDocs]] so results are verified value-for-value by the
+  * correctness gate. That forces all arithmetic to stay inside ranges where
+  * Spark (Java long / IEEE double) and DuckDB (BIGINT / DOUBLE) agree
+  * bit-for-bit:
+  *
+  *  - hashes are polynomial mod P = 1e9+7, so every intermediate stays
+  *    < 2^63 (no overflow wrap, which DuckDB rejects and Java silently does);
+  *  - double math is written as explicit left-to-right folds, which IEEE-754
+  *    makes bit-identical across engines.
+  */
+object TextPrims {
+
+  /** Modulus for all polynomial hashing: large prime, keeps a*x+b < 2^63. */
+  val P = 1000000007L
+
+  /** Lowercase, trim, collapse whitespace — the canonical form every text
+    * operator works on (dedup normalization). */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Deterministic 30-bit string hash: fold (h*31 + codepoint) mod P over
+    * the characters, seed 7. Identical in DuckDB via list_reduce. */
+  def charHash(c: Column): Column =
+    aggregate(split(c, ""), lit(7L), (a, ch) => (a * 31L + ascii(ch)) % P)
+
+  /** Word k-shingles ("a b c" strings) of a token array; empty array when
+    * the document is shorter than k (sequence() would go descending). */
+  def wordShingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct word k-shingles of a text column — the set the Jaccard /
+    * MinHash operators compare. */
+  def shingleSet(text: Column, k: Int): Column =
+    array_distinct(wordShingles(tokens(text), k))
+
+  /** MinHash signature of a shingle-hash array: H values
+    * min_j((a_j*x + b_j) mod P) with a_j, b_j derived from j (Knuth
+    * multiplicative constants) so both engines can generate them inline. */
+  def minhashSig(shingleHashes: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), j => {
+      val jl = j.cast("long")
+      val a = (jl * 2L + 1L) * 2654435761L % P
+      val b = (jl * 40503L + 17L) % P
+      array_min(transform(shingleHashes, x => (a * x + b) % P))
+    })
+
+  /** Fold one LSH band (rows [bandIdx*r+1, bandIdx*r+r] of the signature,
+    * 1-based) into a single bucket key. */
+  def bandSig(sig: Column, bandIdx: Int, rowsPerBand: Int): Column =
+    aggregate(slice(sig, bandIdx * rowsPerBand + 1, rowsPerBand),
+      lit(7L), (a, v) => (a * 31L + v) % P)
+
+  /** Stopword list shared by text-stats / quality scoring. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Language marker words for the n-gram/stopword lang-id heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "is", "and", "of"),
+    "es" -> Seq("el", "la", "que", "de"),
+    "fr" -> Seq("le", "les", "une", "est"),
+    "de" -> Seq("der", "die", "und", "ist"))
+}
+
+/** Deterministic random-hyperplane constants for embedding LSH, shared by
+  * the Spark operators and the generated DuckDB oracle so both engines use
+  * literally the same plane values (doubles round-trip exactly through
+  * Double.toString → SQL literal → parse).
+  */
+object AnnPrims {
+  /** Component d of hyperplane j: pseudo-random in [-0.5, 0.5) from a
+    * Knuth-multiplicative sequence — no RNG state, any engine can rebuild. */
+  def plane(j: Int, dim: Int = 64): IndexedSeq[Double] =
+    (0 until dim).map(d => ((j * dim.toLong + d) * 2654435761L % 1000000007L) / 1e9 - 0.5)
+
+  /** Left-to-right dot product of a float-vector column with plane j —
+    * explicit fold so DuckDB reproduces the exact double. `dim` must match
+    * the vector length (zip_with null-pads a mismatch, poisoning the dot). */
+  def dotPlane(vec: Column, j: Int, dim: Int = 64): Column = {
+    import org.apache.spark.sql.functions._
+    val p = array(plane(j, dim).map(lit): _*)
+    aggregate(zip_with(vec, p, (x, pl) => x.cast("double") * pl),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** Sign-bucket of a vector under planes [firstPlane, firstPlane+n): bit j
+    * set iff dot(v, plane) > 0. */
+  def signBucket(vec: Column, firstPlane: Int, nPlanes: Int, dim: Int = 64): Column = {
+    import org.apache.spark.sql.functions._
+    (0 until nPlanes).map { j =>
+      when(dotPlane(vec, firstPlane + j, dim) > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Left-to-right cosine similarity between two float-vector columns, all
+    * arithmetic in double — bit-identical to the DuckDB twin. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+}

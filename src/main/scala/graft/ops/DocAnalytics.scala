@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.sources.Tables
+import graft.text.{TextDedup, TextStats}
+import graft.ann.Similarity
+
+/** The LLM-data-pipeline query surface over the `documents` and
+  * `embeddings` tables (the north-star operators beyond the reference's own
+  * inventory — dedup, similarity search, text analysis). Each query wraps a
+  * reusable operator from [[graft.text.TextDedup]], [[graft.text.TextStats]]
+  * or [[graft.ann.Similarity]] and has a value-exact DuckDB oracle in
+  * [[graft.OracleSqlDocs]].
+  */
+object DocAnalytics {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+
+  /** Query vectors for the knn queries: a fixed small id range, standing in
+    * for the "query set" a real ANN service would broadcast. */
+  private val QueryMaxId = 20
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_exact_dedup" -> ((s, d) =>
+      TextDedup.exactDedup(docs(s, d), "doc_id", "text")),
+    "p14_minhash_neardup" -> ((s, d) =>
+      TextDedup.minhashNearDup(docs(s, d), "doc_id", "text")),
+    "p15_ngram_jaccard" -> ((s, d) =>
+      TextDedup.ngramJaccardPairs(docs(s, d), "doc_id", "text")),
+    "p16_simhash" -> ((s, d) =>
+      TextDedup.simhash(docs(s, d), "doc_id", "text")),
+    "p17_simhash_neardup" -> ((s, d) =>
+      TextDedup.simhashNearDup(docs(s, d), "doc_id", "text")),
+    "p18_text_stats" -> ((s, d) =>
+      TextStats.stats(docs(s, d), "doc_id", "text")),
+    "p19_lang_id" -> ((s, d) =>
+      TextStats.langId(docs(s, d), "doc_id", "text")),
+    "p20_doc_fingerprint" -> ((s, d) =>
+      TextStats.fingerprint(docs(s, d), "doc_id", "text")),
+    "p21_knn_bruteforce" -> ((s, d) =>
+      Similarity.knnBruteForce(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
+    "p22_knn_lsh" -> ((s, d) =>
+      Similarity.knnLsh(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
+    "p23_embedding_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding")))
+}

@@ -1,0 +1,139 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextPrims._
+
+/** Deduplication operators for LLM-training-data pipelines: exact,
+  * MinHash-LSH, exact n-gram Jaccard, and SimHash. All are pure
+  * DataFrame→DataFrame transforms over an (id, text) input, built from
+  * higher-order functions only (no UDFs), and all are hash-bucketed — never
+  * all-pairs over the corpus — so the same plans run at 100 TB:
+  *
+  *  - exact dedup: one shuffle on the text hash (map-side partial agg);
+  *  - MinHash: candidates come from a shuffle on (band, bucket) — only
+  *    documents sharing an LSH bucket are ever compared;
+  *  - n-gram Jaccard: inverted-index join on the shingle, i.e. a shuffle on
+  *    shingle values — pairs materialize only for co-occurring shingles
+  *    (at web scale, cap shingle document-frequency to bound skew);
+  *  - SimHash: banded on signature thirds, so candidate pairs agree on ≥10
+  *    of 30 bits before any comparison.
+  */
+object TextDedup {
+
+  /** Exact dedup keyed by the polynomial hash of the normalized text
+    * (lowercase, whitespace-collapsed). Output: one row per distinct
+    * normalized text — the kept (minimum) id and the copy count.
+    * Never groups on the full text bytes: at 100 TB the shuffle key must be
+    * a fixed-width hash, not a document body. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(charHash(normText(col(textCol))).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("text_hash")
+
+  /** Near-duplicate pairs via MinHash + LSH banding, verified with the exact
+    * Jaccard on the shingle sets. `numHashes` minhashes in `bands` bands:
+    * documents colliding in ≥1 band become candidates; candidates below
+    * `minJaccard` are discarded by the exact check, so the only
+    * approximation is possible false negatives from banding.
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b. */
+  def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                     minJaccard: Double = 0.8): DataFrame = {
+    val r = numHashes / bands
+    val docs = df
+      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = docs
+      .withColumn("sh_h", transform(col("sh"), charHash _))
+      .withColumn("sig", minhashSig(col("sh_h"), numHashes))
+      .select(col("id"), col("sh"),
+        explode(array((0 until bands).map(bi =>
+          struct(lit(bi).as("band"), bandSig(col("sig"), bi, r).as("bucket"))): _*))
+          .as("bb"))
+      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
+    val a = sigs.select(col("band"), col("bucket"), col("id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sigs.select(col("band"), col("bucket"), col("id").as("doc_b"), col("sh").as("sh_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard similarity pairs via an inverted-index join on
+    * the shingle (the scalable exact counterpart to [[minhashNearDup]] —
+    * candidate pairs materialize only where a shingle co-occurs, never
+    * all-pairs). Output: (doc_a, doc_b, jaccard) with jaccard ≥ `minJaccard`.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val docs = df
+      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = docs.select(col("id"), size(col("sh")).as("n"))
+    val ex = docs.select(col("id"), explode(col("sh")).as("g"))
+    val inter = ex.as("x").join(ex.as("y"), col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val SimhashBits = 30
+
+  /** 30-bit SimHash of the token multiset: bit i is set iff the sum over
+    * tokens of ±1 (sign of bit i of the token hash) is positive. Token
+    * frequency weights naturally (the fold runs over the full token list,
+    * not the set). */
+  def simhashCol(textCol: Column): Column = {
+    val th = transform(tokens(textCol), charHash _)
+    (0 until SimhashBits).map { i =>
+      val balance = aggregate(th, lit(0L),
+        (s, h) => s + (shiftright(h, i) % 2L) * 2L - 1L)
+      when(balance > 0L, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Per-document SimHash signatures. Output: (id, simhash). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), simhashCol(col(textCol)).as("simhash"))
+      .orderBy("id")
+
+  /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxHamming`,
+    * candidate-blocked on 15-bit signature halves (pigeonhole: any pair
+    * with ≤1 differing bit shares at least one half, so recall is exact at
+    * the default threshold; wider thresholds trade recall for candidate
+    * volume — the standard banded-SimHash trade).
+    * Output: (doc_a, doc_b, hamming). */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 1): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhashCol(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 2).map(bi =>
+        struct(lit(bi).as("band"), (shiftright(col("sig"), bi * 15) % 32768L).as("bucket"))): _*))
+        .as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+}

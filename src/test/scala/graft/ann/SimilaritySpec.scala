@@ -1,0 +1,44 @@
+package graft.ann
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // Four 4-d vectors: v1 ≈ v2 (cos ≈ 1), v3 orthogonal to v1, v4 opposite.
+  private def emb = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  "knnBruteForce" should "rank the nearest vector first" in {
+    val out = Similarity.knnBruteForce(emb, "vec_id", "embedding", col("vec_id") === 1L, k = 3)
+      .collect()
+    out.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(2L, 3L, 4L)
+    out.head.getAs[Double]("sim") shouldBe 0.9999 +- 0.0002
+    out.last.getAs[Double]("sim") shouldBe -1.0 +- 1e-9
+  }
+
+  it should "return k rows per query at most" in {
+    val out = Similarity.knnBruteForce(emb, "vec_id", "embedding", col("vec_id") <= 2L, k = 2)
+    out.count() shouldBe 4 // 2 queries × 2 neighbors
+  }
+
+  "nearDupPairs" should "find only the near-identical pair at a high threshold" in {
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", minSim = 0.95, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.toSeq shouldBe Seq((1L, 2L))
+  }
+
+  "knnLsh" should "recover near-identical vectors from the same bucket" in {
+    val out = Similarity.knnLsh(emb, "vec_id", "embedding", col("vec_id") === 1L, k = 3, dim = 4)
+      .collect().map(_.getAs[Long]("neighbor_id"))
+    // v2 lands in v1's sign bucket with certainty (cos ≈ 1 ⇒ same side of
+    // every plane whose margin exceeds the 0.01 perturbation).
+    out should contain(2L)
+    out should not contain 4L // opposite vector flips every plane
+  }
+}

@@ -1,0 +1,46 @@
+package graft.text
+
+import graft.SparkSpec
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  "stats" should "count chars, tokens and stopwords exactly" in {
+    val df = Seq((1L, "The cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextStats.stats(df, "doc_id", "text").collect().head
+    r.getAs[Long]("n_chars") shouldBe 22L
+    r.getAs[Long]("n_tokens") shouldBe 6L
+    r.getAs[Long]("n_unique_tokens") shouldBe 5L // "the" twice after lowering
+    r.getAs[Double]("stopword_ratio") shouldBe (3.0 / 6.0) // the, on, the
+  }
+
+  it should "normalize whitespace before measuring" in {
+    val df = Seq((1L, "  a   b  ")).toDF("doc_id", "text")
+    val r = TextStats.stats(df, "doc_id", "text").collect().head
+    r.getAs[Long]("n_chars") shouldBe 3L // "a b"
+    r.getAs[Long]("n_tokens") shouldBe 2L
+  }
+
+  "langId" should "discriminate constructed language samples" in {
+    val df = Seq(
+      (1L, "the cat is on the mat and the dog is here"),
+      (2L, "el gato esta en la casa que tiene el perro"),
+      (3L, "le chat est dans les maisons une belle nuit"),
+      (4L, "der hund und die katze ist im haus"),
+      (5L, "xyzzy plugh quux")
+    ).toDF("doc_id", "text")
+    val out = TextStats.langId(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("predicted_lang")).toMap
+    out shouldBe Map(1L -> "en", 2L -> "es", 3L -> "fr", 4L -> "de", 5L -> "und")
+  }
+
+  "fingerprint" should "hash content and grams deterministically" in {
+    val df = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "short")).toDF("doc_id", "text")
+    val rows = TextStats.fingerprint(df, "doc_id", "text").collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    byId(1L).getAs[Long]("content_hash") shouldBe byId(2L).getAs[Long]("content_hash")
+    byId(1L).getAs[Long]("n_grams") shouldBe 3L // 10 chars → 3 8-grams
+    byId(3L).isNullAt(byId(3L).fieldIndex("min_gram_hash")) shouldBe true
+    byId(3L).getAs[Long]("n_grams") shouldBe 0L
+  }
+}
