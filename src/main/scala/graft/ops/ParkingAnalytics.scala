@@ -173,9 +173,18 @@ object ParkingAnalytics {
     * unknown_user/MEDIUM; non-handicapped user on a handicapped slot ⇒
     * unauthorized_user/HIGH. */
   def violations(spark: SparkSession, dir: String): DataFrame =
-    parkingEvents(spark, dir)
+    violationsFrom(parkingEvents(spark, dir), users(spark, dir)).orderBy("event_id")
+
+  /** The violation rule itself, shared verbatim by the batch query above
+    * and the streaming twin ([[graft.streaming.ViolationStream]] wires a
+    * decoded event stream through this very function — stream-static joins
+    * are supported unchanged by Structured Streaming). No sort here:
+    * streaming append mode forbids it; the batch wrapper adds the total
+    * order for the oracle. */
+  def violationsFrom(events: DataFrame, userDim: DataFrame): DataFrame =
+    events
       .filter(col("isSlotHandicapped"))
-      .join(users(spark, dir), col("licensePlate") === col("u_plate"), "left")
+      .join(userDim, col("licensePlate") === col("u_plate"), "left")
       .filter(col("handicapped").isNull || !col("handicapped"))
       .select(
         col("event_id"),
@@ -186,7 +195,6 @@ object ParkingAnalytics {
           .as("violation_type"),
         when(col("handicapped").isNull, "MEDIUM").otherwise("HIGH").as("severity"),
         secondStr("ts").as("event_time"))
-      .orderBy("event_id")
 
   /** A6 (MainDaily.scala:132-163): cumulative per-lot entry series by hour —
     * the reference's per-file-timestamp snapshot loop as one window sum. */

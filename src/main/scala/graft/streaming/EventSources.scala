@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming event sources (SURVEY.md §2.1 S5/S6/S13) behind one trait: a
+  * raw stream of JSON payload strings in a `value` column — exactly what a
+  * Kafka value deserializer hands the reference's consumers
+  * (srvc-alert ParkingEventConsumer.scala:24-53, repo-events
+  * RepoEventsApi.scala:32-90).
+  */
+trait EventSource {
+  def stream(spark: SparkSession): DataFrame
+}
+
+/** Kafka source (reference topic "parking-events"). Requires the
+  * spark-sql-kafka connector on the cluster classpath — not present in the
+  * sandbox, so this class is exercised on a real cluster only; everything
+  * downstream of the `value` column is covered by [[FileEventSource]] tests.
+  * `maxOffsetsPerTrigger` is the backpressure bound (ST7): a 1000-executor
+  * cluster re-planning a lagged topic must not pull the whole backlog into
+  * one micro-batch. */
+final case class KafkaEventSource(bootstrapServers: String, topic: String,
+                                  maxOffsetsPerTrigger: Long = 100000L) extends EventSource {
+  def stream(spark: SparkSession): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+}
+
+/** File-backed source: JSON-lines files in a directory, one `value` string
+  * per line — the sandbox/test stand-in for Kafka with identical downstream
+  * semantics. `maxFilesPerTrigger = 1` forces multi-micro-batch replays so
+  * tests exercise cross-batch state. */
+final case class FileEventSource(dir: String, maxFilesPerTrigger: Int = 1) extends EventSource {
+  def stream(spark: SparkSession): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+      .select(col("value"))
+}
+
+/** Decode + flatten of the raw value stream (S1/F10/P2 + decode-drop ST6). */
+object EventDecode {
+
+  /** The reference's explicit nested event schema
+    * (MainHourly.scala:29-57, ParkingEvent.scala:3-21) plus an optional
+    * `event_id` our replay harness carries for deterministic ordering. */
+  val ParkingEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = true),
+    StructField("eventType", StringType, nullable = false),
+    StructField("timestamp", StringType, nullable = false),
+    StructField("vehicle", StructType(Seq(
+      StructField("licensePlate", StringType, nullable = false),
+      StructField("vehicleType", StringType, nullable = false),
+      StructField("color", StringType, nullable = true))), nullable = false),
+    StructField("parking", StructType(Seq(
+      StructField("parkingLotId", StringType, nullable = false),
+      StructField("parkingSpotId", StringType, nullable = false),
+      StructField("isSlotHandicapped", BooleanType, nullable = false))), nullable = false),
+    StructField("duration", LongType, nullable = true)))
+
+  /** JSON value → flattened event rows. Undecodable payloads are dropped,
+    * matching the reference's log-and-skip (ParkingEventConsumer.scala:
+    * 55-63): `from_json` yields a null/empty struct, which the
+    * eventType-null filter removes. Purely narrow — no shuffle. */
+  def decode(raw: DataFrame): DataFrame =
+    raw
+      .select(from_json(col("value"), ParkingEventSchema).as("evt"))
+      .filter(col("evt.eventType").isNotNull && col("evt.timestamp").isNotNull)
+      .filter(col("evt.eventType").isin("PARKING_ENTRY", "PARKING_EXIT"))
+      .select(
+        col("evt.event_id").as("event_id"),
+        to_timestamp(col("evt.timestamp")).as("ts"),
+        col("evt.eventType").as("eventType"),
+        col("evt.vehicle.licensePlate").as("licensePlate"),
+        col("evt.vehicle.vehicleType").as("vehicleType"),
+        col("evt.parking.parkingLotId").as("parkingLotId"),
+        col("evt.parking.parkingSpotId").as("parkingSpotId"),
+        col("evt.parking.isSlotHandicapped").as("isSlotHandicapped"),
+        col("evt.duration").as("duration_ms"))
+}

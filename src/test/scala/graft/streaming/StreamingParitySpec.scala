@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.ops.ParkingAnalytics
+import graft.schema.ParkingModel
+
+/** ST1–ST6 batch parity: replay the sf0.001 events through the file-backed
+  * stream source in multiple micro-batches (maxFilesPerTrigger) and assert
+  * each streaming operator converges to exactly the rows its batch twin
+  * computes over the same data. This is the correctness gate for the
+  * streaming layer — the stateful ops cross micro-batch boundaries here.
+  */
+class StreamingParitySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val jsonDir: String = dumpEventsAsJson()
+
+  /** Flattened parquet events → the reference's nested JSON-lines shape,
+    * chunked into 10 files with strictly increasing mtimes so the file
+    * stream replays them in event order across ≥5 micro-batches. */
+  private def dumpEventsAsJson(): String = {
+    val dir = Files.createTempDirectory("graft-events-json")
+    val json = ParkingModel.parkingEvents(spark, sfDir)
+      .orderBy("event_id")
+      .select(to_json(struct(
+        col("event_id"),
+        col("eventType"),
+        col("ts").as("timestamp"),
+        struct(col("licensePlate"), col("vehicleType"), lit("gray").as("color")).as("vehicle"),
+        struct(col("parkingLotId"), col("parkingSpotId"), col("isSlotHandicapped")).as("parking"),
+        col("duration_ms").as("duration"))).as("line"))
+      .collect().map(_.getString(0))
+    val chunks = json.grouped(math.max(1, json.length / 10)).toSeq
+    chunks.zipWithIndex.foreach { case (lines, i) =>
+      val f = dir.resolve(f"chunk-$i%03d.json")
+      Files.write(f, String.join("\n", lines: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    dir.toString
+  }
+
+  private def decodedStream: DataFrame =
+    EventDecode.decode(FileEventSource(jsonDir, maxFilesPerTrigger = 2).stream(spark))
+
+  private def runStream(df: DataFrame, mode: String)(onBatch: DataFrame => Unit): Unit = {
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = df.writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => onBatch(batch) }
+      .start()
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+  }
+
+  "EventDecode" should "drop undecodable payloads and keep valid ones (ST6)" in {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-garbage")
+    val good =
+      """{"event_id":1,"eventType":"PARKING_ENTRY","timestamp":"2024-01-01T10:00:00.000Z","vehicle":{"licensePlate":"P-1","vehicleType":"car","color":"red"},"parking":{"parkingLotId":"lot-01","parkingSpotId":"7","isSlotHandicapped":false},"duration":null}"""
+    val good2 = good.replace("\"event_id\":1", "\"event_id\":2")
+      .replace("PARKING_ENTRY", "PARKING_EXIT")
+    val lines = Seq(good, "not json at all", "{\"half\":", good2, "{\"eventType\":\"OTHER\",\"timestamp\":\"2024-01-01T10:00:00Z\"}")
+    Files.write(dir.resolve("mixed.json"), String.join("\n", lines: _*).getBytes("UTF-8"))
+    val got = ArrayBuffer.empty[Row]
+    runStream(EventDecode.decode(FileEventSource(dir.toString).stream(spark)), "append") {
+      b => got.synchronized { got ++= b.collect() }
+    }
+    got.map(_.getAs[Long]("event_id")).sorted shouldBe Seq(1L, 2L)
+  }
+
+  "LiveSlotView" should "converge to the batch latestSlotState (p09) across micro-batches" in {
+    val view = TrieMap.empty[(String, String), (Boolean, Option[String])]
+    runStream(LiveSlotView.updates(decodedStream).toDF(), "update") { b =>
+      b.collect().foreach { r =>
+        view((r.getString(0), r.getString(1))) =
+          (r.getBoolean(2), Option(r.getAs[String]("plate")))
+      }
+    }
+    val batch = ParkingAnalytics.latestSlotState(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getBoolean(2), Option(r.getAs[String]("plate")))).toMap
+    view.toMap shouldBe batch
+  }
+
+  "SessionStream" should "emit exactly the batch sessionPairing rows (p05)" in {
+    val got = ArrayBuffer.empty[(Long, String, String, String, String, String, String, Long)]
+    val formatted = SessionStream.pairs(decodedStream).toDF()
+      .select(col("exit_event_id"), col("licensePlate"), col("parkingSpotId"),
+        col("parkingLotId"), col("vehicleType"),
+        date_format(col("entry_ts"), "yyyy-MM-dd HH:mm:ss").as("entry_ts"),
+        date_format(col("exit_ts"), "yyyy-MM-dd HH:mm:ss").as("exit_ts"),
+        col("duration_min"))
+    runStream(formatted, "append") { b =>
+      b.collect().foreach { r =>
+        got.synchronized {
+          got += ((r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+            r.getString(4), r.getString(5), r.getString(6), r.getLong(7)))
+        }
+      }
+    }
+    val batch = ParkingAnalytics.sessionPairing(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getString(6), r.getLong(7)))
+    got.sortBy(_._1) shouldBe batch.sortBy(_._1).toSeq
+  }
+
+  "HourlyStatsStream" should "converge to the batch occupancyByLot (p02)" in {
+    val agg = TrieMap.empty[(String, String, String), (Long, Long, Long)]
+    runStream(HourlyStatsStream.aggregates(decodedStream), "update") { b =>
+      b.collect().foreach { r =>
+        agg((r.getString(0), r.getString(1), r.getString(2))) =
+          (r.getLong(3), r.getLong(4), r.getLong(5))
+      }
+    }
+    val batch = ParkingAnalytics.occupancyByLot(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    agg.toMap shouldBe batch
+  }
+
+  "ViolationStream" should "emit exactly the batch violations rows (p11)" in {
+    val got = ArrayBuffer.empty[Seq[Any]]
+    runStream(ViolationStream.alerts(decodedStream, ParkingModel.users(spark, sfDir)), "append") {
+      b => b.collect().foreach(r => got.synchronized { got += r.toSeq })
+    }
+    val batch = ParkingAnalytics.violations(spark, sfDir).collect().map(_.toSeq)
+    got.sortBy(_.head.asInstanceOf[Long]) shouldBe batch.toSeq.sortBy(_.head.asInstanceOf[Long])
+  }
+}
