@@ -152,5 +152,36 @@ object OracleSql {
       |SELECT parkingLotId, hour_bucket, CAST(entries AS BIGINT) AS entries,
       |       CAST(SUM(entries) OVER (PARTITION BY parkingLotId ORDER BY hour_bucket
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_entries
-      |FROM hourly ORDER BY parkingLotId, hour_bucket""".stripMargin))
+      |FROM hourly ORDER BY parkingLotId, hour_bucket""".stripMargin),
+
+    "p24_hourly_doc_flat" -> (ParkingCte + """,
+      |per_lot AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS date_str, strftime(ts, '%H') AS hour_str,
+      |         parkingLotId,
+      |         COUNT(CASE WHEN eventType = 'PARKING_ENTRY' THEN 1 END) AS entries,
+      |         COUNT(CASE WHEN eventType = 'PARKING_EXIT' THEN 1 END) AS exits
+      |  FROM parking GROUP BY 1, 2, 3
+      |), lot_occ AS (SELECT *, GREATEST(0, entries - exits) AS occ FROM per_lot),
+      |lot_agg AS (
+      |  SELECT date_str, hour_str,
+      |         CAST(SUM(entries) AS BIGINT) AS nbr_entries,
+      |         CAST(SUM(exits) AS BIGINT) AS nbr_exit,
+      |         CAST(SUM(occ) AS DOUBLE) * 2.0 AS revenue_simulation,
+      |         string_agg(parkingLotId || '=' || CAST(occ AS VARCHAR), ','
+      |                    ORDER BY parkingLotId) AS occupancy_by_lot
+      |  FROM lot_occ GROUP BY 1, 2
+      |), type_cnt AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS date_str, strftime(ts, '%H') AS hour_str,
+      |         vehicleType, COUNT(*) AS c
+      |  FROM parking GROUP BY 1, 2, 3
+      |), type_agg AS (
+      |  SELECT date_str, hour_str,
+      |         string_agg(vehicleType || '=' || CAST(c AS VARCHAR), ','
+      |                    ORDER BY vehicleType) AS vehicle_types
+      |  FROM type_cnt GROUP BY 1, 2
+      |)
+      |SELECT l.date_str, l.hour_str, nbr_entries, nbr_exit, revenue_simulation,
+      |       occupancy_by_lot, vehicle_types
+      |FROM lot_agg l JOIN type_agg t ON l.date_str = t.date_str AND l.hour_str = t.hour_str
+      |ORDER BY l.date_str, l.hour_str""".stripMargin))
 }

@@ -11,7 +11,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 plus the
     * LLM-pipeline surface (dedup / similarity / text analysis). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParkingAnalytics.queries ++ DocAnalytics.queries
+    ParkingAnalytics.queries ++ DocAnalytics.queries ++
+      Map("p24_hourly_doc_flat" -> (graft.ops.HourlyDocs.flat _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -70,18 +70,25 @@ object EventDecode {
     * 55-63): `from_json` yields a null/empty struct, which the
     * eventType-null filter removes. Purely narrow — no shuffle. */
   def decode(raw: DataFrame): DataFrame =
-    raw
-      .select(from_json(col("value"), ParkingEventSchema).as("evt"))
-      .filter(col("evt.eventType").isNotNull && col("evt.timestamp").isNotNull)
-      .filter(col("evt.eventType").isin("PARKING_ENTRY", "PARKING_EXIT"))
+    flattenNested(raw.select(from_json(col("value"), ParkingEventSchema).as("evt"))
+      .select(col("evt.*")))
+
+  /** Nested event columns (the reference shape, whether from `from_json`
+    * or a schema'd lake read) → the canonical flat 9-column event frame
+    * (P2, MainHourly.scala:70-80), dropping rows that failed to decode or
+    * carry a foreign eventType (P1). */
+  def flattenNested(nested: DataFrame): DataFrame =
+    nested
+      .filter(col("eventType").isNotNull && col("timestamp").isNotNull)
+      .filter(col("eventType").isin("PARKING_ENTRY", "PARKING_EXIT"))
       .select(
-        col("evt.event_id").as("event_id"),
-        to_timestamp(col("evt.timestamp")).as("ts"),
-        col("evt.eventType").as("eventType"),
-        col("evt.vehicle.licensePlate").as("licensePlate"),
-        col("evt.vehicle.vehicleType").as("vehicleType"),
-        col("evt.parking.parkingLotId").as("parkingLotId"),
-        col("evt.parking.parkingSpotId").as("parkingSpotId"),
-        col("evt.parking.isSlotHandicapped").as("isSlotHandicapped"),
-        col("evt.duration").as("duration_ms"))
+        col("event_id"),
+        to_timestamp(col("timestamp")).as("ts"),
+        col("eventType"),
+        col("vehicle.licensePlate").as("licensePlate"),
+        col("vehicle.vehicleType").as("vehicleType"),
+        col("parking.parkingLotId").as("parkingLotId"),
+        col("parking.parkingSpotId").as("parkingSpotId"),
+        col("parking.isSlotHandicapped").as("isSlotHandicapped"),
+        col("duration").as("duration_ms"))
 }
