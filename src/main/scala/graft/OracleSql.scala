@@ -183,5 +183,41 @@ object OracleSql {
       |SELECT l.date_str, l.hour_str, nbr_entries, nbr_exit, revenue_simulation,
       |       occupancy_by_lot, vehicle_types
       |FROM lot_agg l JOIN type_agg t ON l.date_str = t.date_str AND l.hour_str = t.hour_str
-      |ORDER BY l.date_str, l.hour_str""".stripMargin))
+      |ORDER BY l.date_str, l.hour_str""".stripMargin),
+
+    "p25_session_durations" -> (ParkingCte + """,
+      |seq AS (
+      |  SELECT *, lag(eventType) OVER w AS prev_type, lag(ts) OVER w AS prev_ts
+      |  FROM parking
+      |  WINDOW w AS (PARTITION BY licensePlate, parkingSpotId ORDER BY event_id)
+      |)
+      |SELECT event_id AS exit_event_id, licensePlate, parkingSpotId, parkingLotId,
+      |       CAST(CASE WHEN prev_type = 'PARKING_ENTRY'
+      |            THEN FLOOR((FLOOR(epoch(ts)) - FLOOR(epoch(prev_ts))) / 60)
+      |            ELSE FLOOR(duration_ms / 60000) END AS BIGINT) AS duration_min,
+      |       CASE WHEN prev_type = 'PARKING_ENTRY' THEN 'paired'
+      |            ELSE 'fallback' END AS duration_source
+      |FROM seq WHERE eventType = 'PARKING_EXIT' ORDER BY exit_event_id""".stripMargin),
+
+    "p26_capacity_by_lot" -> (ParkingCte + """,
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY parkingLotId, parkingSpotId
+      |                               ORDER BY event_id DESC) AS rn
+      |  FROM parking
+      |), occ AS (
+      |  SELECT parkingLotId,
+      |         COUNT(CASE WHEN eventType = 'PARKING_ENTRY' THEN 1 END) AS occupied_slots
+      |  FROM ranked WHERE rn = 1 GROUP BY 1
+      |)
+      |SELECT parkingLotId,
+      |       CAST(CASE parkingLotId WHEN 'lot-01' THEN 41 WHEN 'lot-02' THEN 101
+      |            ELSE 150 END AS BIGINT) AS capacity,
+      |       occupied_slots,
+      |       CAST(CASE parkingLotId WHEN 'lot-01' THEN 41 WHEN 'lot-02' THEN 101
+      |            ELSE 150 END AS BIGINT) - occupied_slots AS available
+      |FROM occ ORDER BY parkingLotId""".stripMargin),
+
+    "p27_latest_ts" -> (ParkingCte + """
+      |SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts,
+      |       COUNT(*) AS n_events FROM parking""".stripMargin))
 }

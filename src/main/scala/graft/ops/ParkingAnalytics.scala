@@ -209,6 +209,54 @@ object ParkingAnalytics {
       .orderBy("parkingLotId", "hour_bucket")
   }
 
+  /** J3+P8 (MainWeekly.scala:237-251): per-exit session duration with
+    * fallback — an EXIT whose preceding event is a paired ENTRY gets the
+    * measured duration; an orphan EXIT falls back to the event's own
+    * reported duration_ms (the null-safe P8 column every earlier query
+    * dropped). Same single shuffle on the session key as sessionPairing. */
+  def sessionDurations(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("licensePlate", "parkingSpotId").orderBy("event_id")
+    val paired = col("prev_type") === "PARKING_ENTRY"
+    parkingEvents(spark, dir)
+      .withColumn("prev_type", lag("eventType", 1).over(w))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .filter(isExit)
+      .select(
+        col("event_id").as("exit_event_id"),
+        col("licensePlate"), col("parkingSpotId"), col("parkingLotId"),
+        when(paired,
+          floor((unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) / 60))
+          .otherwise(floor(col("duration_ms") / 60000))
+          .cast("long").as("duration_min"),
+        when(paired, "paired").otherwise("fallback").as("duration_source"))
+      .orderBy("exit_event_id")
+  }
+
+  /** A13 (GeneratorService.scala:201-206): available capacity per lot —
+    * static capacity dimension (the reference's 41/101/150 universe) minus
+    * currently-occupied slots from the latest-state view. */
+  def capacityByLot(spark: SparkSession, dir: String): DataFrame = {
+    val cap = when(col("parkingLotId") === "lot-01", 41L)
+      .when(col("parkingLotId") === "lot-02", 101L)
+      .otherwise(150L)
+    latestSlotState(spark, dir)
+      .groupBy("parkingLotId")
+      .agg(count(when(col("occupied"), 1)).as("occupied_slots"))
+      .select(
+        col("parkingLotId"),
+        cap.as("capacity"),
+        col("occupied_slots"),
+        (cap - col("occupied_slots")).as("available"))
+      .orderBy("parkingLotId")
+  }
+
+  /** A11 (MainDaily.scala:170): newest event time + total count. */
+  def latestTimestamp(spark: SparkSession, dir: String): DataFrame =
+    parkingEvents(spark, dir)
+      .agg(
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest_ts"),
+        count(lit(1)).as("n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hourly_stats" -> (hourlyStats _),
     "p02_occupancy_by_lot" -> (occupancyByLot _),
@@ -221,5 +269,8 @@ object ParkingAnalytics {
     "p09_latest_slot_state" -> (latestSlotState _),
     "p10_occupancy_replay" -> (occupancyReplay _),
     "p11_violations" -> (violations _),
-    "p12_cumulative_hourly" -> (cumulativeHourly _))
+    "p12_cumulative_hourly" -> (cumulativeHourly _),
+    "p25_session_durations" -> (sessionDurations _),
+    "p26_capacity_by_lot" -> (capacityByLot _),
+    "p27_latest_ts" -> (latestTimestamp _))
 }

@@ -35,6 +35,24 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
 
+  /** U1 multi-path union scan (reference MainWeekly.scala:141-163 — the
+    * weekly job concatenates seven day-prefixes into one read): Spark's
+    * multi-path parquet read plans all paths as a single relation, so
+    * pushdown/pruning apply across the whole union. */
+  def eventsUnion(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.read.parquet(dirs.map(d => s"$d/events.parquet"): _*)
+  }
+
+  /** P7 empty-input guard (reference MainHourly.scala:82-87 threw on an
+    * empty hour before aggregating): fail fast with context instead of
+    * publishing an all-zero document. */
+  def requireNonEmpty(df: DataFrame, what: String): DataFrame = {
+    if (df.isEmpty) throw new IllegalStateException(s"no input rows for $what")
+    df
+  }
+
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 }
