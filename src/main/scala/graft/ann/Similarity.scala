@@ -83,6 +83,9 @@ object Similarity {
           signBucket(col(vecCol), t * planesPerTable, planesPerTable, dim).as("bucket"))): _*))
         .as("bb"))
       .select(col("id"), col("e"), col("bb.tbl"), col("bb.bucket"))
+      // both self-join sides read this; persist so the 16 plane dot-folds
+      // per vector run once, not once per side.
+      .persist()
     val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("vec_a"), col("e").as("ea"))
     val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("vec_b"), col("e").as("eb"))
     a.join(b, Seq("tbl", "bucket"))

@@ -41,24 +41,35 @@ object TextDedup {
                      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
                      minJaccard: Double = 0.8): DataFrame = {
     val r = numHashes / bands
+    // persist() is load-bearing, not a cache nicety: without the
+    // materialization boundary CollapseProject inlines the shingle-hash
+    // array into all 32 minhash expressions (and into both self-join
+    // sides), recomputing every string hash 32+ times per row. The
+    // persisted frame is O(docs × shingles) — the compact signature layer
+    // you would deliberately materialize at 100 TB too.
     val docs = df
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sigs = docs
       .withColumn("sh_h", transform(col("sh"), charHash _))
+      .persist()
+    // banded (id, band, bucket) only — 3 small columns; the shingle sets
+    // rejoin for verification instead of riding through the self-join.
+    // Persisted so the 32-hash signature is evaluated exactly once per doc.
+    val bandsDf = docs
       .withColumn("sig", minhashSig(col("sh_h"), numHashes))
-      .select(col("id"), col("sh"),
+      .select(col("id"),
         explode(array((0 until bands).map(bi =>
           struct(lit(bi).as("band"), bandSig(col("sig"), bi, r).as("bucket"))): _*))
           .as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
-    val a = sigs.select(col("band"), col("bucket"), col("id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sigs.select(col("band"), col("bucket"), col("id").as("doc_b"), col("sh").as("sh_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .persist()
+    val candidates = bandsDf.as("a").join(bandsDf.as("b"), Seq("band", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
     candidates
+      .join(docs.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -74,9 +85,12 @@ object TextDedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    // persisted: the shingle sets feed the exploded index AND two
+    // verify-join sides (see the CollapseProject note in minhashNearDup).
     val docs = df
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist()
     val sizes = docs.select(col("id"), size(col("sh")).as("n"))
     val ex = docs.select(col("id"), explode(col("sh")).as("g"))
     val inter = ex.as("x").join(ex.as("y"), col("x.g") === col("y.g") && col("x.id") < col("y.id"))
@@ -94,22 +108,28 @@ object TextDedup {
 
   private val SimhashBits = 30
 
-  /** 30-bit SimHash of the token multiset: bit i is set iff the sum over
-    * tokens of ±1 (sign of bit i of the token hash) is positive. Token
-    * frequency weights naturally (the fold runs over the full token list,
-    * not the set). */
-  def simhashCol(textCol: Column): Column = {
-    val th = transform(tokens(textCol), charHash _)
+  /** The 30 per-bit balance terms over an already-materialized token-hash
+    * array column: bit i is set iff the sum over tokens of ±1 (sign of bit
+    * i of the token hash) is positive. Token frequency weights naturally
+    * (the fold runs over the full token list, not the set). */
+  private def simhashFromHashes(th: Column): Column =
     (0 until SimhashBits).map { i =>
       val balance = aggregate(th, lit(0L),
         (s, h) => s + (shiftright(h, i) % 2L) * 2L - 1L)
       when(balance > 0L, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  /** (id, token-hash array), persisted — the 30 per-bit aggregates each
+    * traverse this array, so it must be computed once per row, not inlined
+    * 30 times (see the CollapseProject note in minhashNearDup). */
+  private def tokenHashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), transform(tokens(col(textCol)), charHash _).as("th"))
+      .persist()
 
   /** Per-document SimHash signatures. Output: (id, simhash). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), simhashCol(col(textCol)).as("simhash"))
+    tokenHashFrame(df, idCol, textCol)
+      .select(col("id"), simhashFromHashes(col("th")).as("simhash"))
       .orderBy("id")
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxHamming`,
@@ -120,7 +140,11 @@ object TextDedup {
     * Output: (doc_a, doc_b, hamming). */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 1): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhashCol(col(textCol)).as("sig"))
+    val sigs = tokenHashFrame(df, idCol, textCol)
+      .select(col("id"), simhashFromHashes(col("th")).as("sig"))
+      // second boundary: sig feeds both band expressions and both join
+      // sides — without it the 30-aggregate simhash is inlined into each.
+      .persist()
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until 2).map(bi =>
         struct(lit(bi).as("band"), (shiftright(col("sig"), bi * 15) % 32768L).as("bucket"))): _*))

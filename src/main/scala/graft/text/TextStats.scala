@@ -68,6 +68,9 @@ object TextStats {
           expr("transform(sequence(1, length(norm) - 7), i -> substr(norm, i, 8))"))
           .otherwise(array().cast("array<string>")))
       .withColumn("gram_hashes", transform(col("grams"), charHash _))
+      // materialization boundary: min/max/size each reference gram_hashes —
+      // without it CollapseProject re-hashes every gram three times.
+      .persist()
       .select(
         col("id"),
         charHash(col("norm")).as("content_hash"),
