@@ -34,8 +34,15 @@ object TextPrims {
   def tokens(c: Column): Column = split(normText(c), " ")
 
   /** Deterministic 30-bit string hash: fold (h*31 + codepoint) mod P over
-    * the characters, seed 7. Identical in DuckDB via list_reduce. */
-  def charHash(c: Column): Column =
+    * the characters, seed 7. Identical in DuckDB via list_reduce.
+    * Evaluated by the codegen'd [[PolyHash]] expression — a tight generated
+    * loop instead of one interpreted lambda frame per character (this hash
+    * runs per shingle/token/gram in every dedup operator's inner loop). */
+  def charHash(c: Column): Column = PolyHash(c)
+
+  /** The same hash as a pure higher-order-function expression — kept as the
+    * executable specification PolyHash is tested against. */
+  def charHashHof(c: Column): Column =
     aggregate(split(c, ""), lit(7L), (a, ch) => (a * 31L + ascii(ch)) % P)
 
   /** Word k-shingles ("a b c" strings) of a token array; empty array when

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ↔ Expression bridge for graft's custom Catalyst expressions.
+  * Spark 4 made these conversions `private[sql]`
+  * (org.apache.spark.sql.classic.ExpressionUtils), so the one project
+  * package that hosts custom expressions reaches them through this shim —
+  * the same technique every Spark extension library uses. Nothing else in
+  * graft touches Spark internals.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
