@@ -219,5 +219,37 @@ object OracleSql {
 
     "p27_latest_ts" -> (ParkingCte + """
       |SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts,
-      |       COUNT(*) AS n_events FROM parking""".stripMargin))
+      |       COUNT(*) AS n_events FROM parking""".stripMargin),
+
+    "p28_cumulative_series" -> (ParkingCte + """,
+      |hourly AS (
+      |  SELECT parkingLotId, strftime(ts, '%Y-%m-%d %H') AS hour_bucket,
+      |         COUNT(CASE WHEN eventType = 'PARKING_ENTRY' THEN 1 END) AS entries,
+      |         COUNT(CASE WHEN eventType = 'PARKING_EXIT' THEN 1 END) AS exits
+      |  FROM parking GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT parkingLotId, hour_bucket,
+      |         CAST(entries AS BIGINT) AS entries, CAST(exits AS BIGINT) AS exits,
+      |         CAST(SUM(entries) OVER w AS BIGINT) AS cum_entries,
+      |         CAST(SUM(exits) OVER w AS BIGINT) AS cum_exits
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY parkingLotId ORDER BY hour_bucket
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT *, GREATEST(0, cum_entries - cum_exits) AS occupancy_running,
+      |       CAST(GREATEST(0, cum_entries - cum_exits) AS DOUBLE) * 2.0
+      |         AS revenue_running
+      |FROM cum ORDER BY parkingLotId, hour_bucket""".stripMargin),
+
+    "p29_daily_revenue" -> (ParkingCte + """,
+      |per_lot AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS date_str, parkingLotId,
+      |         COUNT(CASE WHEN eventType = 'PARKING_ENTRY' THEN 1 END) AS entries,
+      |         COUNT(CASE WHEN eventType = 'PARKING_EXIT' THEN 1 END) AS exits
+      |  FROM parking GROUP BY 1, 2
+      |)
+      |SELECT date_str,
+      |       CAST(SUM(GREATEST(0, entries - exits)) AS DOUBLE) * 2.0 * 24.0
+      |         AS daily_revenue
+      |FROM per_lot GROUP BY date_str ORDER BY date_str""".stripMargin))
 }

@@ -1,0 +1,114 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.{HourlyDocs, ParkingAnalytics}
+import graft.schema.ParkingModel
+import graft.sinks.{KeyValueSink, TimeSeriesSink}
+import graft.sources.Tables
+import graft.streaming.{EventDecode, EventSource, LiveSlotView, ViolationStream}
+
+/** The reference's job entry points (SURVEY.md §3) as library functions:
+  * each wires source → single-pass distributed plan → idempotent sink.
+  * Where the reference scheduled three Spark apps and three consumer
+  * services, a user of this engine calls one function per pipeline (or
+  * schedules them; the plans are identical either way).
+  */
+object Jobs {
+
+  /** §3.1 hourly stats (reference srvc_stats.MainHourly.main): full-shape
+    * JSON documents keyed `parking-stats:hourly:$date:$hour` (same keys →
+    * reruns overwrite idempotently, like the reference's "@every 1m"
+    * schedule). Fails fast on an empty input window (P7). */
+  def hourlyStats(spark: SparkSession, dir: String, sink: KeyValueSink): Long = {
+    val events = Tables.requireNonEmpty(
+      ParkingModel.parkingEvents(spark, dir), s"hourly stats over $dir")
+    val docs = HourlyDocs.docsFrom(events)
+    HourlyDocs.publish(docs, sink)
+    docs.count()
+  }
+
+  /** §3.1 daily job (reference MainDaily): daily entry/exit/revenue points
+    * into the time-series sink under the reference's series names
+    * (`parking-events:daily:…`, MainDaily.scala:264-288). */
+  def dailyRollup(spark: SparkSession, dir: String, sink: TimeSeriesSink): Long = {
+    val daily = ParkingAnalytics.dailyRollup(spark, dir)
+      .join(ParkingAnalytics.dailyRevenue(spark, dir), Seq("date_str"))
+      .collect() // ≤ one row per day — driver-side is the correct scale here
+    daily.foreach { r =>
+      val epoch = java.time.LocalDate.parse(r.getAs[String]("date_str"))
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      sink.add("parking-events:daily:entries", epoch, r.getAs[Long]("entries").toDouble)
+      sink.add("parking-events:daily:exits", epoch, r.getAs[Long]("exits").toDouble)
+      sink.add("parking-events:daily:revenue", epoch, r.getAs[Double]("daily_revenue"))
+    }
+    daily.length.toLong
+  }
+
+  /** §3.1 weekly job (reference MainWeekly): revenue by type and average
+    * spend per (day, type) as keyed documents
+    * (`parking-stats:weekly:…`, MainWeekly.scala:271-319). */
+  def weeklyStats(spark: SparkSession, dir: String, sink: KeyValueSink): Long = {
+    val revenue = ParkingAnalytics.revenueByType(spark, dir)
+      .select(
+        concat(lit("parking-stats:weekly:revenue-by-type:"), col("vehicleType")).as("k"),
+        to_json(struct(col("vehicleType"), col("n_sessions"), col("revenue"))).as("v"))
+    val avgSpent = ParkingAnalytics.avgSpentByTypeDay(spark, dir)
+      .select(
+        concat(lit("parking-stats:weekly:avgspent:"), col("vehicleType"),
+          lit(":"), col("date_str")).as("k"),
+        to_json(struct(col("date_str"), col("vehicleType"), col("avg_spent"))).as("v"))
+    val all = revenue.unionByName(avgSpent)
+    all.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      it.foreach(r => sink.put(r.getString(0), r.getString(1)))
+    }
+    all.count()
+  }
+
+  /** §3.3 live view (reference repo-events): the slot materialized view as
+    * a continuously-updating stream into a keyed sink — key
+    * `"$lot-$spot"` exactly like RepoEventsApi.scala:39. Returns the
+    * running query; callers own its lifecycle. */
+  def liveSlotView(spark: SparkSession, source: EventSource, sink: KeyValueSink,
+                   checkpoint: String, availableNow: Boolean = true): StreamingQuery = {
+    val updates = LiveSlotView.updates(EventDecode.decode(source.stream(spark))).toDF()
+      .select(
+        concat_ws("-", col("parkingLotId"), col("parkingSpotId")).as("k"),
+        to_json(struct(col("parkingLotId"), col("parkingSpotId"),
+          col("occupied"), col("plate"))).as("v"))
+    val writer = updates.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach(r => sink.put(r.getString(0), r.getString(1)))
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** §3.2 alerting (reference srvc-alert): violation stream into a keyed
+    * sink (`alert:<event_id>` — the Kafka publisher's role, keyed and
+    * idempotent). */
+  def alertStream(spark: SparkSession, source: EventSource, usersDir: String,
+                  sink: KeyValueSink, checkpoint: String,
+                  availableNow: Boolean = true): StreamingQuery = {
+    val alerts = ViolationStream.alerts(
+      EventDecode.decode(source.stream(spark)), ParkingModel.users(spark, usersDir))
+      .select(
+        concat(lit("alert:"), col("event_id")).as("k"),
+        to_json(struct(col("vehicle_plate"), col("spot_id"), col("lot_id"),
+          col("violation_type"), col("severity"), col("event_time"))).as("v"))
+    val writer = alerts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach(r => sink.put(r.getString(0), r.getString(1)))
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}

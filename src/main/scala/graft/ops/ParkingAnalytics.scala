@@ -250,6 +250,47 @@ object ParkingAnalytics {
       .orderBy("parkingLotId")
   }
 
+  /** A6 complete (MainDaily.scala:132-163): the reference snapshots
+    * entries/exits/occupancy/revenue per file-timestamp T; here the full
+    * running series per (lot, hour) — hourly deltas plus cumulative
+    * entries/exits, the running net occupancy (clamped at 0 like every
+    * occupancy in the reference) and the running revenue at the daily
+    * formula's rate. One pre-aggregation to (lot × hour) cardinality, then
+    * windows over the tiny aggregate — never over raw events. */
+  def cumulativeSeries(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = parkingEvents(spark, dir)
+      .groupBy(col("parkingLotId"), date_format(col("ts"), "yyyy-MM-dd HH").as("hour_bucket"))
+      .agg(
+        count(when(isEntry, 1)).as("entries"),
+        count(when(isExit, 1)).as("exits"))
+    val w = Window.partitionBy("parkingLotId").orderBy("hour_bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      .withColumn("cum_entries", sum("entries").over(w))
+      .withColumn("cum_exits", sum("exits").over(w))
+      .withColumn("occupancy_running",
+        greatest(lit(0L), col("cum_entries") - col("cum_exits")))
+      .withColumn("revenue_running",
+        col("occupancy_running").cast("double") * RatePerHour)
+      .orderBy("parkingLotId", "hour_bucket")
+  }
+
+  /** A8 daily variant (MainDaily.scala:127-130): daily revenue = net
+    * occupied × rate × 24 — the reference's documented formula (it bills a
+    * spot for the whole day regardless of actual stay; kept verbatim for
+    * compatibility, flagged in SURVEY §7.3 as a reference quirk). */
+  def dailyRevenue(spark: SparkSession, dir: String): DataFrame =
+    parkingEvents(spark, dir)
+      .groupBy(dateStr("ts").as("date_str"), col("parkingLotId"))
+      .agg(
+        count(when(isEntry, 1)).as("entries"),
+        count(when(isExit, 1)).as("exits"))
+      .groupBy("date_str")
+      .agg(
+        (sum(greatest(lit(0L), col("entries") - col("exits"))).cast("double")
+          * RatePerHour * 24.0).as("daily_revenue"))
+      .orderBy("date_str")
+
   /** A11 (MainDaily.scala:170): newest event time + total count. */
   def latestTimestamp(spark: SparkSession, dir: String): DataFrame =
     parkingEvents(spark, dir)
@@ -272,5 +313,7 @@ object ParkingAnalytics {
     "p12_cumulative_hourly" -> (cumulativeHourly _),
     "p25_session_durations" -> (sessionDurations _),
     "p26_capacity_by_lot" -> (capacityByLot _),
-    "p27_latest_ts" -> (latestTimestamp _))
+    "p27_latest_ts" -> (latestTimestamp _),
+    "p28_cumulative_series" -> (cumulativeSeries _),
+    "p29_daily_revenue" -> (dailyRevenue _))
 }
