@@ -221,6 +221,38 @@ object OracleSqlDocs {
          |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, sim
          |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin,
 
+    "p30_media_stats" ->
+      s"""WITH gen AS (
+         |  SELECT vec_id AS asset_id,
+         |    CASE CAST(vec_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |         ELSE 'video' END AS kind,
+         |    256 + (vec_id % 7) * 128 AS n,
+         |    [(vec_id*31 + 7*i*i) % 256 for i in range(0, CAST(256 + (vec_id % 7) * 128 AS INT))]
+         |      AS bytes
+         |  FROM embeddings
+         |)
+         |SELECT asset_id, kind, CAST(n AS BIGINT) AS n_bytes,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bytes), (a, b) -> a + b)
+         |       AS DOUBLE) / n AS mean_byte,
+         |  CAST(list_min(bytes) AS BIGINT) AS min_byte,
+         |  CAST(list_max(bytes) AS BIGINT) AS max_byte
+         |FROM gen ORDER BY asset_id""".stripMargin,
+
+    "p31_media_dedup" ->
+      s"""WITH gen AS (
+         |  SELECT vec_id AS asset_id, 256 + (vec_id % 7) * 128 AS n,
+         |    [(vec_id*31 + 7*i*i) % 256 for i in range(0, CAST(256 + (vec_id % 7) * 128 AS INT))]
+         |      AS bytes
+         |  FROM embeddings
+         |), hist AS (
+         |  SELECT asset_id,
+         |    [CAST(len(list_filter(bytes, b -> b // 16 = h)) AS DOUBLE) / len(bytes)
+         |     for h in range(0, 16)] AS features
+         |  FROM gen
+         |)
+         |SELECT MIN(asset_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM hist GROUP BY features ORDER BY keep_id""".stripMargin,
+
     "p23_embedding_neardup" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
          |bk AS (

@@ -46,5 +46,12 @@ object DocAnalytics {
     "p22_knn_lsh" -> ((s, d) =>
       Similarity.knnLsh(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     "p23_embedding_neardup" -> ((s, d) =>
-      Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding")))
+      Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding")),
+    // multimodal: stats and dedup computed from the REAL binary column;
+    // the oracle recomputes from the generating formula — a mismatch at
+    // any byte breaks the hash compare.
+    "p30_media_stats" -> ((s, d) =>
+      graft.multimodal.Media.stats(graft.multimodal.Media.assets(s, d))),
+    "p31_media_dedup" -> ((s, d) =>
+      graft.multimodal.Media.exactFeatureDedup(graft.multimodal.Media.assets(s, d))))
 }
