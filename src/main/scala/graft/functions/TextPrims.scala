@@ -60,8 +60,14 @@ object TextPrims {
 
   /** MinHash signature of a shingle-hash array: H values
     * min_j((a_j*x + b_j) mod P) with a_j, b_j derived from j (Knuth
-    * multiplicative constants) so both engines can generate them inline. */
+    * multiplicative constants) so both engines can generate them inline.
+    * Evaluated by the codegen'd [[MinHashSig]] expression (fused j×x
+    * loop); [[minhashSigHof]] is the executable spec it must match. */
   def minhashSig(shingleHashes: Column, numHashes: Int): Column =
+    MinHashSig(shingleHashes, numHashes)
+
+  /** The signature as pure higher-order functions — the spec twin. */
+  def minhashSigHof(shingleHashes: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), j => {
       val jl = j.cast("long")
       val a = (jl * 2L + 1L) * 2654435761L % P
