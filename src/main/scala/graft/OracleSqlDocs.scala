@@ -48,14 +48,19 @@ object OracleSqlDocs {
       s"(CASE WHEN ${dotPlane(vec, firstPlane + j)} > CAST(0 AS DOUBLE) THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ") + " AS BIGINT)"
 
-  /** Shared token/shingle CTE prefix over `documents`. */
+  /** Shared token/shingle CTE prefix over `documents`. `sh` is the
+    * DISTINCT HASHED shingle set (fixed-width longs) — the Spark side
+    * joins/intersects on hashes, never strings, and the oracle mirrors
+    * that exactly. */
   private val shingleCtes: String =
     s"""WITH toks AS (
        |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
        |), shdocs AS (
-       |  SELECT id, list_distinct(CASE WHEN len(t) >= 3
-       |    THEN [list_aggregate(t[i:i+2], 'string_agg', ' ') for i in range(1, len(t)-1)]
-       |    ELSE CAST([] AS VARCHAR[]) END) AS sh
+       |  SELECT id, list_distinct(list_transform(
+       |    list_distinct(CASE WHEN len(t) >= 3
+       |      THEN [list_aggregate(t[i:i+2], 'string_agg', ' ') for i in range(1, len(t)-1)]
+       |      ELSE CAST([] AS VARCHAR[]) END),
+       |    g -> ${hash("g")})) AS sh
        |  FROM toks
        |), shn AS (SELECT id, sh FROM shdocs WHERE len(sh) > 0)""".stripMargin
 
@@ -81,7 +86,7 @@ object OracleSqlDocs {
       s""",
          |sigs AS (
          |  SELECT id, sh, list_transform(range(0, 32), j ->
-         |    list_min(list_transform(list_transform(sh, g -> ${hash("g")}), x ->
+         |    list_min(list_transform(sh, x ->
          |      (((j*2+1)*2654435761 % $P) * x + ((j*40503+17) % $P)) % $P))) AS sig
          |  FROM shn
          |),

@@ -46,11 +46,15 @@ object TextDedup {
     // array into all 32 minhash expressions (and into both self-join
     // sides), recomputing every string hash 32+ times per row. The
     // persisted frame is O(docs × shingles) — the compact signature layer
-    // you would deliberately materialize at 100 TB too.
+    // you would deliberately materialize at 100 TB too. Only the hashed
+    // shingle set is kept: signature, candidate join AND exact-Jaccard
+    // verification all run on fixed-width longs, never on shingle strings
+    // (same Jaccard modulo hash collisions at P ≈ 2^30; the oracle mirrors
+    // the hashed sets, so parity is exact).
     val docs = df
-      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sh_h", transform(col("sh"), charHash _))
+      .select(col(idCol).as("id"),
+        array_distinct(transform(shingleSet(col(textCol), shingleK), charHash _)).as("sh_h"))
+      .filter(size(col("sh_h")) > 0)
       .persist()
     // banded (id, band, bucket) only — 3 small columns; the shingle sets
     // rejoin for verification instead of riding through the self-join.
@@ -68,8 +72,8 @@ object TextDedup {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     candidates
-      .join(docs.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(docs.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(docs.select(col("id").as("doc_a"), col("sh_h").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("id").as("doc_b"), col("sh_h").as("sh_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -87,8 +91,12 @@ object TextDedup {
                         shingleK: Int = 3, minJaccard: Double = 0.8): DataFrame = {
     // persisted: the shingle sets feed the exploded index AND two
     // verify-join sides (see the CollapseProject note in minhashNearDup).
+    // Hashed shingles: the inverted-index join shuffles fixed-width longs,
+    // not n-gram strings — at web scale that is the difference between
+    // shuffling hashes and shuffling the corpus.
     val docs = df
-      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleK).as("sh"))
+      .select(col(idCol).as("id"),
+        array_distinct(transform(shingleSet(col(textCol), shingleK), charHash _)).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
     val sizes = docs.select(col("id"), size(col("sh")).as("n"))
