@@ -89,6 +89,33 @@ object Jobs {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** ST2/ST3 → S9: the watermarked hourly window stream delivered to a
+    * keyed sink. Update mode emits only the (date, hour, lot) rows whose
+    * counts changed in a micro-batch; the sink upserts by window key, so
+    * replays and late (within-watermark) corrections converge — the
+    * streaming successor to the reference's re-run-the-hour-every-minute
+    * schedule. Keys are per-lot (`parking-stats:hourly:$date:$hour:$lot`);
+    * the cross-lot document of the batch job needs the whole hour and
+    * remains [[hourlyStats]]'s output. */
+  def hourlyStatsStream(spark: SparkSession, source: EventSource, sink: KeyValueSink,
+                        checkpoint: String, availableNow: Boolean = true): StreamingQuery = {
+    val agg = graft.streaming.HourlyStatsStream.aggregates(
+      EventDecode.decode(source.stream(spark)))
+      .select(
+        concat_ws(":", lit("parking-stats"), lit("hourly"),
+          col("date_str"), col("hour_str"), col("parkingLotId")).as("k"),
+        to_json(struct(col("entries"), col("exits"), col("occupancy"))).as("v"))
+    val writer = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach(r => sink.put(r.getString(0), r.getString(1)))
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** §3.2 alerting (reference srvc-alert): violation stream into a keyed
     * sink (`alert:<event_id>` — the Kafka publisher's role, keyed and
     * idempotent). */

@@ -63,6 +63,32 @@ class JobsSpec extends SparkSpec {
     }
   }
 
+  "hourlyStatsStream job" should "converge the sink to the batch occupancyByLot rows" in {
+    val dir = Files.createTempDirectory("job-hourly")
+    val json = ParkingModel.parkingEvents(spark, sfDir).orderBy("event_id")
+      .select(to_json(struct(
+        col("event_id"), col("eventType"), col("ts").as("timestamp"),
+        struct(col("licensePlate"), col("vehicleType"), lit("gray").as("color")).as("vehicle"),
+        struct(col("parkingLotId"), col("parkingSpotId"), col("isSlotHandicapped")).as("parking"),
+        col("duration_ms").as("duration"))).as("l")).collect().map(_.getString(0))
+    json.grouped(250).zipWithIndex.foreach { case (ls, i) =>
+      val f = dir.resolve(f"c$i%02d.json")
+      Files.write(f, ls.mkString("\n").getBytes)
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val sink = new InMemoryKeyValueSink
+    val q = Jobs.hourlyStatsStream(spark, FileEventSource(dir.toString, maxFilesPerTrigger = 1),
+      sink, Files.createTempDirectory("hourly-ckpt").toString)
+    q.awaitTermination(180000)
+    val batch = ParkingAnalytics.occupancyByLot(spark, sfDir).collect()
+    sink.store.size shouldBe batch.length
+    batch.foreach { r =>
+      val key = s"parking-stats:hourly:${r.getString(0)}:${r.getString(1)}:${r.getString(2)}"
+      sink.store(key) shouldBe
+        s"""{"entries":${r.getLong(3)},"exits":${r.getLong(4)},"occupancy":${r.getLong(5)}}"""
+    }
+  }
+
   "alertStream job" should "publish exactly the batch violations as alert documents" in {
     val dir = Files.createTempDirectory("job-alerts")
     val json = ParkingModel.parkingEvents(spark, sfDir).orderBy("event_id")
