@@ -86,9 +86,16 @@ object TextDedup {
     * the shingle (the scalable exact counterpart to [[minhashNearDup]] —
     * candidate pairs materialize only where a shingle co-occurs, never
     * all-pairs). Output: (doc_a, doc_b, jaccard) with jaccard ≥ `minJaccard`.
+    *
+    * `maxShingleDf` bounds skew: a shingle appearing in more than that many
+    * documents ("the end of the" at web scale) contributes O(df²) candidate
+    * rows; capping drops it from the INDEX ONLY — intersections lose those
+    * common shingles (jaccard becomes a lower bound), which is the standard
+    * prefix-filtering trade. Unset (0) = exact, the oracle-checked default.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+                        shingleK: Int = 3, minJaccard: Double = 0.8,
+                        maxShingleDf: Int = 0): DataFrame = {
     // persisted: the shingle sets feed the exploded index AND two
     // verify-join sides (see the CollapseProject note in minhashNearDup).
     // Hashed shingles: the inverted-index join shuffles fixed-width longs,
@@ -100,7 +107,16 @@ object TextDedup {
       .filter(size(col("sh")) > 0)
       .persist()
     val sizes = docs.select(col("id"), size(col("sh")).as("n"))
-    val ex = docs.select(col("id"), explode(col("sh")).as("g"))
+    val exAll = docs.select(col("id"), explode(col("sh")).as("g"))
+    val ex =
+      if (maxShingleDf <= 0) exAll
+      else {
+        // drop ultra-common shingles from the index before the self-join —
+        // one cheap agg on the shingle key, the same shuffle the join needs.
+        val rare = exAll.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select("g")
+        exAll.join(rare, Seq("g"))
+      }
     val inter = ex.as("x").join(ex.as("y"), col("x.g") === col("y.g") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))

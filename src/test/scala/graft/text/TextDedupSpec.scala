@@ -52,6 +52,21 @@ class TextDedupSpec extends SparkSpec {
     exact.map(t => (t._1, t._2)) should contain((1L, 3L))
   }
 
+  "ngramJaccardPairs with a df cap" should "drop ultra-common shingles and lower-bound jaccard" in {
+    // every shingle of docs 1/2/3 co-occurs; a df cap of 1 empties the
+    // index of shared shingles → no pairs survive (jaccard lower bound 0)
+    val capped = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.5, maxShingleDf = 1)
+    capped.count() shouldBe 0
+    // a generous cap changes nothing on this corpus
+    val loose = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.5, maxShingleDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    loose shouldBe exact
+  }
+
   "simhash" should "assign equal signatures to normalized-identical texts" in {
     val sigs = TextDedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
