@@ -64,6 +64,23 @@ object EventLake {
       readNested(spark, path)
         .filter(col("y") === y && col("m") === m && col("d") === d && col("h") === h))
 
+  /** F2 (reference MainDaily.scala:47-58 / MainWeekly.scala:78-95): the
+    * reference parsed ingest time back out of the object PATH because the
+    * Kafka-Connect sink encoded it there; same capability here —
+    * `input_file_name()` + `regexp_extract` over the partition directories
+    * rebuilt into a timestamp column. The partition values are also plain
+    * columns (y/m/d/h), so this exists for path-shaped lakes that are NOT
+    * hive-partitioned; on this lake the two agree (tested). */
+  def readWithIngestTime(spark: SparkSession, path: String): DataFrame = {
+    val f = input_file_name()
+    def part(re: String) = regexp_extract(f, re, 1).cast("int")
+    EventDecode.flattenNested(readNested(spark, path))
+      .withColumn("ingest_ts",
+        make_timestamp(
+          part("y=(\\d{4})"), part("m=(\\d{2})"), part("d=(\\d{2})"),
+          part("h=(\\d{2})"), lit(0), lit(0)))
+  }
+
   private def readNested(spark: SparkSession, path: String): DataFrame =
     spark.read
       .schema(EventDecode.ParkingEventSchema)

@@ -33,6 +33,30 @@ final case class KafkaEventSource(bootstrapServers: String, topic: String,
       .selectExpr("CAST(value AS STRING) AS value")
 }
 
+/** S7: the keyed Kafka producer sink shape (reference srvc-io Main.scala:
+  * 23-47 / AlertEventPublisher.scala:12-35 — `ProducerRecord(topic,
+  * licensePlate, json)`). Spark's Kafka sink consumes (key, value) string
+  * columns; this helper shapes any event/alert frame accordingly and
+  * returns the configured writer. Requires the spark-sql-kafka connector
+  * at runtime (not present in the sandbox — compile-only here, the
+  * key/value shaping itself is covered by the file-sink jobs which reuse
+  * the same to_json projections). Keying by plate preserves the
+  * reference's per-vehicle ordering guarantee across partitions. */
+object KafkaEventSink {
+  import org.apache.spark.sql.streaming.DataStreamWriter
+  import org.apache.spark.sql.Row
+  def writer(df: DataFrame, keyCol: String, bootstrapServers: String,
+             topic: String, checkpoint: String): DataStreamWriter[Row] =
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+}
+
 /** File-backed source: JSON-lines files in a directory, one `value` string
   * per line — the sandbox/test stand-in for Kafka with identical downstream
   * semantics. `maxFilesPerTrigger = 1` forces multi-micro-batch replays so

@@ -43,6 +43,16 @@ class EventLakeSpec extends SparkSpec {
     plan should include("isnotnull(h")
   }
 
+  it should "extract ingest time from the file path (F2) agreeing with event time truncation" in {
+    val withIngest = EventLake.readWithIngestTime(spark, lakeDir)
+    withIngest.count() should be > 0L
+    // the lake partitions by event-time y/m/d/h, so path-derived ingest_ts
+    // must equal the event ts truncated to the hour for every row
+    withIngest
+      .filter(col("ingest_ts") =!= date_trunc("hour", col("ts")))
+      .count() shouldBe 0L
+  }
+
   it should "tolerate corrupt lines in the lake (S3 permissive read)" in {
     val dir = Files.createTempDirectory("graft-lake-corrupt")
     EventLake.writePartitioned(ParkingModel.parkingEvents(spark, sfDir).limit(10),
