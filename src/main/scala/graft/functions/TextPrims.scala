@@ -124,8 +124,12 @@ object AnnPrims {
   }
 
   /** Left-to-right cosine similarity between two float-vector columns, all
-    * arithmetic in double — bit-identical to the DuckDB twin. */
-  def cosine(a: Column, b: Column): Column = {
+    * arithmetic in double — bit-identical to the DuckDB twin. Evaluated by
+    * the codegen'd [[CosineSim]] expression; [[cosineHof]] is the spec. */
+  def cosine(a: Column, b: Column): Column = CosineSim(a, b)
+
+  /** The cosine as pure higher-order functions — the spec twin. */
+  def cosineHof(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions._
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
