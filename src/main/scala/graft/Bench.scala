@@ -19,6 +19,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: one scan-and-count so JVM/session/codegen startup is not
+    // billed to whichever query happens to run first (it was ~5s of p01).
+    try graft.sources.Tables.events(spark, sfDir).count()
+    catch { case _: Throwable => () }
     var failed = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -49,19 +49,20 @@ object OracleSqlDocs {
     }.mkString(" + ") + " AS BIGINT)"
 
   /** Shared token/shingle CTE prefix over `documents`. `sh` is the
-    * DISTINCT HASHED shingle set (fixed-width longs) — the Spark side
-    * joins/intersects on hashes, never strings, and the oracle mirrors
-    * that exactly. */
+    * DISTINCT HASHED shingle set (fixed-width longs): token hashes first,
+    * then a (acc*31 + v) mod P fold over each k-window — mirroring the
+    * Spark side, which never materializes shingle strings. */
   private val shingleCtes: String =
     s"""WITH toks AS (
        |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
+       |), thd AS (
+       |  SELECT id, list_transform(t, tok -> ${hash("tok")}) AS th FROM toks
        |), shdocs AS (
-       |  SELECT id, list_distinct(list_transform(
-       |    list_distinct(CASE WHEN len(t) >= 3
-       |      THEN [list_aggregate(t[i:i+2], 'string_agg', ' ') for i in range(1, len(t)-1)]
-       |      ELSE CAST([] AS VARCHAR[]) END),
-       |    g -> ${hash("g")})) AS sh
-       |  FROM toks
+       |  SELECT id, list_distinct(CASE WHEN len(th) >= 3
+       |    THEN [list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+2]),
+       |          (a, b) -> (a*31 + b) % $P) for i in range(1, len(th)-1)]
+       |    ELSE CAST([] AS BIGINT[]) END) AS sh
+       |  FROM thd
        |), shn AS (SELECT id, sh FROM shdocs WHERE len(sh) > 0)""".stripMargin
 
   /** simhash twin: 30 per-bit balance folds over the token-hash list. */

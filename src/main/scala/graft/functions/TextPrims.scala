@@ -58,6 +58,24 @@ object TextPrims {
   def shingleSet(text: Column, k: Int): Column =
     array_distinct(wordShingles(tokens(text), k))
 
+  /** Distinct HASHED k-shingles from an ALREADY-MATERIALIZED token-hash
+    * array column: fold each k-window of token hashes with the same
+    * (acc*31 + v) mod P polynomial. Building the joined "a b c" strings
+    * was the dominant cost of the dedup pipeline (~2 ms/doc of array_join
+    * + per-shingle string hashing); this is O(windows·k) long arithmetic
+    * over a stored array. The input MUST come from a persisted frame —
+    * passing the raw `transform(tokens, charHash)` expression here would
+    * re-hash every token once per window (the CollapseProject trap).
+    * Distinct shingles map to distinct hashes modulo P-collisions, so
+    * Jaccard/MinHash semantics are unchanged; the DuckDB twin mirrors the
+    * same two-level fold. */
+  def hashedShinglesFromTokenHashes(th: Column, k: Int): Column =
+    array_distinct(
+      when(size(th) >= k,
+        transform(sequence(lit(1), size(th) - (k - 1)),
+          i => aggregate(slice(th, i, lit(k)), lit(7L), (a, v) => (a * 31L + v) % P)))
+        .otherwise(array().cast("array<long>")))
+
   /** MinHash signature of a shingle-hash array: H values
     * min_j((a_j*x + b_j) mod P) with a_j, b_j derived from j (Knuth
     * multiplicative constants) so both engines can generate them inline.

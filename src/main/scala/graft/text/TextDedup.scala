@@ -44,16 +44,16 @@ object TextDedup {
     // persist() is load-bearing, not a cache nicety: without the
     // materialization boundary CollapseProject inlines the shingle-hash
     // array into all 32 minhash expressions (and into both self-join
-    // sides), recomputing every string hash 32+ times per row. The
-    // persisted frame is O(docs × shingles) — the compact signature layer
-    // you would deliberately materialize at 100 TB too. Only the hashed
-    // shingle set is kept: signature, candidate join AND exact-Jaccard
-    // verification all run on fixed-width longs, never on shingle strings
-    // (same Jaccard modulo hash collisions at P ≈ 2^30; the oracle mirrors
-    // the hashed sets, so parity is exact).
-    val docs = df
-      .select(col(idCol).as("id"),
-        array_distinct(transform(shingleSet(col(textCol), shingleK), charHash _)).as("sh_h"))
+    // sides), recomputing every hash 32+ times per row. The persisted
+    // frames are O(docs × tokens) — the compact signature layer you would
+    // deliberately materialize at 100 TB too. Shingle hashes fold k-windows
+    // of the stored token hashes (never materializing shingle strings), so
+    // signature, candidate join AND exact-Jaccard verification all run on
+    // fixed-width longs (same Jaccard modulo hash collisions at P ≈ 2^30;
+    // the oracle mirrors the hashed sets, so parity is exact).
+    val docs = tokenHashFrame(df, idCol, textCol)
+      .select(col("id"),
+        hashedShinglesFromTokenHashes(col("th"), shingleK).as("sh_h"))
       .filter(size(col("sh_h")) > 0)
       .persist()
     // banded (id, band, bucket) only — 3 small columns; the shingle sets
@@ -101,9 +101,9 @@ object TextDedup {
     // Hashed shingles: the inverted-index join shuffles fixed-width longs,
     // not n-gram strings — at web scale that is the difference between
     // shuffling hashes and shuffling the corpus.
-    val docs = df
-      .select(col(idCol).as("id"),
-        array_distinct(transform(shingleSet(col(textCol), shingleK), charHash _)).as("sh"))
+    val docs = tokenHashFrame(df, idCol, textCol)
+      .select(col("id"),
+        hashedShinglesFromTokenHashes(col("th"), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
     val sizes = docs.select(col("id"), size(col("sh")).as("n"))
