@@ -80,8 +80,12 @@ object OracleSqlDocs {
   val docs: Map[String, String] = Map(
     "p13_exact_dedup" ->
       s"""SELECT ${hash(norm("text"))} AS text_hash,
+         |       list_reduce(list_prepend(CAST(11 AS BIGINT),
+         |         list_transform(string_split(${norm("text")}, ''),
+         |           c -> CAST(ascii(c) AS BIGINT))),
+         |         (a, b) -> (a*37 + b) % 998244353) AS text_hash2,
          |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+         |FROM documents GROUP BY 1, 2 ORDER BY text_hash, text_hash2""".stripMargin,
 
     "p14_minhash_neardup" -> (shingleCtes +
       s""",

@@ -25,9 +25,13 @@ object Jobs {
   def hourlyStats(spark: SparkSession, dir: String, sink: KeyValueSink): Long = {
     val events = Tables.requireNonEmpty(
       ParkingModel.parkingEvents(spark, dir), s"hourly stats over $dir")
-    val docs = HourlyDocs.docsFrom(events)
-    HourlyDocs.publish(docs, sink)
-    docs.count()
+    // persisted so the publish and the returned count share one execution
+    // of the aggregation plan instead of recomputing it from the scan.
+    val docs = HourlyDocs.docsFrom(events).persist()
+    try {
+      HourlyDocs.publish(docs, sink)
+      docs.count()
+    } finally docs.unpersist(false)
   }
 
   /** §3.1 daily job (reference MainDaily): daily entry/exit/revenue points
@@ -60,11 +64,13 @@ object Jobs {
         concat(lit("parking-stats:weekly:avgspent:"), col("vehicleType"),
           lit(":"), col("date_str")).as("k"),
         to_json(struct(col("date_str"), col("vehicleType"), col("avg_spent"))).as("v"))
-    val all = revenue.unionByName(avgSpent)
-    all.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-      it.foreach(r => sink.put(r.getString(0), r.getString(1)))
-    }
-    all.count()
+    val all = revenue.unionByName(avgSpent).persist()
+    try {
+      all.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach(r => sink.put(r.getString(0), r.getString(1)))
+      }
+      all.count()
+    } finally all.unpersist(false)
   }
 
   /** §3.3 live view (reference repo-events): the slot materialized view as

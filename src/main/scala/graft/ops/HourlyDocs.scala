@@ -28,17 +28,31 @@ object HourlyDocs {
   def documents(spark: SparkSession, dir: String): DataFrame =
     docsFrom(ParkingModel.parkingEvents(spark, dir))
 
-  def docsFrom(events: DataFrame): DataFrame = {
-    val dated = events.select(
+  /** Shared aggregation core: per-(hour, lot) entry/exit/occupancy counts
+    * and per-(hour, type) counts — the two partial aggregates both
+    * renderers (JSON document and oracle-flat) consume, so the formulas
+    * exist exactly once. */
+  private def hourLotCounts(events: DataFrame): DataFrame =
+    events.select(
       date_format(col("ts"), "yyyy-MM-dd").as("date_str"),
       date_format(col("ts"), "HH").as("hour_str"),
-      col("parkingLotId"), col("vehicleType"), col("eventType"))
-    val lotAgg = dated
+      col("parkingLotId"), col("eventType"))
       .groupBy("date_str", "hour_str", "parkingLotId")
       .agg(
         count(when(isEntry, 1)).as("entries"),
         count(when(isExit, 1)).as("exits"))
       .withColumn("occ", greatest(lit(0L), col("entries") - col("exits")))
+
+  private def hourTypeCounts(events: DataFrame): DataFrame =
+    events.select(
+      date_format(col("ts"), "yyyy-MM-dd").as("date_str"),
+      date_format(col("ts"), "HH").as("hour_str"),
+      col("vehicleType"))
+      .groupBy("date_str", "hour_str", "vehicleType")
+      .agg(count(lit(1)).as("cnt"))
+
+  def docsFrom(events: DataFrame): DataFrame = {
+    val lotAgg = hourLotCounts(events)
       .groupBy("date_str", "hour_str")
       .agg(
         sum("entries").as("nbr_entries"),
@@ -46,9 +60,7 @@ object HourlyDocs {
         map_from_entries(array_sort(collect_list(struct(col("parkingLotId"), col("occ")))))
           .as("occupancy"),
         (sum("occ").cast("double") * RatePerHour).as("revenue_simulation"))
-    val typeAgg = dated
-      .groupBy("date_str", "hour_str", "vehicleType")
-      .agg(count(lit(1)).as("cnt"))
+    val typeAgg = hourTypeCounts(events)
       .groupBy("date_str", "hour_str")
       .agg(map_from_entries(array_sort(collect_list(struct(col("vehicleType"), col("cnt")))))
         .as("vehicle_types"))
@@ -76,19 +88,11 @@ object HourlyDocs {
 
   /** The oracle-checkable flattened form of the same document (maps as
     * deterministic "k=v,…" strings — parquet/DuckDB compare cannot hash a
-    * JSON map reliably, a sorted string can). */
+    * JSON map reliably, a sorted string can). Shares the aggregation core
+    * with [[docsFrom]]; only the rendering differs. */
   def flat(spark: SparkSession, dir: String): DataFrame = {
     val events = ParkingModel.parkingEvents(spark, dir)
-    val dated = events.select(
-      date_format(col("ts"), "yyyy-MM-dd").as("date_str"),
-      date_format(col("ts"), "HH").as("hour_str"),
-      col("parkingLotId"), col("vehicleType"), col("eventType"))
-    val lotAgg = dated
-      .groupBy("date_str", "hour_str", "parkingLotId")
-      .agg(
-        count(when(isEntry, 1)).as("entries"),
-        count(when(isExit, 1)).as("exits"))
-      .withColumn("occ", greatest(lit(0L), col("entries") - col("exits")))
+    val lotAgg = hourLotCounts(events)
       .groupBy("date_str", "hour_str")
       .agg(
         sum("entries").as("nbr_entries"),
@@ -98,9 +102,7 @@ object HourlyDocs {
           array_sort(collect_list(struct(col("parkingLotId"), col("occ")))),
           x => concat(x.getField("parkingLotId"), lit("="), x.getField("occ").cast("string"))), ",")
           .as("occupancy_by_lot"))
-    val typeAgg = dated
-      .groupBy("date_str", "hour_str", "vehicleType")
-      .agg(count(lit(1)).as("cnt"))
+    val typeAgg = hourTypeCounts(events)
       .groupBy("date_str", "hour_str")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("vehicleType"), col("cnt")))),

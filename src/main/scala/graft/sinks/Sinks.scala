@@ -58,22 +58,37 @@ final class InMemoryTimeSeriesSink extends TimeSeriesSink {
 
 /** File-backed sink for environments without Redis: one file per key under
   * `dir` (key sanitized), contents = the JSON document. Idempotent by
-  * construction (overwrite). */
+  * construction (overwrite). The directory is ensured inside put() —
+  * deserialization into an executor skips the constructor, so any
+  * dir-creation there would exist only on the driver's machine. */
 final class FileKeyValueSink(dir: String) extends KeyValueSink {
-  Files.createDirectories(Paths.get(dir))
-  def put(key: String, json: String): Unit =
+  private def ensureDir(): Unit = Files.createDirectories(Paths.get(dir))
+  def put(key: String, json: String): Unit = {
+    ensureDir()
     Files.write(Paths.get(dir, key.replaceAll("[^A-Za-z0-9:._-]", "_")),
       json.getBytes(StandardCharsets.UTF_8))
+  }
 }
 
-/** File-backed TS sink: append-only `series.ts` files of "ts value" lines. */
+/** File-backed TS sink: one `series.ts` file of "ts value" lines, upserted
+  * by timestamp so replays converge (the idempotence contract above) —
+  * read-modify-write per add is fine at the test/sandbox scale this sink
+  * exists for. */
 final class FileTimeSeriesSink(dir: String) extends TimeSeriesSink {
-  Files.createDirectories(Paths.get(dir))
-  def add(series: String, ts: Long, value: Double): Unit =
-    Files.write(
-      Paths.get(dir, series.replaceAll("[^A-Za-z0-9:._-]", "_") + ".ts"),
-      s"$ts $value\n".getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  def add(series: String, ts: Long, value: Double): Unit = synchronized {
+    Files.createDirectories(Paths.get(dir))
+    val p = Paths.get(dir, series.replaceAll("[^A-Za-z0-9:._-]", "_") + ".ts")
+    val existing: Seq[(Long, Double)] =
+      if (Files.exists(p))
+        Files.readAllLines(p).toArray(Array.empty[String]).toSeq.filter(_.nonEmpty).map { l =>
+          val Array(t, v) = l.split(" ", 2); (t.toLong, v.toDouble)
+        }
+      else Seq.empty
+    val updated = (existing.toMap + (ts -> value)).toSeq.sortBy(_._1)
+    Files.write(p, updated.map { case (t, v) => s"$t $v" }.mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
 }
 
 /** Minimal RESP (REdis Serialization Protocol) encoder — the wire format of
@@ -103,9 +118,11 @@ object Resp {
 
 /** Redis JSON.SET sink over a raw socket (reference MainHourly.scala:
   * 173-188 semantics). Executor-side: one connection per partition via
-  * `foreachPartition`; replies are drained but only checked for RESP
-  * errors. Untested in the sandbox (no Redis) — the encoder and key/value
-  * shaping are covered by the file/in-memory twins. */
+  * `foreachPartition`. Each put reads its FULL reply line synchronously —
+  * never `available()`-drains — so replies stay aligned with commands,
+  * error replies are always seen, and EOF is an error, not a silent
+  * success. Untested in the sandbox (no Redis) — the encoder and
+  * key/value shaping are covered by the file/in-memory twins. */
 final class RedisKeyValueSink(host: String, port: Int = 6379) extends KeyValueSink {
   @transient private var socket: Socket = _
   @transient private var out: OutputStream = _
@@ -113,12 +130,29 @@ final class RedisKeyValueSink(host: String, port: Int = 6379) extends KeyValueSi
     socket = new Socket(host, port)
     out = socket.getOutputStream
   }
+
+  /** Read one CRLF-terminated reply line (simple string / error / integer
+    * replies — all JSON.SET can answer). Throws on EOF mid-reply. */
+  private def readReplyLine(): String = {
+    val in = socket.getInputStream
+    val sb = new StringBuilder
+    var prev = -1
+    while (true) {
+      val b = in.read()
+      if (b < 0) throw new RuntimeException("redis connection closed mid-reply")
+      if (prev == '\r' && b == '\n') return sb.dropRight(1).toString
+      sb.append(b.toChar)
+      prev = b
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def put(key: String, json: String): Unit = synchronized {
     ensure()
     out.write(Resp.encode(Resp.jsonSet(key, json)))
     out.flush()
-    val first = socket.getInputStream.read()
-    if (first == '-') throw new RuntimeException(s"redis error reply for $key")
-    while (socket.getInputStream.available() > 0) socket.getInputStream.read()
+    val reply = readReplyLine()
+    if (reply.startsWith("-"))
+      throw new RuntimeException(s"redis error reply for $key: $reply")
   }
 }

@@ -16,20 +16,34 @@ import graft.functions.TextPrims._
   *  - n-gram Jaccard: inverted-index join on the shingle, i.e. a shuffle on
   *    shingle values — pairs materialize only for co-occurring shingles
   *    (at web scale, cap shingle document-frequency to bound skew);
-  *  - SimHash: banded on signature thirds, so candidate pairs agree on ≥10
+  *  - SimHash: banded on signature halves, so candidate pairs agree on 15
   *    of 30 bits before any comparison.
+  *
+  * Cache lifetime: these operators persist their compact hash
+  * intermediates (load-bearing — see the CollapseProject notes below) and
+  * leave them cached for the session, which is right for the
+  * one-corpus-per-session batch jobs this engine targets. A long-lived
+  * service invoking them per corpus batch should `spark.catalog.clearCache()`
+  * (or track and unpersist) between batches, or cached blocks accumulate.
   */
 object TextDedup {
 
-  /** Exact dedup keyed by the polynomial hash of the normalized text
-    * (lowercase, whitespace-collapsed). Output: one row per distinct
-    * normalized text — the kept (minimum) id and the copy count.
-    * Never groups on the full text bytes: at 100 TB the shuffle key must be
-    * a fixed-width hash, not a document body. */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(charHash(normText(col(textCol))).as("text_hash"))
+  /** Exact dedup keyed by TWO independent polynomial hashes of the
+    * normalized text (different seed/multiplier/modulus), a ~2^60 combined
+    * key space — one ~2^30 hash alone would falsely merge distinct
+    * documents at corpus scale (~n²/2^31 expected collisions ≈ 170 already
+    * at 600k docs). Output: one row per distinct normalized text — the
+    * kept (minimum) id and the copy count. Never groups on the full text
+    * bytes: at 100 TB the shuffle key must be fixed-width hashes, not a
+    * document body. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = normText(col(textCol))
+    val hash2 = aggregate(split(norm, ""), lit(11L),
+      (a, ch) => (a * 37L + ascii(ch)) % 998244353L)
+    df.groupBy(charHash(norm).as("text_hash"), hash2.as("text_hash2"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy("text_hash")
+      .orderBy("text_hash", "text_hash2")
+  }
 
   /** Near-duplicate pairs via MinHash + LSH banding, verified with the exact
     * Jaccard on the shingle sets. `numHashes` minhashes in `bands` bands:
