@@ -73,24 +73,34 @@ object Similarity {
   /** Near-duplicate vector pairs with cosine ≥ `minSim`, blocked by
     * multi-table LSH (pairs must share a sign bucket in at least one of
     * `tables` independent plane sets — the OR-construction that recovers
-    * recall at moderate similarity). Output: (vec_a, vec_b, sim). */
+    * recall at moderate similarity). Output: (vec_a, vec_b, sim).
+    *
+    * Scale shape: the banded frame carries (id, tbl, bucket) ONLY — three
+    * fixed-width columns — so the ×`tables` explode and both self-join
+    * sides shuffle ids, never the vectors (an earlier design rode the full
+    * embedding through both, ~8× the corpus through the exchange). The two
+    * join sides reuse one (tbl, bucket) exchange, so the `tables` ×
+    * `planesPerTable` plane dot-folds run once per vector. Vectors rejoin
+    * only for the surviving deduped pairs, and the codegen'd cosine runs
+    * once per pair; AQE broadcasts the (small) pair side, so locally the
+    * embeddings never shuffle at all. Nothing is persisted. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    minSim: Double = 0.4, tables: Int = 4,
                    planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
-    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("e"),
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("e"))
+    val banded = emb.select(col(idCol).as("id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
           signBucket(col(vecCol), t * planesPerTable, planesPerTable, dim).as("bucket"))): _*))
         .as("bb"))
-      .select(col("id"), col("e"), col("bb.tbl"), col("bb.bucket"))
-      // both self-join sides read this; persist so the 16 plane dot-folds
-      // per vector run once, not once per side.
-      .persist()
-    val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("vec_a"), col("e").as("ea"))
-    val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("vec_b"), col("e").as("eb"))
-    a.join(b, Seq("tbl", "bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
+      .select(col("id"), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+    val pairs = banded.as("a").join(banded.as("b"), Seq("tbl", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+      .distinct()
+    pairs
+      .join(v.select(col("id").as("vec_a"), col("e").as("ea")), Seq("vec_a"))
+      .join(v.select(col("id").as("vec_b"), col("e").as("eb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("sim"))
       .filter(col("sim") >= minSim)
       .orderBy("vec_a", "vec_b")

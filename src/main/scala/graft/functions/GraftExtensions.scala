@@ -17,6 +17,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "poly_hash expects exactly one argument")
-        PolyHash(children.head)
+        PolyHash(children.head, 7L, 31L, 1000000007L)
       }))
 }

@@ -93,6 +93,22 @@ object TextPrims {
       array_min(transform(shingleHashes, x => (a * x + b) % P))
     })
 
+  /** SimHash of a token-hash array: bit i set iff the ±1 balance of bit i
+    * over all token hashes is positive. Evaluated by the codegen'd
+    * [[SimHashSig]] expression (one pass maintaining all bit counters);
+    * [[simhashHof]] is the executable spec it must match. */
+  def simhashSig(tokenHashes: Column, bits: Int = 30): Column =
+    SimHashSig(tokenHashes, bits)
+
+  /** The SimHash as pure higher-order functions — the spec twin (one
+    * interpreted aggregate per bit). */
+  def simhashHof(tokenHashes: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      val balance = aggregate(tokenHashes, lit(0L),
+        (s, h) => s + (shiftright(h, i) % 2L) * 2L - 1L)
+      when(balance > 0L, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Fold one LSH band (rows [bandIdx*r+1, bandIdx*r+r] of the signature,
     * 1-based) into a single bucket key. */
   def bandSig(sig: Column, bandIdx: Int, rowsPerBand: Int): Column =

@@ -1,16 +1,20 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Barrier
 import graft.functions.TextPrims._
 
 /** Deduplication operators for LLM-training-data pipelines: exact,
   * MinHash-LSH, exact n-gram Jaccard, and SimHash. All are pure
   * DataFrame→DataFrame transforms over an (id, text) input, built from
-  * higher-order functions only (no UDFs), and all are hash-bucketed — never
-  * all-pairs over the corpus — so the same plans run at 100 TB:
+  * higher-order functions plus three codegen'd expressions
+  * ([[graft.functions.PolyHash]] / [[graft.functions.MinHashSig]] /
+  * [[graft.functions.SimHashSig]]) — no UDFs — and all are hash-bucketed,
+  * never all-pairs over the corpus, so the same plans run at 100 TB:
   *
-  *  - exact dedup: one shuffle on the text hash (map-side partial agg);
+  *  - exact dedup: one shuffle on two independent text hashes (map-side
+  *    partial agg);
   *  - MinHash: candidates come from a shuffle on (band, bucket) — only
   *    documents sharing an LSH bucket are ever compared;
   *  - n-gram Jaccard: inverted-index join on the shingle, i.e. a shuffle on
@@ -19,12 +23,15 @@ import graft.functions.TextPrims._
   *  - SimHash: banded on signature halves, so candidate pairs agree on 15
   *    of 30 bits before any comparison.
   *
-  * Cache lifetime: these operators persist their compact hash
-  * intermediates (load-bearing — see the CollapseProject notes below) and
-  * leave them cached for the session, which is right for the
-  * one-corpus-per-session batch jobs this engine targets. A long-lived
-  * service invoking them per corpus batch should `spark.catalog.clearCache()`
-  * (or track and unpersist) between batches, or cached blocks accumulate.
+  * Expression evaluation discipline: every expensive array column (token
+  * hashes, shingle sets, signatures) is computed exactly once per row
+  * behind a [[graft.functions.Barrier]] (CollapseProject would otherwise
+  * inline it into each of its references), and frames consumed by several
+  * joins sit behind one explicit `repartition` whose exchange every
+  * consumer reuses. No operator persists anything: there is no
+  * session-lifetime cache to leak, evict, or clear between corpus batches
+  * — the materialization the operators need rides the shuffle files the
+  * joins require anyway.
   */
 object TextDedup {
 
@@ -32,18 +39,48 @@ object TextDedup {
     * normalized text (different seed/multiplier/modulus), a ~2^60 combined
     * key space — one ~2^30 hash alone would falsely merge distinct
     * documents at corpus scale (~n²/2^31 expected collisions ≈ 170 already
-    * at 600k docs). Output: one row per distinct normalized text — the
-    * kept (minimum) id and the copy count. Never groups on the full text
-    * bytes: at 100 TB the shuffle key must be fixed-width hashes, not a
-    * document body. */
+    * at 600k docs). Both hashes are codegen'd [[graft.functions.PolyHash]]
+    * instances over a norm computed once per row. Output: one row per
+    * distinct normalized text — the kept (minimum) id and the copy count.
+    * Never groups on the full text bytes: at 100 TB the shuffle key must be
+    * fixed-width hashes, not a document body. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val norm = normText(col(textCol))
-    val hash2 = aggregate(split(norm, ""), lit(11L),
-      (a, ch) => (a * 37L + ascii(ch)) % 998244353L)
-    df.groupBy(charHash(norm).as("text_hash"), hash2.as("text_hash2"))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+    val n = Barrier.once(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
+      "norm" -> normText(col("__t")))
+    n.groupBy(
+        charHash(col("norm")).as("text_hash"),
+        graft.functions.PolyHash(col("norm"), 11L, 37L, 998244353L).as("text_hash2"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("text_hash", "text_hash2")
   }
+
+  /** (id, token-hash array) behind a barrier: the token hashes are computed
+    * once per row and every downstream reference reads the stored array
+    * (folding windows over a raw `transform(tokens, hash)` expression would
+    * re-hash every token once per window — the CollapseProject trap). */
+  private def tokenHashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Barrier.once(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
+      "th" -> transform(tokens(col("__t")), charHash _))
+
+  /** (id, distinct hashed k-shingles), non-empty docs only, hash-partitioned
+    * by id. The `repartition` is load-bearing: the shingle frame feeds the
+    * banding/index chain AND both verification join sides, and all those
+    * consumers need (or tolerate) hash(id) partitioning — planning them over
+    * one explicit exchange lets Spark's exchange reuse compute the shingle
+    * sets exactly once, with the shuffle files standing in for the cache an
+    * earlier design persisted. Shingle hashes fold k-windows of the stored
+    * token hashes (never materializing shingle strings), so the index join
+    * and the exact-Jaccard verification all run on fixed-width longs (same
+    * Jaccard modulo hash collisions at P ≈ 2^30; the oracle mirrors the
+    * hashed sets, so parity is exact). */
+  private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+                           shingleK: Int): DataFrame =
+    Barrier.once(tokenHashFrame(df, idCol, textCol), Seq("id"),
+        "sh" -> hashedShinglesFromTokenHashes(col("th"), shingleK))
+      .filter(size(col("sh")) > 0)
+      .repartition(col("id"))
 
   /** Near-duplicate pairs via MinHash + LSH banding, verified with the exact
     * Jaccard on the shingle sets. `numHashes` minhashes in `bands` bands:
@@ -55,39 +92,26 @@ object TextDedup {
                      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
                      minJaccard: Double = 0.8): DataFrame = {
     val r = numHashes / bands
-    // persist() is load-bearing, not a cache nicety: without the
-    // materialization boundary CollapseProject inlines the shingle-hash
-    // array into all 32 minhash expressions (and into both self-join
-    // sides), recomputing every hash 32+ times per row. The persisted
-    // frames are O(docs × tokens) — the compact signature layer you would
-    // deliberately materialize at 100 TB too. Shingle hashes fold k-windows
-    // of the stored token hashes (never materializing shingle strings), so
-    // signature, candidate join AND exact-Jaccard verification all run on
-    // fixed-width longs (same Jaccard modulo hash collisions at P ≈ 2^30;
-    // the oracle mirrors the hashed sets, so parity is exact).
-    val docs = tokenHashFrame(df, idCol, textCol)
-      .select(col("id"),
-        hashedShinglesFromTokenHashes(col("th"), shingleK).as("sh_h"))
-      .filter(size(col("sh_h")) > 0)
-      .persist()
+    val docs = shingleFrame(df, idCol, textCol, shingleK)
     // banded (id, band, bucket) only — 3 small columns; the shingle sets
-    // rejoin for verification instead of riding through the self-join.
-    // Persisted so the 32-hash signature is evaluated exactly once per doc.
-    val bandsDf = docs
-      .withColumn("sig", minhashSig(col("sh_h"), numHashes))
+    // rejoin for verification instead of riding through the self-join. The
+    // signature is computed once per row behind a barrier (each of the
+    // `bands` bucket folds references it), and the two self-join sides
+    // reuse one (band, bucket) exchange.
+    val bandsDf = Barrier.once(docs, Seq("id"),
+        "sig" -> minhashSig(col("sh"), numHashes))
       .select(col("id"),
         explode(array((0 until bands).map(bi =>
           struct(lit(bi).as("band"), bandSig(col("sig"), bi, r).as("bucket"))): _*))
           .as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
-      .persist()
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val candidates = bandsDf.as("a").join(bandsDf.as("b"), Seq("band", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     candidates
-      .join(docs.select(col("id").as("doc_a"), col("sh_h").as("sh_a")), Seq("doc_a"))
-      .join(docs.select(col("id").as("doc_b"), col("sh_h").as("sh_b")), Seq("doc_b"))
+      .join(docs.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -105,23 +129,24 @@ object TextDedup {
     * documents ("the end of the" at web scale) contributes O(df²) candidate
     * rows; capping drops it from the INDEX ONLY — intersections lose those
     * common shingles (jaccard becomes a lower bound), which is the standard
-    * prefix-filtering trade. Unset (0) = exact, the oracle-checked default.
+    * prefix-filtering trade. 0 = exact; at 100 TB run with a cap (the
+    * configuration `p15b_ngram_jaccard_capped` oracle-verifies).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, minJaccard: Double = 0.8,
                         maxShingleDf: Int = 0): DataFrame = {
-    // persisted: the shingle sets feed the exploded index AND two
-    // verify-join sides (see the CollapseProject note in minhashNearDup).
     // Hashed shingles: the inverted-index join shuffles fixed-width longs,
     // not n-gram strings — at web scale that is the difference between
     // shuffling hashes and shuffling the corpus.
-    val docs = tokenHashFrame(df, idCol, textCol)
-      .select(col("id"),
-        hashedShinglesFromTokenHashes(col("th"), shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist()
-    val sizes = docs.select(col("id"), size(col("sh")).as("n"))
+    val docs = shingleFrame(df, idCol, textCol, shingleK)
     val exAll = docs.select(col("id"), explode(col("sh")).as("g"))
+    // set sizes from the exploded index, not from `docs` directly: the
+    // explode sides carry an inferred isnotnull(sh) filter that a plain
+    // `size(sh)` branch would lack, splitting the canonical plan and
+    // costing the exchange reuse that makes the shingle sets compute once.
+    // `sh` is distinct, so per-id row count == set size, and the input is
+    // already hash(id)-partitioned — this aggregate adds no shuffle.
+    val sizes = exAll.groupBy("id").agg(count(lit(1)).as("n"))
     val ex =
       if (maxShingleDf <= 0) exAll
       else {
@@ -146,28 +171,13 @@ object TextDedup {
 
   private val SimhashBits = 30
 
-  /** The 30 per-bit balance terms over an already-materialized token-hash
-    * array column: bit i is set iff the sum over tokens of ±1 (sign of bit
-    * i of the token hash) is positive. Token frequency weights naturally
-    * (the fold runs over the full token list, not the set). */
-  private def simhashFromHashes(th: Column): Column =
-    (0 until SimhashBits).map { i =>
-      val balance = aggregate(th, lit(0L),
-        (s, h) => s + (shiftright(h, i) % 2L) * 2L - 1L)
-      when(balance > 0L, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** (id, token-hash array), persisted — the 30 per-bit aggregates each
-    * traverse this array, so it must be computed once per row, not inlined
-    * 30 times (see the CollapseProject note in minhashNearDup). */
-  private def tokenHashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), transform(tokens(col(textCol)), charHash _).as("th"))
-      .persist()
-
-  /** Per-document SimHash signatures. Output: (id, simhash). */
+  /** Per-document SimHash signatures — one narrow shuffle-free pass: the
+    * fused [[graft.functions.SimHashSig]] consumes the token-hash
+    * expression exactly once, so no barrier or exchange is needed at all.
+    * Output: (id, simhash). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     tokenHashFrame(df, idCol, textCol)
-      .select(col("id"), simhashFromHashes(col("th")).as("simhash"))
+      .select(col("id"), simhashSig(col("th"), SimhashBits).as("simhash"))
       .orderBy("id")
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxHamming`,
@@ -178,16 +188,19 @@ object TextDedup {
     * Output: (doc_a, doc_b, hamming). */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 1): DataFrame = {
-    val sigs = tokenHashFrame(df, idCol, textCol)
-      .select(col("id"), simhashFromHashes(col("th")).as("sig"))
-      // second boundary: sig feeds both band expressions and both join
-      // sides — without it the 30-aggregate simhash is inlined into each.
-      .persist()
+    // sig behind a barrier: it feeds both band expressions and rides to
+    // the hamming check, and must be computed once per row. The repartition
+    // materializes the 16-byte (id, sig) layer as one shuffle stage both
+    // self-join sides reuse — without it each side re-tokenizes and
+    // re-hashes the corpus.
+    val sigs = Barrier.once(tokenHashFrame(df, idCol, textCol), Seq("id"),
+      "sig" -> simhashSig(col("th"), SimhashBits))
+      .repartition(col("id"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until 2).map(bi =>
         struct(lit(bi).as("band"), (shiftright(col("sig"), bi * 15) % 32768L).as("bucket"))): _*))
         .as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = banded.select(col("band"), col("bucket"), col("id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))

@@ -2,33 +2,46 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Barrier
 import graft.functions.TextPrims._
 
 /** Per-document text analysis for LLM-data pipelines: quality stats,
   * language identification, and content fingerprinting. Pure narrow
-  * projections — no shuffle at all, each document is scored independently,
-  * so throughput scales linearly with executors at any corpus size.
-  */
+  * projections — no shuffle and no cache at all, each document is scored
+  * independently, so throughput scales linearly with executors at any
+  * corpus size. Intermediates that several output expressions reference
+  * (token arrays, per-language hit counts, gram-hash arrays) are computed
+  * exactly once per row behind a [[graft.functions.Barrier]] — without it
+  * CollapseProject inlines them into every reference (the argmax chain in
+  * [[langId]] alone would re-tokenize and re-scan the document ~15×). */
 object TextStats {
+
+  /** (id, norm, t): normalized text and its token array, each computed
+    * once per row. */
+  private def tokenFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = Barrier.once(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
+      "norm" -> normText(col("__t")))
+    Barrier.once(n, Seq("id", "norm"), "t" -> split(col("norm"), " "))
+  }
 
   /** Length / token / stopword statistics and a deterministic quality
     * score. All double math is a fixed left-to-right expression so the
     * DuckDB oracle reproduces it bit-for-bit. */
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nTokens = size(toks)
-    val stopHits = size(filter(toks, t => t.isin(Stopwords: _*)))
-    val stopRatio = stopHits.cast("double") / nTokens
-    df.select(
-      col(idCol).as("id"),
-      length(normText(col(textCol))).cast("long").as("n_chars"),
-      nTokens.cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_unique_tokens"),
-      (aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nTokens)
-        .as("avg_token_len"),
+    val counters = Barrier.once(tokenFrame(df, idCol, textCol), Seq("id"),
+      "n_chars" -> length(col("norm")).cast("long"),
+      "n_tokens" -> size(col("t")).cast("long"),
+      "n_unique_tokens" -> size(array_distinct(col("t"))).cast("long"),
+      "len_sum" -> aggregate(col("t"), lit(0L), (a, t) => a + length(t)),
+      "stop_hits" -> size(filter(col("t"), t => t.isin(Stopwords: _*))).cast("long"))
+    val stopRatio = col("stop_hits").cast("double") / col("n_tokens")
+    counters.select(
+      col("id"), col("n_chars"), col("n_tokens"), col("n_unique_tokens"),
+      (col("len_sum").cast("double") / col("n_tokens")).as("avg_token_len"),
       stopRatio.as("stopword_ratio"),
       // crude quality proxy: enough tokens, not stopword-soup.
-      (least(lit(1.0), nTokens.cast("double") / 200.0) * (lit(1.0) - stopRatio))
+      (least(lit(1.0), col("n_tokens").cast("double") / 200.0) * (lit(1.0) - stopRatio))
         .as("quality_score"))
       .orderBy("id")
   }
@@ -37,15 +50,16 @@ object TextStats {
     * stopword lists, pick the max with a fixed precedence (en, es, fr, de),
     * `und` (undetermined) when nothing matches. A real pipeline would use
     * character n-gram profiles; the operator shape (narrow projection,
-    * deterministic argmax) is the same. */
+    * deterministic argmax) is the same. The four hit counts are computed
+    * once per row; the argmax chain above references the stored longs. */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val hits: Map[String, Column] = LangMarkers.map { case (lang, markers) =>
-      lang -> size(filter(toks, t => t.isin(markers: _*))).cast("long")
-    }.toMap
-    val Seq(en, es, fr, de) = Seq("en", "es", "fr", "de").map(hits)
-    df.select(
-      col(idCol).as("id"),
+    val hitCols: Seq[(String, Column)] = LangMarkers.map { case (lang, markers) =>
+      s"${lang}_hits" -> size(filter(col("t"), t => t.isin(markers: _*))).cast("long")
+    }
+    val hits = Barrier.once(tokenFrame(df, idCol, textCol), Seq("id"), hitCols: _*)
+    val Seq(en, es, fr, de) = Seq("en", "es", "fr", "de").map(l => col(s"${l}_hits"))
+    hits.select(
+      col("id"),
       en.as("en_hits"), es.as("es_hits"), fr.as("fr_hits"), de.as("de_hits"),
       when(en + es + fr + de === 0L, "und")
         .when(en >= es && en >= fr && en >= de, "en")
@@ -60,23 +74,27 @@ object TextStats {
     * min-gram hash is stable under small edits, unlike the content hash).
     * Documents shorter than 8 normalized chars get null gram stats. */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withNorm = df.select(col(idCol).as("id"), normText(col(textCol)).as("norm"))
-    withNorm
-      // substr with a column position is SQL-only, hence expr().
-      .withColumn("grams",
-        when(length(col("norm")) >= 8,
-          expr("transform(sequence(1, length(norm) - 7), i -> substr(norm, i, 8))"))
-          .otherwise(array().cast("array<string>")))
-      .withColumn("gram_hashes", transform(col("grams"), charHash _))
-      // materialization boundary: min/max/size each reference gram_hashes —
-      // without it CollapseProject re-hashes every gram three times.
-      .persist()
+    val withNorm = Barrier.once(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
+      "norm" -> normText(col("__t")))
+    // substr with a column position is SQL-only, hence expr(); the gram
+    // hashes are min/max/size'd by three expressions, so they sit behind a
+    // barrier of their own.
+    val grams = when(length(col("norm")) >= 8,
+      expr("transform(sequence(1, length(norm) - 7), i -> substr(norm, i, 8))"))
+      .otherwise(array().cast("array<string>"))
+    Barrier.once(withNorm, Seq("id", "norm"),
+        "gram_hashes" -> transform(grams, charHash _))
       .select(
         col("id"),
         charHash(col("norm")).as("content_hash"),
         array_min(col("gram_hashes")).as("min_gram_hash"),
         array_max(col("gram_hashes")).as("max_gram_hash"),
         size(col("gram_hashes")).cast("long").as("n_grams"))
+      // the global sort's range-partitioner sampling pass would re-execute
+      // the whole gram-hashing compute; this shuffle of five fixed-width
+      // columns materializes it once and both sort jobs read the map files.
+      .repartition(col("id"))
       .orderBy("id")
   }
 }

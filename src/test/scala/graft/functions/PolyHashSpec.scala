@@ -22,6 +22,16 @@ class PolyHashSpec extends SparkSpec {
     PolyHash.hash("abc") shouldBe 304891L
   }
 
+  it should "match the HOF spec for a non-default hash family" in {
+    // the second exact-dedup hash: seed 11, mult 37, mod 998244353
+    val hof = (c: org.apache.spark.sql.Column) =>
+      aggregate(split(c, ""), lit(11L), (a, ch) => (a * 37L + ascii(ch)) % 998244353L)
+    val df = Seq("abc", "", "the quick brown fox", "x" * 500).toDF("s")
+      .select(PolyHash(col("s"), 11L, 37L, 998244353L).as("fast"), hof(col("s")).as("spec"))
+    df.collect().foreach(r => r.getLong(0) shouldBe r.getLong(1))
+    PolyHash.hash("", 11L, 37L, 998244353L) shouldBe 407L // (11*37 + 0) % mod
+  }
+
   it should "participate in whole-stage codegen" in {
     // non-literal input, else constant folding evaluates at planning time
     val plan = spark.range(5)
