@@ -127,6 +127,26 @@ object OracleSqlDocs {
          |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= CAST(0.8 AS DOUBLE)
          |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // the df-capped twin of p15: ultra-common shingles leave the inverted
+    // index (rare CTE) before pairing, set sizes stay FULL — mirroring
+    // TextDedup.ngramJaccardPairs(maxShingleDf = 4), where the cap filters
+    // the exploded index only and jaccard is a lower bound.
+    "p15b_ngram_jaccard_capped" -> (shingleCtes +
+      s""",
+         |sizes AS (SELECT id, len(sh) AS n FROM shn),
+         |ex AS (SELECT id, unnest(sh) AS g FROM shn),
+         |rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM ex GROUP BY g)
+         |         WHERE df <= 4),
+         |exc AS (SELECT ex.id, ex.g FROM ex JOIN rare USING (g)),
+         |inter AS (
+         |  SELECT a.id AS da, b.id AS db, count(*) AS i
+         |  FROM exc a JOIN exc b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2
+         |)
+         |SELECT da AS doc_a, db AS doc_b, CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard
+         |FROM inter JOIN sizes sa ON da = sa.id JOIN sizes sb ON db = sb.id
+         |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= CAST(0.8 AS DOUBLE)
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
     "p16_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents

@@ -8,7 +8,7 @@ import graft.ops.{HourlyDocs, ParkingAnalytics}
 import graft.schema.ParkingModel
 import graft.sinks.{KeyValueSink, TimeSeriesSink}
 import graft.sources.Tables
-import graft.streaming.{EventDecode, EventSource, LiveSlotView, ViolationStream}
+import graft.streaming.{EventDecode, EventSource, LiveSlotView, StreamingConf, ViolationStream}
 
 /** The reference's job entry points (SURVEY.md §3) as library functions:
   * each wires source → single-pass distributed plan → idempotent sink.
@@ -79,6 +79,7 @@ object Jobs {
     * running query; callers own its lifecycle. */
   def liveSlotView(spark: SparkSession, source: EventSource, sink: KeyValueSink,
                    checkpoint: String, availableNow: Boolean = true): StreamingQuery = {
+    StreamingConf.useRocksDbState(spark)
     val updates = LiveSlotView.updates(EventDecode.decode(source.stream(spark))).toDF()
       .select(
         concat_ws("-", col("parkingLotId"), col("parkingSpotId")).as("k"),
@@ -105,6 +106,7 @@ object Jobs {
     * remains [[hourlyStats]]'s output. */
   def hourlyStatsStream(spark: SparkSession, source: EventSource, sink: KeyValueSink,
                         checkpoint: String, availableNow: Boolean = true): StreamingQuery = {
+    StreamingConf.useRocksDbState(spark)
     val agg = graft.streaming.HourlyStatsStream.aggregates(
       EventDecode.decode(source.stream(spark)))
       .select(
@@ -128,6 +130,7 @@ object Jobs {
   def alertStream(spark: SparkSession, source: EventSource, usersDir: String,
                   sink: KeyValueSink, checkpoint: String,
                   availableNow: Boolean = true): StreamingQuery = {
+    StreamingConf.useRocksDbState(spark)
     val alerts = ViolationStream.alerts(
       EventDecode.decode(source.stream(spark)), ParkingModel.users(spark, usersDir))
       .select(

@@ -31,6 +31,12 @@ object DocAnalytics {
       TextDedup.minhashNearDup(docs(s, d), "doc_id", "text")),
     "p15_ngram_jaccard" -> ((s, d) =>
       TextDedup.ngramJaccardPairs(docs(s, d), "doc_id", "text")),
+    // the scale-safe configuration: document-frequency cap bounds the
+    // O(df²) pair blow-up of hot shingles (jaccard becomes a lower bound)
+    // — the mode you'd run at 100 TB, verified against a cap-mirroring
+    // oracle.
+    "p15b_ngram_jaccard_capped" -> ((s, d) =>
+      TextDedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", maxShingleDf = 4)),
     "p16_simhash" -> ((s, d) =>
       TextDedup.simhash(docs(s, d), "doc_id", "text")),
     "p17_simhash_neardup" -> ((s, d) =>

@@ -23,12 +23,17 @@ trait EventSource {
   * one micro-batch. */
 final case class KafkaEventSource(bootstrapServers: String, topic: String,
                                   maxOffsetsPerTrigger: Long = 100000L) extends EventSource {
+  /** The reader options, exposed so the wiring is unit-testable without a
+    * broker (the only Kafka surface a brokerless sandbox can check). */
+  def options: Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic,
+    "startingOffsets" -> "earliest",
+    "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString)
+
   def stream(spark: SparkSession): DataFrame =
     spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .options(options)
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
 }
@@ -45,16 +50,29 @@ final case class KafkaEventSource(bootstrapServers: String, topic: String,
 object KafkaEventSink {
   import org.apache.spark.sql.streaming.DataStreamWriter
   import org.apache.spark.sql.Row
-  def writer(df: DataFrame, keyCol: String, bootstrapServers: String,
-             topic: String, checkpoint: String): DataStreamWriter[Row] =
+
+  /** The producer-record shaping: exactly (key STRING, value STRING), the
+    * schema Spark's Kafka sink requires. Split out so it is unit-testable
+    * without a broker. */
+  def shape(df: DataFrame, keyCol: String): DataFrame =
     df.select(
       col(keyCol).cast("string").as("key"),
       to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** The writer options, exposed for the same brokerless-testability
+    * reason as [[KafkaEventSource.options]]. */
+  def options(bootstrapServers: String, topic: String,
+              checkpoint: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "topic" -> topic,
+    "checkpointLocation" -> checkpoint)
+
+  def writer(df: DataFrame, keyCol: String, bootstrapServers: String,
+             topic: String, checkpoint: String): DataStreamWriter[Row] =
+    shape(df, keyCol)
       .writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpoint)
+      .options(options(bootstrapServers, topic, checkpoint))
 }
 
 /** File-backed source: JSON-lines files in a directory, one `value` string

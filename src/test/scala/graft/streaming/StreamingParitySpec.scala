@@ -20,6 +20,11 @@ import graft.schema.ParkingModel
   */
 class StreamingParitySpec extends SparkSpec {
 
+  // the parity gate runs under the production state store (SURVEY §4):
+  // every stateful query below keeps its mapGroupsWithState / windowed
+  // state in RocksDB, not executor heap.
+  StreamingConf.useRocksDbState(spark)
+
   private val sfDir = "/root/testdata/sf0.001"
   private lazy val jsonDir: String = dumpEventsAsJson()
 
@@ -60,6 +65,11 @@ class StreamingParitySpec extends SparkSpec {
       .start()
     q.awaitTermination(180000)
     assert(!q.isActive, "stream did not terminate")
+  }
+
+  "StreamingConf" should "have the RocksDB provider active for this suite" in {
+    spark.conf.get("spark.sql.streaming.stateStore.providerClass") should
+      endWith("RocksDBStateStoreProvider")
   }
 
   "EventDecode" should "drop undecodable payloads and keep valid ones (ST6)" in {
