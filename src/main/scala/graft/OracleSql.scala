@@ -241,6 +241,35 @@ object OracleSql {
       |         AS revenue_running
       |FROM cum ORDER BY parkingLotId, hour_bucket""".stripMargin),
 
+    "p32_duration_stats" -> (pairedCte + """
+      |SELECT parkingLotId, COUNT(*) AS n_sessions,
+      |       MIN(duration_min) AS min_duration_min,
+      |       MAX(duration_min) AS max_duration_min,
+      |       CAST(SUM(duration_min) AS DOUBLE) / COUNT(*) AS avg_duration_min
+      |FROM paired GROUP BY parkingLotId ORDER BY parkingLotId""".stripMargin),
+
+    "p33_entry_exit_ratio" -> (ParkingCte + """,
+      |hourly AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS date_str, strftime(ts, '%H') AS hour_str,
+      |         COUNT(CASE WHEN eventType = 'PARKING_ENTRY' THEN 1 END) AS entries,
+      |         COUNT(CASE WHEN eventType = 'PARKING_EXIT' THEN 1 END) AS exits
+      |  FROM parking GROUP BY 1, 2
+      |)
+      |SELECT date_str, hour_str, entries, exits,
+      |       CASE WHEN exits = 0 THEN NULL
+      |            ELSE CAST(entries AS DOUBLE) / exits END AS entry_exit_ratio
+      |FROM hourly ORDER BY date_str, hour_str""".stripMargin),
+
+    "p34_lot_turnover" -> (pairedCte + """
+      |SELECT parkingLotId, COUNT(*) AS n_sessions
+      |FROM paired GROUP BY parkingLotId
+      |ORDER BY n_sessions DESC, parkingLotId LIMIT 1""".stripMargin),
+
+    "p35_entries_heatmap" -> (ParkingCte + """
+      |SELECT strftime(ts, '%H') AS hour_str, parkingLotId, COUNT(*) AS entries
+      |FROM parking WHERE eventType = 'PARKING_ENTRY'
+      |GROUP BY 1, 2 ORDER BY hour_str, parkingLotId""".stripMargin),
+
     "p29_daily_revenue" -> (ParkingCte + """,
       |per_lot AS (
       |  SELECT strftime(ts, '%Y-%m-%d') AS date_str, parkingLotId,

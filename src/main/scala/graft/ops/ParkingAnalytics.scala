@@ -291,6 +291,54 @@ object ParkingAnalytics {
           * RatePerHour * 24.0).as("daily_revenue"))
       .orderBy("date_str")
 
+  /** doc/schemas/srvc_stats.json "duration_stats": min/max/avg session
+    * duration per lot over the paired-session frame (documented-but-never-
+    * implemented in the reference; built here as a first-class query). The
+    * avg is an exact integer sum followed by one double division, so both
+    * engines agree bit-for-bit. */
+  def durationStats(spark: SparkSession, dir: String): DataFrame =
+    sessionPairing(spark, dir)
+      .groupBy("parkingLotId")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        min("duration_min").as("min_duration_min"),
+        max("duration_min").as("max_duration_min"),
+        (sum("duration_min").cast("double") / count(lit(1))).as("avg_duration_min"))
+      .orderBy("parkingLotId")
+
+  /** doc/schemas/srvc_stats.json "entry_exit_ratio_per_hour": per clock
+    * hour, entries / exits (null when the hour has no exits — division by
+    * zero is engine-dependent, so it is guarded identically in the oracle). */
+  def entryExitRatio(spark: SparkSession, dir: String): DataFrame =
+    parkingEvents(spark, dir)
+      .groupBy(dateStr("ts").as("date_str"), hourStr("ts").as("hour_str"))
+      .agg(
+        count(when(isEntry, 1)).as("entries"),
+        count(when(isExit, 1)).as("exits"))
+      .withColumn("entry_exit_ratio",
+        when(col("exits") === 0L, lit(null).cast("double"))
+          .otherwise(col("entries").cast("double") / col("exits")))
+      .orderBy("date_str", "hour_str")
+
+  /** doc/schemas/srvc_stats.json "lot_with_highest_turnover": the lot
+    * completing the most sessions, deterministic tiebreak on lot id. Partial
+    * agg shrinks to ≤#lots rows before the single ordered limit. */
+  def lotTurnover(spark: SparkSession, dir: String): DataFrame =
+    sessionPairing(spark, dir)
+      .groupBy("parkingLotId")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("parkingLotId"))
+      .limit(1)
+
+  /** doc/schemas/srvc_stats.json "heatmap_entries_per_hour": the
+    * hour-of-day × lot entry grid (flat rows; the dashboard pivots). */
+  def entriesHeatmap(spark: SparkSession, dir: String): DataFrame =
+    parkingEvents(spark, dir)
+      .filter(isEntry)
+      .groupBy(hourStr("ts").as("hour_str"), col("parkingLotId"))
+      .agg(count(lit(1)).as("entries"))
+      .orderBy("hour_str", "parkingLotId")
+
   /** A11 (MainDaily.scala:170): newest event time + total count. */
   def latestTimestamp(spark: SparkSession, dir: String): DataFrame =
     parkingEvents(spark, dir)
@@ -315,5 +363,9 @@ object ParkingAnalytics {
     "p26_capacity_by_lot" -> (capacityByLot _),
     "p27_latest_ts" -> (latestTimestamp _),
     "p28_cumulative_series" -> (cumulativeSeries _),
-    "p29_daily_revenue" -> (dailyRevenue _))
+    "p29_daily_revenue" -> (dailyRevenue _),
+    "p32_duration_stats" -> (durationStats _),
+    "p33_entry_exit_ratio" -> (entryExitRatio _),
+    "p34_lot_turnover" -> (lotTurnover _),
+    "p35_entries_heatmap" -> (entriesHeatmap _))
 }
