@@ -207,6 +207,17 @@ object OracleSqlDocs {
          |       WHEN fr >= de THEN 'fr' ELSE 'de' END AS predicted_lang
          |FROM hits ORDER BY id""".stripMargin,
 
+    "p36_token_counts" ->
+      s"""WITH n AS (SELECT doc_id AS id, ${norm("text")} AS norm FROM documents)
+         |SELECT id,
+         |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+         |    AS n_bpe_tokens,
+         |  CAST(len(regexp_extract_all(norm, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+         |  CAST(len(regexp_extract_all(norm, '[0-9]+')) AS BIGINT) AS n_num_tokens,
+         |  CAST(len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS BIGINT) AS n_punct_tokens
+         |FROM n ORDER BY id""".stripMargin,
+
     "p20_doc_fingerprint" ->
       s"""WITH n AS (SELECT doc_id AS id, ${norm("text")} AS norm FROM documents),
          |g AS (

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.ops.{HourlyDocs, ParkingAnalytics}
 import graft.schema.ParkingModel
-import graft.sinks.{KeyValueSink, TimeSeriesSink}
+import graft.sinks.{AlertNotifier, KeyValueSink, TimeSeriesSink}
 import graft.sources.Tables
 import graft.streaming.{EventDecode, EventSource, LiveSlotView, StreamingConf, ViolationStream}
 
@@ -143,6 +143,36 @@ object Jobs {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           it.foreach(r => sink.put(r.getString(0), r.getString(1)))
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** §3.2 delivery leg (reference srvc-notifier AlertEventSubscriber.scala:
+    * 73-84 + DiscordNotifier.scala:22-57): the violation stream rendered to
+    * the reference's human-readable alert message and handed to a webhook
+    * notifier. The message is formatted in the plan (one narrow projection);
+    * only delivery happens in the sink closure, per partition, and the
+    * notifier swallows delivery errors so a dead webhook never kills the
+    * stream. */
+  def alertNotifierStream(spark: SparkSession, source: EventSource, usersDir: String,
+                          notifier: AlertNotifier, checkpoint: String,
+                          availableNow: Boolean = true): StreamingQuery = {
+    StreamingConf.useRocksDbState(spark)
+    val alerts = ViolationStream.alerts(
+      EventDecode.decode(source.stream(spark)), ParkingModel.users(spark, usersDir))
+      .select(
+        col("severity"),
+        concat(lit("Parking violation detected: "), col("violation_type"),
+          lit(" - Vehicle "), col("vehicle_plate"),
+          lit(" at "), col("lot_id"), lit("/"), col("spot_id")).as("message"),
+        col("event_time"))
+    val writer = alerts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach(r => notifier.notify(r.getString(0), r.getString(1), r.getString(2)))
         }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

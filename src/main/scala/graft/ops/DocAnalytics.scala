@@ -47,6 +47,8 @@ object DocAnalytics {
       TextStats.langId(docs(s, d), "doc_id", "text")),
     "p20_doc_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(docs(s, d), "doc_id", "text")),
+    "p36_token_counts" -> ((s, d) =>
+      TextStats.tokenCounts(docs(s, d), "doc_id", "text")),
     "p21_knn_bruteforce" -> ((s, d) =>
       Similarity.knnBruteForce(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     "p22_knn_lsh" -> ((s, d) =>

@@ -69,6 +69,32 @@ object TextStats {
       .orderBy("id")
   }
 
+  /** BPE-ish segmentation pattern: letter runs, digit runs, single
+    * non-alphanumeric marks — the GPT-2-style pre-tokenizer shape reduced
+    * to character classes both Java regex (Spark) and RE2 (DuckDB) segment
+    * identically (disjoint alternatives, no backtracking ambiguity). */
+  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Token counting for budget estimation: whitespace tokens plus the
+    * BPE-ish regex segmentation and its class breakdown. Narrow, one pass,
+    * the normalized text computed once behind the barrier. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Barrier.once(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
+      "norm" -> normText(col("__t")))
+      .select(
+        col("id"),
+        size(split(col("norm"), " ")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("norm"), lit(BpePattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        size(regexp_extract_all(col("norm"), lit("[a-z]+"), lit(0)))
+          .cast("long").as("n_word_tokens"),
+        size(regexp_extract_all(col("norm"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_num_tokens"),
+        size(regexp_extract_all(col("norm"), lit("[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_punct_tokens"))
+      .orderBy("id")
+
   /** Content fingerprint: whole-text polynomial hash plus the min/max of a
     * rolling 8-char-gram hash family (the winnowing building block — the
     * min-gram hash is stable under small edits, unlike the content hash).

@@ -34,6 +34,24 @@ class TextStatsSpec extends SparkSpec {
     out shouldBe Map(1L -> "en", 2L -> "es", 3L -> "fr", 4L -> "de", 5L -> "und")
   }
 
+  "tokenCounts" should "segment letter runs, digit runs and punctuation marks" in {
+    val df = Seq((1L, "GPT-2 has 1.5B params, right?")).toDF("doc_id", "text")
+    val r = TextStats.tokenCounts(df, "doc_id", "text").collect().head
+    // norm = "gpt-2 has 1.5b params, right?"
+    r.getAs[Long]("n_ws_tokens") shouldBe 5L
+    r.getAs[Long]("n_word_tokens") shouldBe 5L  // gpt, has, b, params, right
+    r.getAs[Long]("n_num_tokens") shouldBe 3L   // 2, 1, 5
+    r.getAs[Long]("n_punct_tokens") shouldBe 4L // - . , ?
+    r.getAs[Long]("n_bpe_tokens") shouldBe 12L  // sum of the classes
+  }
+
+  it should "count the empty-ish document consistently with tokens()" in {
+    val df = Seq((1L, "   ")).toDF("doc_id", "text")
+    val r = TextStats.tokenCounts(df, "doc_id", "text").collect().head
+    r.getAs[Long]("n_ws_tokens") shouldBe 1L // split('') convention, see PolyHash
+    r.getAs[Long]("n_bpe_tokens") shouldBe 0L
+  }
+
   "fingerprint" should "hash content and grams deterministically" in {
     val df = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "short")).toDF("doc_id", "text")
     val rows = TextStats.fingerprint(df, "doc_id", "text").collect()
