@@ -1,0 +1,73 @@
+package graft.ann
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+/** Regression lock on the scale-critical plan shapes: the embedding
+  * near-dup rewrite exists precisely so no exchange ever carries a vector
+  * column — at 100 TB the difference between shuffling ids and shuffling
+  * the embedding corpus ~8×. If a future edit reintroduces a vector-bearing
+  * shuffle or broadcast on the banding side, this fails loudly.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The real embeddings table: guaranteed to produce near-dup pairs at
+    * the default threshold, so AQE cannot shortcut the final plan to an
+    * EmptyRelation (which would leave nothing to audit). */
+  private def embeddings =
+    graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+
+  /** All exchange nodes (shuffle + broadcast) in the final adaptive plan —
+    * descending into query stages, which `collect` treats as leaves. */
+  private def exchanges(plan: SparkPlan): Seq[Exchange] = {
+    def walk(p: SparkPlan): Seq[Exchange] = {
+      val here = p match { case e: Exchange => Seq(e); case _ => Seq.empty }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(walk)
+    }
+    walk(plan)
+  }
+
+  "nearDupPairs" should "never put the vector column through the banding exchange" in {
+    val df = Similarity.nearDupPairs(embeddings, "vec_id", "embedding")
+    df.collect() // materialize so AQE settles the final plan
+    val exs = exchanges(df.queryExecution.executedPlan)
+    exs should not be empty
+    // the only exchanges allowed to carry array<float> are the pair-rejoin
+    // sides, which AQE broadcasts on the SMALL (pairs) side — so in the
+    // final plan no exchange output may contain a float-array column at all
+    // on the banding/self-join/distinct path. Assert globally: any exchange
+    // carrying a float array must be a broadcast of vectors for the rejoin,
+    // never a shuffle.
+    val vectorShuffles = exs.filter { e =>
+      e.child.output.exists(_.dataType == ArrayType(FloatType, containsNull = true)) &&
+        e.getClass.getSimpleName.contains("Shuffle")
+    }
+    withClue(s"vector-carrying shuffles:\n${vectorShuffles.mkString("\n")}\n") {
+      vectorShuffles shouldBe empty
+    }
+  }
+
+  it should "agree with a brute-force cosine check on the planted near-dups" in {
+    // two exact duplicates + near-dup planted among random vectors
+    val base = Array.fill(64)(0.5f)
+    val near = base.clone(); near(0) = 0.45f
+    val rnd = new scala.util.Random(11)
+    val rows = Seq((100L, base), (101L, base.clone), (102L, near)) ++
+      (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding", minSim = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((100L, 101L))
+    pairs should contain((100L, 102L))
+  }
+}
