@@ -19,10 +19,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: one scan-and-count so JVM/session/codegen startup is not
-    // billed to whichever query happens to run first (it was ~5s of p01).
-    try graft.sources.Tables.events(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // warm-up: scan each input table and run one tiny representative of
+    // the codegen shapes (HOF fold + custom expressions + agg + join), so
+    // JVM/session/whole-stage-codegen startup is not billed to whichever
+    // query happens to run first (it was ~5s of p01 in round 1, still
+    // ~1.7s in round 2's scan-only warm-up).
+    try {
+      import org.apache.spark.sql.functions._
+      graft.sources.Tables.events(spark, sfDir).count()
+      val docs = graft.sources.Tables.documents(spark, sfDir).limit(64)
+      val emb = graft.sources.Tables.embeddings(spark, sfDir).limit(64)
+      docs.select(graft.functions.TextPrims.charHash(col("text")).as("h"),
+          aggregate(split(col("text"), " "), lit(0L), (a, t) => a + length(t)).as("f"))
+        .groupBy(col("h") % 7).agg(sum("f")).count()
+      emb.as("a").join(emb.as("b"), col("a.vec_id") === col("b.vec_id"))
+        .select(graft.functions.AnnPrims.cosine(col("a.embedding"), col("b.embedding")))
+        .count()
+    } catch { case _: Throwable => () }
     var failed = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

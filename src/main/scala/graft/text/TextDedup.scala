@@ -96,10 +96,12 @@ object TextDedup {
     // banded (id, band, bucket) only — 3 small columns; the shingle sets
     // rejoin for verification instead of riding through the self-join. The
     // signature is computed once per row behind a barrier (each of the
-    // `bands` bucket folds references it), and the two self-join sides
-    // reuse one (band, bucket) exchange.
+    // `bands` bucket folds references it) and materialized as one tiny
+    // (id, 32-long sig) shuffle stage that both self-join sides reuse —
+    // without it each side re-runs the signature over the shingle sets.
     val bandsDf = Barrier.once(docs, Seq("id"),
         "sig" -> minhashSig(col("sh"), numHashes))
+      .repartition(col("id"))
       .select(col("id"),
         explode(array((0 until bands).map(bi =>
           struct(lit(bi).as("band"), bandSig(col("sig"), bi, r).as("bucket"))): _*))
