@@ -141,7 +141,11 @@ object TextDedup {
     // not n-gram strings — at web scale that is the difference between
     // shuffling hashes and shuffling the corpus.
     val docs = shingleFrame(df, idCol, textCol, shingleK)
-    val exAll = docs.select(col("id"), explode(col("sh")).as("g"))
+    // the index carries the set size alongside (id, g): one extra long per
+    // row buys the size-ratio prune below. size(sh) is computed above the
+    // id-exchange, so the frame still reuses the single shingle stage.
+    val exAll = docs.select(col("id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("g"))
     // set sizes from the exploded index, not from `docs` directly: the
     // explode sides carry an inferred isnotnull(sh) filter that a plain
     // `size(sh)` branch would lack, splitting the canonical plan and
@@ -158,7 +162,17 @@ object TextDedup {
           .filter(col("df") <= maxShingleDf).select("g")
         exAll.join(rare, Seq("g"))
       }
-    val inter = ex.as("x").join(ex.as("y"), col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+    // size-ratio prefix filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
+    // pair outside ratio `minJaccard` can never pass the final filter —
+    // pruning it in the join condition is a pure candidate-volume
+    // optimization (result-identical, so the oracle is untouched). At web
+    // scale this is what keeps a hot shingle's O(df²) pair list from
+    // materializing rows that verification would discard anyway.
+    val sizeCompatible =
+      col("x.n") >= lit(minJaccard) * col("y.n") &&
+        col("y.n") >= lit(minJaccard) * col("x.n")
+    val inter = ex.as("x").join(ex.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id") && sizeCompatible)
       .groupBy(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
