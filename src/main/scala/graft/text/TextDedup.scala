@@ -221,9 +221,15 @@ object TextDedup {
     val b = banded.select(col("band"), col("bucket"), col("id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      // hamming BEFORE the pair dedup: bit_count is one codegen'd
+      // instruction evaluated during the join probe, so filtering first
+      // means the dedup exchange shuffles only surviving near-dups instead
+      // of every bucket collision — at a hot bucket that is the difference
+      // between shuffling O(k²) candidates and shuffling the answer.
+      // Result-identical: hamming is deterministic per (doc_a, doc_b).
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
