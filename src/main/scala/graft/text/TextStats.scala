@@ -98,29 +98,37 @@ object TextStats {
   /** Content fingerprint: whole-text polynomial hash plus the min/max of a
     * rolling 8-char-gram hash family (the winnowing building block — the
     * min-gram hash is stable under small edits, unlike the content hash).
-    * Documents shorter than 8 normalized chars get null gram stats. */
+    * Documents shorter than 8 normalized chars get null gram stats.
+    * The gram pass is the fused codegen'd [[graft.functions.GramStats]] —
+    * one loop over the code points, no per-window substring, no gram array
+    * ([[fingerprintGramHashesHof]] is the executable spec it is pinned to). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withNorm = Barrier.once(
       df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
       "norm" -> normText(col("__t")))
-    // substr with a column position is SQL-only, hence expr(); the gram
-    // hashes are min/max/size'd by three expressions, so they sit behind a
-    // barrier of their own.
-    val grams = when(length(col("norm")) >= 8,
-      expr("transform(sequence(1, length(norm) - 7), i -> substr(norm, i, 8))"))
-      .otherwise(array().cast("array<string>"))
-    Barrier.once(withNorm, Seq("id", "norm"),
-        "gram_hashes" -> transform(grams, charHash _))
+    Barrier.once(withNorm, Seq("id"),
+        "content_hash" -> charHash(col("norm")),
+        "gs" -> graft.functions.GramStats(col("norm"), 8))
       .select(
-        col("id"),
-        charHash(col("norm")).as("content_hash"),
-        array_min(col("gram_hashes")).as("min_gram_hash"),
-        array_max(col("gram_hashes")).as("max_gram_hash"),
-        size(col("gram_hashes")).cast("long").as("n_grams"))
+        col("id"), col("content_hash"),
+        col("gs.min_gram_hash").as("min_gram_hash"),
+        col("gs.max_gram_hash").as("max_gram_hash"),
+        col("gs.n_grams").as("n_grams"))
       // the global sort's range-partitioner sampling pass would re-execute
-      // the whole gram-hashing compute; this shuffle of five fixed-width
-      // columns materializes it once and both sort jobs read the map files.
+      // the fingerprint compute; this shuffle of five fixed-width columns
+      // materializes it once and both sort jobs read the map files.
       .repartition(col("id"))
       .orderBy("id")
   }
+
+  /** The gram-hash family as pure higher-order functions — the spec twin
+    * [[graft.functions.GramStats]] must match (and the form the DuckDB
+    * oracle mirrors): hash every 8-char substring window of the named
+    * column. substr with a column position is SQL-only, hence expr(). */
+  def fingerprintGramHashesHof(normCol: String): Column =
+    transform(
+      when(length(col(normCol)) >= 8,
+        expr(s"transform(sequence(1, length($normCol) - 7), i -> substr($normCol, i, 8))"))
+        .otherwise(array().cast("array<string>")),
+      charHash _)
 }
