@@ -30,7 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class PolyHash(child: Expression, seed: Long, mult: Long, modulus: Long)
     extends UnaryExpression {
 
-  require(modulus > 0 && mult > 0 && seed >= 0, "poly_hash parameters must be positive")
+  require(modulus > 0 && mult > 0 && seed >= 0,
+    "poly_hash requires modulus > 0, mult > 0, seed >= 0")
+  // seed < modulus keeps the first-iteration seed*mult product inside the
+  // same bound the per-step guard below proves for (h mod modulus)*mult
+  require(seed < modulus,
+    s"poly_hash seed=$seed must be < modulus=$modulus or seed*mult may overflow")
   require(modulus <= (Long.MaxValue - 0x10FFFF) / mult,
     s"poly_hash(seed=$seed, mult=$mult, mod=$modulus) could overflow a long")
 

@@ -73,13 +73,24 @@ object Jobs {
     } finally all.unpersist(false)
   }
 
+  /** Every streaming entry point below takes `rocksDbState` (default true):
+    * when set, the job configures the RocksDB state-store provider via
+    * [[StreamingConf.useRocksDbState]]. NOTE the scope: Spark exposes the
+    * provider only as a session conf, so opting in switches state backing
+    * for every stream started on this session afterwards, not just this
+    * job. Pass `rocksDbState = false` to leave the session conf untouched
+    * (existing checkpoints keep their original provider either way). */
+  private def configureState(spark: SparkSession, rocksDbState: Boolean): Unit =
+    if (rocksDbState) StreamingConf.useRocksDbState(spark)
+
   /** §3.3 live view (reference repo-events): the slot materialized view as
     * a continuously-updating stream into a keyed sink — key
     * `"$lot-$spot"` exactly like RepoEventsApi.scala:39. Returns the
     * running query; callers own its lifecycle. */
   def liveSlotView(spark: SparkSession, source: EventSource, sink: KeyValueSink,
-                   checkpoint: String, availableNow: Boolean = true): StreamingQuery = {
-    StreamingConf.useRocksDbState(spark)
+                   checkpoint: String, availableNow: Boolean = true,
+                   rocksDbState: Boolean = true): StreamingQuery = {
+    configureState(spark, rocksDbState)
     val updates = LiveSlotView.updates(EventDecode.decode(source.stream(spark))).toDF()
       .select(
         concat_ws("-", col("parkingLotId"), col("parkingSpotId")).as("k"),
@@ -105,8 +116,9 @@ object Jobs {
     * the cross-lot document of the batch job needs the whole hour and
     * remains [[hourlyStats]]'s output. */
   def hourlyStatsStream(spark: SparkSession, source: EventSource, sink: KeyValueSink,
-                        checkpoint: String, availableNow: Boolean = true): StreamingQuery = {
-    StreamingConf.useRocksDbState(spark)
+                        checkpoint: String, availableNow: Boolean = true,
+                        rocksDbState: Boolean = true): StreamingQuery = {
+    configureState(spark, rocksDbState)
     val agg = graft.streaming.HourlyStatsStream.aggregates(
       EventDecode.decode(source.stream(spark)))
       .select(
@@ -129,8 +141,9 @@ object Jobs {
     * idempotent). */
   def alertStream(spark: SparkSession, source: EventSource, usersDir: String,
                   sink: KeyValueSink, checkpoint: String,
-                  availableNow: Boolean = true): StreamingQuery = {
-    StreamingConf.useRocksDbState(spark)
+                  availableNow: Boolean = true,
+                  rocksDbState: Boolean = true): StreamingQuery = {
+    configureState(spark, rocksDbState)
     val alerts = ViolationStream.alerts(
       EventDecode.decode(source.stream(spark)), ParkingModel.users(spark, usersDir))
       .select(
@@ -157,8 +170,9 @@ object Jobs {
     * stream. */
   def alertNotifierStream(spark: SparkSession, source: EventSource, usersDir: String,
                           notifier: AlertNotifier, checkpoint: String,
-                          availableNow: Boolean = true): StreamingQuery = {
-    StreamingConf.useRocksDbState(spark)
+                          availableNow: Boolean = true,
+                          rocksDbState: Boolean = true): StreamingQuery = {
+    configureState(spark, rocksDbState)
     val alerts = ViolationStream.alerts(
       EventDecode.decode(source.stream(spark)), ParkingModel.users(spark, usersDir))
       .select(

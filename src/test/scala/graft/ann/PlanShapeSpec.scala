@@ -3,9 +3,9 @@ package graft.ann
 import graft.SparkSpec
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeLike}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 /** Regression lock on the scale-critical plan shapes: the embedding
   * near-dup rewrite exists precisely so no exchange ever carries a vector
@@ -48,9 +48,16 @@ class PlanShapeSpec extends SparkSpec {
     // on the banding/self-join/distinct path. Assert globally: any exchange
     // carrying a float array must be a broadcast of vectors for the rejoin,
     // never a shuffle.
+    // match any float/double array regardless of containsNull (a schema
+    // read with containsNull=false, or a cast to double, must still trip
+    // this lock), and identify shuffles structurally, not by class name
+    val isVectorType: org.apache.spark.sql.types.DataType => Boolean = {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
     val vectorShuffles = exs.filter { e =>
-      e.child.output.exists(_.dataType == ArrayType(FloatType, containsNull = true)) &&
-        e.getClass.getSimpleName.contains("Shuffle")
+      e.isInstanceOf[ShuffleExchangeLike] &&
+        e.child.output.exists(a => isVectorType(a.dataType))
     }
     withClue(s"vector-carrying shuffles:\n${vectorShuffles.mkString("\n")}\n") {
       vectorShuffles shouldBe empty

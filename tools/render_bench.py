@@ -5,13 +5,27 @@ published prose mechanically tied to a recorded run instead of memory.
 
 Usage: python3 tools/render_bench.py <bench.json>
 """
-import json, sys
+import json, re, sys
+
+def load_bench(txt):
+    """Return the bench record ({"metric", "queries", ...}) from either a
+    bare graft.Bench line or a driver BENCH_r*.json wrapper (keys n/rc/cpus/
+    sf/tail/parsed, with the bench line JSON-escaped inside 'tail')."""
+    b = json.loads(txt[txt.index('{'):])
+    if "queries" in b:
+        return b
+    if b.get("parsed"):
+        return b["parsed"]
+    m = re.search(r'\{"metric":.*?"queries":.*?\}(?=\s|$)', b.get("tail", ""))
+    if not m:
+        raise SystemExit("no bench line found (no 'queries', 'parsed', or "
+                         "embedded metric line in 'tail')")
+    return json.loads(m.group(0))
 
 def main(path):
     with open(path) as f:
         txt = f.read()
-    # driver files may wrap the line; find the JSON object
-    b = json.loads(txt[txt.index('{'):])
+    b = load_bench(txt)
     qs = b["queries"]
     total = sum(qs.values())
     mx = max(qs.items(), key=lambda kv: kv[1])
