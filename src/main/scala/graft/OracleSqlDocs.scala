@@ -77,6 +77,23 @@ object OracleSqlDocs {
 
   private val stopList = "('the','a','of','and','to','in','is','on','for','with')"
 
+  /** Shared CTE chain producing simhash near-dup candidates (`cand` with
+    * both signatures) — p17's body, also the pair source for p37's
+    * connected components. */
+  private val simhashCandCtes: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
+       |), th AS (SELECT id, list_transform(t, tok -> ${hash("tok")}) AS h FROM toks),
+       |sigs AS (SELECT id, $simhashExpr AS sig FROM th),
+       |bands AS (
+       |  SELECT id, sig, r.band AS band, (sig >> (r.band*15)) % 32768 AS bucket
+       |  FROM sigs, range(0, 2) r(band)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS da, a.sig AS sa, b.id AS db, b.sig AS sb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+       |)""".stripMargin
+
   val docs: Map[String, String] = Map(
     "p13_exact_dedup" ->
       s"""SELECT ${hash(norm("text"))} AS text_hash,
@@ -153,21 +170,29 @@ object OracleSqlDocs {
          |), th AS (SELECT id, list_transform(t, tok -> ${hash("tok")}) AS h FROM toks)
          |SELECT id, $simhashExpr AS simhash FROM th ORDER BY id""".stripMargin,
 
-    "p17_simhash_neardup" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
-         |), th AS (SELECT id, list_transform(t, tok -> ${hash("tok")}) AS h FROM toks),
-         |sigs AS (SELECT id, $simhashExpr AS sig FROM th),
-         |bands AS (
-         |  SELECT id, sig, r.band AS band, (sig >> (r.band*15)) % 32768 AS bucket
-         |  FROM sigs, range(0, 2) r(band)
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS da, a.sig AS sa, b.id AS db, b.sig AS sb
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-         |)
+    "p17_simhash_neardup" -> (simhashCandCtes +
+      s"""
          |SELECT da AS doc_a, db AS doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(sa, sb)) <= 1 ORDER BY doc_a, doc_b""".stripMargin,
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 1 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // duplicate groups over the p17 pair graph: connected components as a
+    // recursive reachability closure, component label = min member id —
+    // the declarative twin of TextDedup.duplicateGroups' min-label
+    // propagation fixpoint (both compute exact components, so they agree
+    // row-for-row however many rounds propagation took).
+    "p37_dedup_groups" -> (simhashCandCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+         |pairs AS (SELECT da, db FROM cand WHERE bit_count(xor(sa, sb)) <= 1),
+         |nodes AS (SELECT da AS id FROM pairs UNION SELECT db AS id FROM pairs),
+         |edges AS (SELECT da AS a, db AS b FROM pairs
+         |          UNION ALL SELECT db AS a, da AS b FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS lab FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.lab AS lab FROM reach r JOIN edges e ON e.a = r.id
+         |)
+         |SELECT id AS doc_id, MIN(lab) AS group_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
 
     "p18_text_stats" ->
       s"""WITH toks AS (

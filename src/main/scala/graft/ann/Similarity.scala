@@ -70,6 +70,47 @@ object Similarity {
     topK(cands, k)
   }
 
+  /** IVF-flat approximate top-k: a small coarse-quantizer table of
+    * `nCells` centroids partitions the corpus into cells; each query
+    * probes only its `nProbe` nearest cells. Centroids here are the
+    * `nCells` lowest-id vectors — deterministic so the DuckDB oracle can
+    * mirror the choice; a k-means-trained quantizer would slot in
+    * unchanged (the plan depends only on the centroid table being small).
+    *
+    * Scale shape — the reason IVF beats sign-bucket LSH at high recall:
+    * the quantizer is collected once (nCells × dim floats, a few KB) and
+    * inlined as literals, so cell assignment is a narrow per-row argmax —
+    * the corpus NEVER shuffles: not for assignment (row-local
+    * expression), not for search (probes broadcast onto the assigned
+    * corpus), not for ranking (the per-partition top-k tournament). Probe
+    * lists scale recall at cost nProbe/nCells of the corpus per query. */
+  def knnIvf(emb: DataFrame, idCol: String, vecCol: String,
+             queryPred: Column, k: Int = 5, nCells: Int = 8,
+             nProbe: Int = 2): DataFrame = {
+    val cents: Array[(Long, Array[Float])] = emb
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(nCells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // (cos, -cent_id) structs: lexicographic struct order makes array_max
+    // pick highest cosine with ties broken toward the smallest centroid id
+    // — exactly the oracle's ORDER BY cos DESC, cent_id ASC.
+    def scoredCells(vec: Column): Column =
+      array(cents.map { case (cid, cv) =>
+        struct(cosine(vec, typedLit(cv)).as("cs"), lit(-cid).as("nc"))
+      }: _*)
+    val assigned = emb.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("ne"),
+      (-array_max(scoredCells(col(vecCol))).getField("nc")).as("cell"))
+    val probes = emb.filter(queryPred).select(
+        col(idCol).as("query_id"), col(vecCol).as("qe"),
+        explode(slice(reverse(array_sort(scoredCells(col(vecCol)))), 1, nProbe)).as("pc"))
+      .select(col("query_id"), col("qe"), (-col("pc.nc")).as("cell"))
+    val cands = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("sim"))
+    topK(cands, k)
+  }
+
   /** Near-duplicate vector pairs with cosine ≥ `minSim`, blocked by
     * multi-table LSH (pairs must share a sign bucket in at least one of
     * `tables` independent plane sets — the OR-construction that recovers

@@ -193,6 +193,64 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Duplicate GROUPS from near-dup pairs: connected components of the
+    * pair graph, labeled by the smallest member id (the canonical document
+    * to keep — every dedup pipeline needs this step after pair mining,
+    * since near-dup relations are not transitive but retention decisions
+    * must be). Works over any of this engine's pair miners
+    * ([[minhashNearDup]] / [[ngramJaccardPairs]] / [[simhashNearDup]] /
+    * [[graft.ann.Similarity.nearDupPairs]]). Output: one row per document
+    * that appears in ≥1 pair — (doc_id, group_id), group_id = min id of
+    * its component.
+    *
+    * Algorithm: iterative min-label propagation (each round every node
+    * takes the min of its own and its neighbors' labels) with convergence
+    * detection, i.e. exact connected components after at most
+    * diameter-many rounds. Dedup graphs are banding-generated near-cliques
+    * (diameter is small no matter the corpus size); `maxIters` bounds
+    * pathological chains and non-convergence throws rather than returning
+    * wrong groups.
+    *
+    * Scale shape: every round shuffles only (long, long) label/edge rows —
+    * never text or vectors. The symmetric edge list sits behind one
+    * explicit exchange that the initial node set and every round's join
+    * re-read (exchange reuse), so the upstream pair-mining pipeline runs
+    * once per action. The edges are persisted only for the convergence
+    * loop and released before returning: the returned frame is a plain
+    * lazy plan (evaluating it re-runs the miner once more, with all label
+    * rounds reusing that single execution's exchange — nothing is left
+    * cached). */
+  def duplicateGroups(pairs: DataFrame, aCol: String, bCol: String,
+                      maxIters: Int = 25): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    sym.persist() // convergence loop only — released in the finally below
+    try {
+      var round = 0
+      while (round < maxIters) {
+        val byDst = labels.select(col("id").as("dst"), col("label").as("dl"))
+        val prop = sym.join(byDst, Seq("dst"))
+          .groupBy(col("src").as("id")).agg(min(col("dl")).as("nbr_min"))
+        // inner join is total: every node has ≥1 edge, so prop covers all ids
+        val next = labels.join(prop, Seq("id"))
+          .select(col("id"), least(col("label"), col("nbr_min")).as("label"),
+            (col("nbr_min") < col("label")).as("__ch"))
+        if (next.filter(col("__ch")).isEmpty) {
+          return labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+            .orderBy("doc_id")
+        }
+        labels = next.select("id", "label")
+        round += 1
+      }
+      throw new IllegalStateException(
+        s"duplicateGroups did not converge in $maxIters rounds — " +
+          "a component has diameter above maxIters; raise it")
+    } finally sym.unpersist(false)
+  }
+
   private val SimhashBits = 30
 
   /** Per-document SimHash signatures — one narrow shuffle-free pass: the
