@@ -287,6 +287,45 @@ object OracleSqlDocs {
          |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, sim
          |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin,
 
+    // IVF-flat twin of Similarity.knnIvf: centroids are the 8 lowest-id
+    // vectors (the deterministic quantizer the Spark side collects), cell
+    // assignment is argmax cosine with ties toward the smallest centroid id
+    // (the struct-ordering trick on the Spark side ≡ ORDER BY cs DESC, cid
+    // ASC here), each query probes its 2 nearest cells, and ranking matches
+    // the tournament top-k's (sim DESC, neighbor_id ASC) total order.
+    "p38_knn_ivf" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+         |scored AS (
+         |  SELECT v.vec_id, v.e, c.cid, ${cos("v.e", "c.ce")} AS cs
+         |  FROM v CROSS JOIN cents c
+         |),
+         |assigned AS (
+         |  SELECT vec_id AS neighbor_id, e AS ne, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY cs DESC, cid) AS rn
+         |    FROM scored
+         |  ) WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT vec_id AS query_id, e AS qe, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY cs DESC, cid) AS rn
+         |    FROM scored WHERE vec_id < 20
+         |  ) WHERE rn <= 2
+         |),
+         |sims AS (
+         |  SELECT query_id, neighbor_id, ${cos("qe", "ne")} AS sim
+         |  FROM probes JOIN assigned USING (cell) WHERE neighbor_id <> query_id
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM sims
+         |)
+         |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, sim
+         |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin,
+
     "p30_media_stats" ->
       s"""WITH gen AS (
          |  SELECT vec_id AS asset_id,

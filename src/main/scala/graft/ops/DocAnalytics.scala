@@ -29,8 +29,9 @@ object DocAnalytics {
       TextDedup.exactDedup(docs(s, d), "doc_id", "text")),
     "p14_minhash_neardup" -> ((s, d) =>
       TextDedup.minhashNearDup(docs(s, d), "doc_id", "text")),
+    // exact mode (cap 0) — explicitly opted into; small corpora only
     "p15_ngram_jaccard" -> ((s, d) =>
-      TextDedup.ngramJaccardPairs(docs(s, d), "doc_id", "text")),
+      TextDedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", maxShingleDf = 0)),
     // the scale-safe configuration: document-frequency cap bounds the
     // O(df²) pair blow-up of hot shingles (jaccard becomes a lower bound)
     // — the mode you'd run at 100 TB, verified against a cap-mirroring
@@ -41,6 +42,12 @@ object DocAnalytics {
       TextDedup.simhash(docs(s, d), "doc_id", "text")),
     "p17_simhash_neardup" -> ((s, d) =>
       TextDedup.simhashNearDup(docs(s, d), "doc_id", "text")),
+    // the dedup-pipeline keystone: pair mining -> connected components ->
+    // one (doc_id, group_id) row per paired document; the oracle's
+    // recursive-CTE closure mirrors exactly this composition.
+    "p37_dedup_groups" -> ((s, d) =>
+      TextDedup.duplicateGroups(
+        TextDedup.simhashNearDup(docs(s, d), "doc_id", "text"), "doc_a", "doc_b")),
     "p18_text_stats" -> ((s, d) =>
       TextStats.stats(docs(s, d), "doc_id", "text")),
     "p19_lang_id" -> ((s, d) =>
@@ -53,6 +60,8 @@ object DocAnalytics {
       Similarity.knnBruteForce(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     "p22_knn_lsh" -> ((s, d) =>
       Similarity.knnLsh(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
+    "p38_knn_ivf" -> ((s, d) =>
+      Similarity.knnIvf(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     "p23_embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding")),
     // multimodal: stats and dedup computed from the REAL binary column;

@@ -127,16 +127,20 @@ object TextDedup {
     * candidate pairs materialize only where a shingle co-occurs, never
     * all-pairs). Output: (doc_a, doc_b, jaccard) with jaccard ≥ `minJaccard`.
     *
-    * `maxShingleDf` bounds skew: a shingle appearing in more than that many
-    * documents ("the end of the" at web scale) contributes O(df²) candidate
-    * rows; capping drops it from the INDEX ONLY — intersections lose those
-    * common shingles (jaccard becomes a lower bound), which is the standard
-    * prefix-filtering trade. 0 = exact; at 100 TB run with a cap (the
-    * configuration `p15b_ngram_jaccard_capped` oracle-verifies).
+    * `maxShingleDf` bounds skew and is deliberately REQUIRED: a shingle
+    * appearing in more than that many documents ("the end of the" at web
+    * scale) contributes O(df²) candidate rows; capping drops it from the
+    * INDEX ONLY — intersections lose those common shingles (jaccard becomes
+    * a lower bound), which is the standard prefix-filtering trade. 0 = exact
+    * (O(df²) on hot shingles — small corpora / verification only); at
+    * 100 TB always run with a cap (the configuration
+    * `p15b_ngram_jaccard_capped` oracle-verifies). Forcing the caller to
+    * choose keeps the bare call from silently being the mode that dies at
+    * scale.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int = 3, minJaccard: Double = 0.8,
-                        maxShingleDf: Int = 0): DataFrame = {
+                        maxShingleDf: Int,
+                        shingleK: Int = 3, minJaccard: Double = 0.8): DataFrame = {
     // Hashed shingles: every index below shuffles fixed-width longs, not
     // n-gram strings — at web scale that is the difference between
     // shuffling hashes and shuffling the corpus.
@@ -212,33 +216,43 @@ object TextDedup {
     * wrong groups.
     *
     * Scale shape: every round shuffles only (long, long) label/edge rows —
-    * never text or vectors. The symmetric edge list sits behind one
-    * explicit exchange that the initial node set and every round's join
-    * re-read (exchange reuse), so the upstream pair-mining pipeline runs
-    * once per action. The edges are persisted only for the convergence
-    * loop and released before returning: the returned frame is a plain
-    * lazy plan (evaluating it re-runs the miner once more, with all label
-    * rounds reusing that single execution's exchange — nothing is left
-    * cached). */
+    * never text or vectors — and every round costs the SAME constant work:
+    * each label frame is eagerly `localCheckpoint`ed, which truncates the
+    * lineage to the materialized blocks, so round r plans two joins over
+    * flat inputs instead of re-planning (and, on the convergence action,
+    * re-executing) all r prior rounds — without the truncation the loop is
+    * O(rounds²) in executed stages and Catalyst analysis grows with plan
+    * depth. Convergence piggybacks on that materialization: the round's
+    * single checkpoint job computes the labels AND the per-row change flag,
+    * and the `max(__ch)` probe only scans the already-checkpointed blocks —
+    * no second execution of the join lineage. The symmetric edge list is
+    * persisted for the loop and released before returning; the returned
+    * frame reads the final checkpointed label blocks (local checkpoints
+    * trade executor-loss recomputability for bounded lineage — the standard
+    * iterative-graph trade, same as GraphX's periodic checkpointing). */
   def duplicateGroups(pairs: DataFrame, aCol: String, bCol: String,
                       maxIters: Int = 25): DataFrame = {
     val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
     sym.persist() // convergence loop only — released in the finally below
     try {
+      var labels = sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
+        .localCheckpoint(true)
       var round = 0
       while (round < maxIters) {
         val byDst = labels.select(col("id").as("dst"), col("label").as("dl"))
         val prop = sym.join(byDst, Seq("dst"))
           .groupBy(col("src").as("id")).agg(min(col("dl")).as("nbr_min"))
-        // inner join is total: every node has ≥1 edge, so prop covers all ids
+        // inner join is total: every node has ≥1 edge, so prop covers all ids.
+        // One job materializes labels + change flags; lineage ends here.
         val next = labels.join(prop, Seq("id"))
           .select(col("id"), least(col("label"), col("nbr_min")).as("label"),
             (col("nbr_min") < col("label")).as("__ch"))
-        if (next.filter(col("__ch")).isEmpty) {
+          .localCheckpoint(true)
+        val ch = next.agg(max(col("__ch"))).head() // scans checkpointed blocks
+        if (ch.isNullAt(0) || !ch.getBoolean(0)) {
           return labels.select(col("id").as("doc_id"), col("label").as("group_id"))
             .orderBy("doc_id")
         }

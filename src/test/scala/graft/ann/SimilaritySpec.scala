@@ -33,6 +33,31 @@ class SimilaritySpec extends SparkSpec {
     pairs.toSeq shouldBe Seq((1L, 2L))
   }
 
+  "knnIvf" should "equal brute force exactly when every cell is probed" in {
+    // nProbe == nCells ⇒ every query scans the whole corpus through the
+    // cell join: IVF's only approximation (unprobed cells) is off, so the
+    // result must be row-for-row the brute-force answer — the strongest
+    // recall statement the operator can make.
+    val bf = Similarity.knnBruteForce(emb, "vec_id", "embedding", col("vec_id") <= 2L, k = 3)
+      .collect().map(_.toSeq).toSeq
+    val ivf = Similarity.knnIvf(emb, "vec_id", "embedding", col("vec_id") <= 2L,
+      k = 3, nCells = 2, nProbe = 2)
+      .collect().map(_.toSeq).toSeq
+    ivf shouldBe bf
+  }
+
+  it should "restrict candidates to the probed cells" in {
+    // centroids are vectors 1 and 2 (lowest ids). v1 is alone in cell 1
+    // (cos(v1,c1)=1 beats cos(v1,c2)); v2/v3/v4 land in cell 2. With
+    // nProbe=1, query 1 probes only its own cell → no neighbors; query 2
+    // probes cell 2 → exactly {3, 4}.
+    val out = Similarity.knnIvf(emb, "vec_id", "embedding", col("vec_id") <= 2L,
+        k = 3, nCells = 2, nProbe = 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    out.filter(_._1 == 1L) shouldBe empty
+    out.filter(_._1 == 2L).map(_._2).toSet shouldBe Set(3L, 4L)
+  }
+
   "knnLsh" should "recover near-identical vectors from the same bucket" in {
     val out = Similarity.knnLsh(emb, "vec_id", "embedding", col("vec_id") === 1L, k = 3, dim = 4)
       .collect().map(_.getAs[Long]("neighbor_id"))

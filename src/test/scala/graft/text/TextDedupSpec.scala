@@ -43,7 +43,7 @@ class TextDedupSpec extends SparkSpec {
   }
 
   "ngramJaccardPairs" should "agree with minhash on high-similarity pairs" in {
-    val exact = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.5)
+    val exact = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", maxShingleDf = 0, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val mh = TextDedup.minhashNearDup(docs, "doc_id", "text", minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -62,9 +62,60 @@ class TextDedupSpec extends SparkSpec {
     val loose = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
       minJaccard = 0.5, maxShingleDf = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val exact = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.5)
+    val exact = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", maxShingleDf = 0, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     loose shouldBe exact
+  }
+
+  "duplicateGroups" should "label a diameter-9 chain by its min id in bounded rounds" in {
+    // chain 1-2-…-10: the min label travels one hop per round, so this
+    // exercises 9 propagation rounds — the case where an unbounded lineage
+    // would nest 9 rounds of joins into every action.
+    val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val groups = TextDedup.duplicateGroups(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    groups.map(_._1).toSeq shouldBe (1L to 10L)
+    all(groups.map(_._2)) shouldBe 1L
+  }
+
+  it should "keep disconnected components apart" in {
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val m = TextDedup.duplicateGroups(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+  }
+
+  it should "return empty groups for an empty pair set" in {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    TextDedup.duplicateGroups(pairs, "doc_a", "doc_b").count() shouldBe 0L
+  }
+
+  it should "throw rather than return wrong groups when maxIters is too low" in {
+    val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    an[IllegalStateException] should be thrownBy
+      TextDedup.duplicateGroups(pairs, "doc_a", "doc_b", maxIters = 2)
+  }
+
+  it should "return a lineage-truncated plan (no join survives the loop)" in {
+    val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = TextDedup.duplicateGroups(pairs, "doc_a", "doc_b")
+    // the returned frame reads the final checkpointed label blocks — if any
+    // Join leaks into its plan, the localCheckpoint truncation regressed and
+    // per-round work is O(rounds) again
+    out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    } shouldBe empty
+  }
+
+  it should "group the simhash near-dup pairs transitively (the p37 composition)" in {
+    val groups = TextDedup.duplicateGroups(
+        TextDedup.simhashNearDup(docs, "doc_id", "text"), "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1/2 are identical post-normalization, doc 3 is the planted
+    // near-dup: all three collapse into group 1; doc 4 pairs with nobody
+    groups.getOrElse(1L, -1L) shouldBe 1L
+    groups.getOrElse(2L, -1L) shouldBe 1L
+    groups should not contain key(4L)
   }
 
   "simhash" should "assign equal signatures to normalized-identical texts" in {
