@@ -5,7 +5,7 @@ published prose mechanically tied to a recorded run instead of memory.
 
 Usage: python3 tools/render_bench.py <bench.json>
 """
-import json, re, sys
+import json, sys
 
 def load_bench(txt):
     """Return the bench record ({"metric", "queries", ...}) from either a
@@ -16,11 +16,21 @@ def load_bench(txt):
         return b
     if b.get("parsed"):
         return b["parsed"]
-    m = re.search(r'\{"metric":.*?"queries":.*?\}(?=\s|$)', b.get("tail", ""))
-    if not m:
-        raise SystemExit("no bench line found (no 'queries', 'parsed', or "
-                         "embedded metric line in 'tail')")
-    return json.loads(m.group(0))
+    # Scan 'tail' line-by-line and json.loads each candidate: a regex over
+    # the whole tail can cut off at an interior '}' (space-formatted
+    # queries object, '} ' inside a string value) and crash on valid input.
+    for line in b.get("tail", "").splitlines():
+        start = line.find('{"metric"')
+        if start < 0:
+            continue
+        try:
+            rec = json.loads(line[start:])
+        except ValueError:
+            continue
+        if isinstance(rec, dict) and "queries" in rec:
+            return rec
+    raise SystemExit("no bench line found (no 'queries', 'parsed', or "
+                     "embedded metric line in 'tail')")
 
 def main(path):
     with open(path) as f:
