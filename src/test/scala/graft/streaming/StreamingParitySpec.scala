@@ -138,6 +138,43 @@ class StreamingParitySpec extends SparkSpec {
     agg.toMap shouldBe batch
   }
 
+  "DedupGroupStream" should "converge to the batch duplicateGroups over all streamed pairs" in {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft-pairs-json")
+    // three chunks engineered so components MERGE across micro-batches:
+    // chunk 1 creates {1,2},{3,4},{10,11}; chunk 2 glues 2-3 (fusing two
+    // existing groups) and opens {20,21}; chunk 3 glues 11-20 (fusing two
+    // groups found in DIFFERENT earlier batches) and extends 4-5
+    val chunks = Seq(
+      Seq((1L, 2L), (3L, 4L), (10L, 11L)),
+      Seq((2L, 3L), (20L, 21L)),
+      Seq((11L, 20L), (4L, 5L)))
+    chunks.zipWithIndex.foreach { case (ps, i) =>
+      val lines = ps.map { case (a, b) => s"""{"doc_a":$a,"doc_b":$b}""" }
+      val f = dir.resolve(f"chunk-$i%03d.json")
+      Files.write(f, String.join("\n", lines: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val stateDir = Files.createTempDirectory("graft-ccstate").toString
+    val ckpt = Files.createTempDirectory("graft-ccckpt").toString
+    val q = DedupGroupStream.attach(stream, "doc_a", "doc_b", stateDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "pair stream did not terminate")
+    val got = DedupGroupStream.latestState(spark, stateDir).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.text.TextDedup.duplicateGroups(
+        chunks.flatten.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe batch
+    // the interesting shape really happened: both cross-batch merges landed
+    got(5L) shouldBe 1L   // {1,2}+{3,4} fused in batch 2, extended in batch 3
+    got(21L) shouldBe 10L // {10,11}+{20,21} fused in batch 3
+  }
+
   "ViolationStream" should "emit exactly the batch violations rows (p11)" in {
     val got = ArrayBuffer.empty[Seq[Any]]
     runStream(ViolationStream.alerts(decodedStream, ParkingModel.users(spark, sfDir)), "append") {
