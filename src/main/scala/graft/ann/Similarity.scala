@@ -86,29 +86,82 @@ object Similarity {
     * lists scale recall at cost nProbe/nCells of the corpus per query. */
   def knnIvf(emb: DataFrame, idCol: String, vecCol: String,
              queryPred: Column, k: Int = 5, nCells: Int = 8,
-             nProbe: Int = 2): DataFrame = {
-    val cents: Array[(Long, Array[Float])] = emb
-      .select(col(idCol).cast("long"), col(vecCol))
+             nProbe: Int = 2): DataFrame =
+    knnIvfWith(emb, idCol, vecCol, queryPred,
+      lowestIdCentroids(emb, idCol, vecCol, nCells), k, nProbe)
+
+  /** The `nCells` lowest-id vectors as a coarse quantizer — deterministic
+    * so the DuckDB oracle can mirror the choice. */
+  def lowestIdCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                        nCells: Int): Array[(Long, Array[Float])] =
+    emb.select(col(idCol).cast("long"), col(vecCol))
       .orderBy(col(idCol)).limit(nCells)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    // (cos, -cent_id) structs: lexicographic struct order makes array_max
-    // pick highest cosine with ties broken toward the smallest centroid id
-    // — exactly the oracle's ORDER BY cos DESC, cent_id ASC.
-    def scoredCells(vec: Column): Column =
-      array(cents.map { case (cid, cv) =>
-        struct(cosine(vec, typedLit(cv)).as("cs"), lit(-cid).as("nc"))
-      }: _*)
+
+  /** (cos, -cent_id) structs: lexicographic struct order makes array_max
+    * pick highest cosine with ties broken toward the smallest centroid id
+    * — exactly the oracle's ORDER BY cos DESC, cent_id ASC. */
+  private def scoredCells(vec: Column, cents: Array[(Long, Array[Float])]): Column =
+    array(cents.map { case (cid, cv) =>
+      struct(cosine(vec, typedLit(cv)).as("cs"), lit(-cid).as("nc"))
+    }: _*)
+
+  private def cellOf(vec: Column, cents: Array[(Long, Array[Float])]): Column =
+    -array_max(scoredCells(vec, cents)).getField("nc")
+
+  /** IVF search against an explicit quantizer table — the plan shape of
+    * [[knnIvf]] with the centroid choice factored out, so a trained
+    * quantizer ([[trainIvfCentroids]]) slots in without touching the
+    * search: the centroid array is inlined as literals, cell assignment
+    * stays a narrow row-local argmax, and the corpus still never
+    * shuffles. Centroid ids are only a deterministic tiebreak token. */
+  def knnIvfWith(emb: DataFrame, idCol: String, vecCol: String,
+                 queryPred: Column, cents: Array[(Long, Array[Float])],
+                 k: Int = 5, nProbe: Int = 2): DataFrame = {
     val assigned = emb.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("ne"),
-      (-array_max(scoredCells(col(vecCol))).getField("nc")).as("cell"))
+      cellOf(col(vecCol), cents).as("cell"))
     val probes = emb.filter(queryPred).select(
         col(idCol).as("query_id"), col(vecCol).as("qe"),
-        explode(slice(reverse(array_sort(scoredCells(col(vecCol)))), 1, nProbe)).as("pc"))
+        explode(slice(reverse(array_sort(scoredCells(col(vecCol), cents))), 1, nProbe)).as("pc"))
       .select(col("query_id"), col("qe"), (-col("pc.nc")).as("cell"))
     val cands = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("sim"))
     topK(cands, k)
+  }
+
+  /** Bounded-Lloyd k-means training for the IVF quantizer, deterministic
+    * end-to-end: init = the `nCells` lowest-id vectors, then `iters`
+    * rounds of (assign by max-cosine, recompute per-cell means). Each
+    * round is ONE distributed pass: assignment is the same row-local
+    * argmax the search uses (centroids inlined as literals — the corpus
+    * never shuffles for it) and the mean reduction is a per-dimension
+    * `sum` aggregate, so only (nCells × dim) partial sums ride the
+    * shuffle — never vectors. The driver holds nCells × dim floats per
+    * round (a few KB); empty cells keep their previous centroid. Ids are
+    * carried from the seed vectors purely as stable tiebreak tokens. */
+  def trainIvfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                        nCells: Int = 8, iters: Int = 3): Array[(Long, Array[Float])] = {
+    var cents = lowestIdCentroids(emb, idCol, vecCol, nCells)
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
+    for (_ <- 0 until iters) {
+      val aggs = count(lit(1)).as("n") +:
+        (0 until dim).map(i => sum(element_at(col("__v"), i + 1).cast("double")).as(s"s$i"))
+      val byCell = emb
+        .select(col(vecCol).as("__v"), cellOf(col(vecCol), cents).as("cell"))
+        .groupBy("cell").agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      cents = cents.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(r) =>
+            val n = r.getLong(1).toDouble
+            (cid, Array.tabulate(dim)(i => (r.getDouble(2 + i) / n).toFloat))
+          case None => (cid, old)
+        }
+      }
+    }
+    cents
   }
 
   /** Near-duplicate vector pairs with cosine ≥ `minSim`, blocked by

@@ -58,6 +58,30 @@ class SimilaritySpec extends SparkSpec {
     out.filter(_._1 == 2L).map(_._2).toSet shouldBe Set(3L, 4L)
   }
 
+  "trainIvfCentroids" should "be deterministic and beat sign-bucket LSH recall on the test corpus" in {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = col("vec_id") < 20
+    def recallOf(approx: Map[Long, Set[Long]], truth: Map[Long, Set[Long]]): Double = {
+      val hits = truth.map { case (q, t) => (t intersect approx.getOrElse(q, Set.empty)).size }.sum
+      hits.toDouble / truth.values.map(_.size).sum
+    }
+    def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val truth = neighbors(Similarity.knnBruteForce(corpus, "vec_id", "embedding", pred))
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nCells = 8, iters = 3)
+    val cents2 = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nCells = 8, iters = 3)
+    cents.map(_._1) shouldBe cents2.map(_._1)
+    cents.zip(cents2).foreach { case ((_, a), (_, b)) => a.toSeq shouldBe b.toSeq }
+    val ivfRecall = recallOf(neighbors(
+      Similarity.knnIvfWith(corpus, "vec_id", "embedding", pred, cents, nProbe = 2)), truth)
+    val lshRecall = recallOf(neighbors(
+      Similarity.knnLsh(corpus, "vec_id", "embedding", pred)), truth)
+    info(f"recall@5: ivf-kmeans(nProbe=2/8) $ivfRecall%.3f vs sign-lsh(8 planes) $lshRecall%.3f")
+    ivfRecall should be >= lshRecall
+    ivfRecall should be >= 0.6
+  }
+
   "knnLsh" should "recover near-identical vectors from the same bucket" in {
     val out = Similarity.knnLsh(emb, "vec_id", "embedding", col("vec_id") === 1L, k = 3, dim = 4)
       .collect().map(_.getAs[Long]("neighbor_id"))
