@@ -77,6 +77,27 @@ object OracleSqlDocs {
 
   private val stopList = "('the','a','of','and','to','in','is','on','for','with')"
 
+  /** The p40 synthetic-PII augmentation — the `||` twin of
+    * DocAnalytics.piiAugmented's concat chain. */
+  private val piiAug: String =
+    "text || ' contact user' || doc_id || '@example.com call +1 555 010 ' || doc_id" +
+      " || ' ip 10.0.0.' || (doc_id % 256) || ' ref ' || (900000000 + doc_id)"
+
+  /** Word k-gram CTE prefix (distinct hashed k-grams per doc), the
+    * generalized form of [[shingleCtes]] for any window size. */
+  private def gramCtes(k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
+       |), thd AS (
+       |  SELECT id, list_transform(t, tok -> ${hash("tok")}) AS th FROM toks
+       |), gr AS (
+       |  SELECT id, list_distinct(CASE WHEN len(th) >= $k
+       |    THEN [list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+${k - 1}]),
+       |          (a, b) -> (a*31 + b) % $P) for i in range(1, len(th)-${k - 2})]
+       |    ELSE CAST([] AS BIGINT[]) END) AS g
+       |  FROM thd
+       |)""".stripMargin
+
   /** Shared CTE chain producing simhash near-dup candidates (`cand` with
     * both signatures) — p17's body, also the pair source for p37's
     * connected components. */
@@ -286,6 +307,77 @@ object OracleSqlDocs {
          |)
          |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, sim
          |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin,
+
+    // content-hash split twin: same hash, same Knuth re-scramble, same
+    // per-mille thresholds
+    "p39_hash_split" ->
+      s"""WITH n AS (SELECT doc_id AS id, ${norm("text")} AS nrm FROM documents),
+         |b AS (SELECT id, ${hash("nrm")} * 2654435761 % $P % 1000 AS bucket FROM n)
+         |SELECT id, bucket,
+         |  CASE WHEN bucket < 800 THEN 'train'
+         |       WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY id""".stripMargin,
+
+    "p40_pii_scrub" -> {
+      val counts = graft.text.TextCuration.PiiPatterns.map { case (name, pat, _) =>
+        s"CAST(len(regexp_extract_all(nrm, '$pat')) AS BIGINT) AS n_$name"
+      }.mkString(",\n  ")
+      val scrubbed = graft.text.TextCuration.PiiPatterns.foldLeft("nrm") {
+        case (acc, (_, pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
+      }
+      s"""WITH aug AS (SELECT doc_id AS id, $piiAug AS text FROM documents),
+         |n AS (SELECT id, ${norm("text")} AS nrm FROM aug)
+         |SELECT id, $scrubbed AS clean_text,
+         |  $counts
+         |FROM n ORDER BY id""".stripMargin
+    },
+
+    "p41_repetition" ->
+      s"""WITH n AS (SELECT doc_id AS id, ${norm("text")} AS nrm FROM documents),
+         |t AS (SELECT id, nrm, string_split(nrm, ' ') AS t FROM n),
+         |c AS (SELECT id,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(list_max(list_transform(list_distinct(t),
+         |    d -> len(list_filter(t, x -> x = d)))) AS BIGINT) AS top_cnt,
+         |  CAST(greatest(0, len(t) - 1) AS BIGINT) AS n_bigrams,
+         |  CAST(len(list_distinct(CASE WHEN len(t) >= 2
+         |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+         |    ELSE CAST([] AS VARCHAR[]) END)) AS BIGINT) AS n_uniq_bigrams,
+         |  CAST(length(nrm) - length(regexp_replace(nrm, '[^a-z0-9 ]', '', 'g'))
+         |    AS BIGINT) AS n_sym,
+         |  CAST(length(nrm) AS BIGINT) AS n_chars
+         |FROM t)
+         |SELECT id,
+         |  CAST(top_cnt AS DOUBLE)/n_tokens AS top_token_ratio,
+         |  CASE WHEN n_bigrams > 0
+         |    THEN CAST(n_bigrams - n_uniq_bigrams AS DOUBLE)/n_bigrams
+         |    ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac,
+         |  CAST(n_sym AS DOUBLE)/n_chars AS symbol_ratio,
+         |  (CAST(top_cnt AS DOUBLE)/n_tokens <= CAST(0.2 AS DOUBLE)
+         |   AND (CASE WHEN n_bigrams > 0
+         |        THEN CAST(n_bigrams - n_uniq_bigrams AS DOUBLE)/n_bigrams
+         |        ELSE CAST(0.0 AS DOUBLE) END) <= CAST(0.3 AS DOUBLE)
+         |   AND CAST(n_sym AS DOUBLE)/n_chars <= CAST(0.2 AS DOUBLE)) AS keep
+         |FROM c ORDER BY id""".stripMargin,
+
+    // 5-gram decontamination twin: docs < 25 are the held-out benchmark
+    "p42_contamination" -> (gramCtes(5) +
+      s""",
+         |corpus AS (SELECT id, unnest(g) AS g FROM gr WHERE id >= 25),
+         |bench AS (SELECT DISTINCT unnest(g) AS g FROM gr WHERE id < 25),
+         |j AS (
+         |  SELECT c.id, CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM corpus c LEFT JOIN bench b ON c.g = b.g
+         |)
+         |SELECT id, count(*) AS n_grams, CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE)/count(*) AS contamination_ratio,
+         |  sum(hit) >= 1 AS is_contaminated
+         |FROM j GROUP BY id ORDER BY id""".stripMargin),
+
+    "p43_hash_sample" ->
+      s"""WITH n AS (SELECT doc_id AS id, ${norm("text")} AS nrm FROM documents),
+         |b AS (SELECT id, ${hash("nrm")} * 48271 % $P % 100 AS sample_key FROM n)
+         |SELECT id, sample_key FROM b WHERE sample_key < 10 ORDER BY id""".stripMargin,
 
     // IVF-flat twin of Similarity.knnIvf: centroids are the 8 lowest-id
     // vectors (the deterministic quantizer the Spark side collects), cell

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import graft.sources.Tables
-import graft.text.{TextDedup, TextStats}
+import graft.text.{TextCuration, TextDedup, TextStats}
 import graft.ann.Similarity
 
 /** The LLM-data-pipeline query surface over the `documents` and
@@ -23,6 +23,20 @@ object DocAnalytics {
   /** Query vectors for the knn queries: a fixed small id range, standing in
     * for the "query set" a real ANN service would broadcast. */
   private val QueryMaxId = 20
+
+  /** Synthetic PII planted per document from doc_id — one exact match per
+    * pattern family in [[graft.text.TextCuration.PiiPatterns]]. The DuckDB
+    * oracle rebuilds this string with the same `||` chain, so the scrubbed
+    * text and the pre-scrub counts are value-compared, not just shaped. */
+  private def piiAugmented(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, lit}
+    val id = col("doc_id").cast("string")
+    docs.select(col("doc_id"), concat(
+      col("text"),
+      lit(" contact user"), id, lit("@example.com call +1 555 010 "), id,
+      lit(" ip 10.0.0."), (col("doc_id") % 256).cast("string"),
+      lit(" ref "), (col("doc_id") + 900000000L).cast("string")).as("text"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p13_exact_dedup" -> ((s, d) =>
@@ -62,6 +76,26 @@ object DocAnalytics {
       Similarity.knnLsh(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     "p38_knn_ivf" -> ((s, d) =>
       Similarity.knnIvf(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
+    // corpus curation: deterministic content-hash split/sample (dupes land
+    // in the same split; no RNG), PII scrubbing over text augmented with
+    // synthetic formula-generated PII (the oracle rebuilds the identical
+    // augmentation, so counts and replacements verify value-for-value),
+    // Gopher/C4-style repetition heuristics, and n-gram benchmark
+    // decontamination with doc_id < 25 standing in as the held-out set.
+    "p39_hash_split" -> ((s, d) =>
+      TextCuration.hashSplit(docs(s, d), "doc_id", "text")),
+    "p40_pii_scrub" -> ((s, d) =>
+      TextCuration.piiScrub(piiAugmented(docs(s, d)), "doc_id", "text")),
+    "p41_repetition" -> ((s, d) =>
+      TextCuration.repetitionStats(docs(s, d), "doc_id", "text")),
+    "p42_contamination" -> ((s, d) => {
+      val all = docs(s, d)
+      TextCuration.contamination(
+        all.filter(col("doc_id") >= 25), all.filter(col("doc_id") < 25),
+        "doc_id", "text")
+    }),
+    "p43_hash_sample" -> ((s, d) =>
+      TextCuration.hashSample(docs(s, d), "doc_id", "text")),
     "p23_embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding")),
     // multimodal: stats and dedup computed from the REAL binary column;

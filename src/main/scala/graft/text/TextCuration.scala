@@ -1,0 +1,168 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Barrier
+import graft.functions.TextPrims._
+
+/** Corpus-curation operators for LLM-training-data pipelines: dataset
+  * splitting, deterministic sampling, PII scrubbing, repetition/quality
+  * heuristics, and benchmark-contamination checks. Like the rest of the
+  * text surface these are pure DataFrame transforms built from
+  * higher-order functions plus the codegen'd [[graft.functions.PolyHash]]
+  * — no UDFs, no RNG state — and each has a value-exact DuckDB oracle in
+  * [[graft.OracleSqlDocs]].
+  *
+  * Determinism is the design center: splits and samples key on a CONTENT
+  * hash, not on ids, row order, or an RNG — so an exact duplicate always
+  * lands in the same split (no train/test leakage through dupes), the
+  * assignment is reproducible run-to-run and engine-to-engine, and adding
+  * or removing other documents never moves an existing one.
+  */
+object TextCuration {
+
+  /** (id, norm, h): normalized text and its content hash, once per row. */
+  private def hashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = Barrier.once(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
+      "norm" -> normText(col("__t")))
+    Barrier.once(n, Seq("id", "norm"), "h" -> charHash(col("norm")))
+  }
+
+  /** Deterministic train/val/test assignment by content hash: the hash is
+    * re-scrambled (Knuth multiplicative, mod P) into a bucket in [0, 1000)
+    * so the split key is decorrelated from the dedup operators' use of the
+    * same content hash, then thresholded 80/10/10. Narrow, shuffle-free:
+    * split assignment at 100 TB is a row-local expression on each scan
+    * task. Output: (id, bucket, split). */
+  def hashSplit(df: DataFrame, idCol: String, textCol: String,
+                trainPerMille: Int = 800, valPerMille: Int = 100): DataFrame =
+    hashFrame(df, idCol, textCol)
+      .select(col("id"),
+        (col("h") * 2654435761L % P % 1000L).as("bucket"))
+      .select(col("id"), col("bucket"),
+        when(col("bucket") < trainPerMille, "train")
+          .when(col("bucket") < trainPerMille + valPerMille, "val")
+          .otherwise("test").as("split"))
+      .orderBy("id")
+
+  /** Deterministic Bernoulli-style sampling by content hash: keep a row
+    * iff its re-scrambled hash lands under `percent` of the [0, 100)
+    * range. Same properties as [[hashSplit]] — reproducible, duplicate-
+    * stable, row-local (the filter pushes to the scan; at 100 TB the
+    * sample is computed without any shuffle or RNG coordination).
+    * Output: the kept (id, sample_key) rows. */
+  def hashSample(df: DataFrame, idCol: String, textCol: String,
+                 percent: Int = 10): DataFrame =
+    hashFrame(df, idCol, textCol)
+      .select(col("id"), (col("h") * 48271L % P % 100L).as("sample_key"))
+      .filter(col("sample_key") < percent)
+      .orderBy("id")
+
+  /** PII patterns, ordered — longest/most-specific first so e.g. an email
+    * is replaced before its digit run could match the id pattern. Written
+    * in the regex subset Java (Spark) and RE2 (DuckDB) parse AND match
+    * identically: explicit character classes, no word-boundary
+    * metacharacters, no backtracking-dependent alternations. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+", "<EMAIL>"),
+    ("phone", "\\+[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("idnum", "[0-9]{9,}", "<ID>"))
+
+  /** PII scrubbing: count then replace each pattern family in order, on
+    * the normalized text. Counts are taken BEFORE any replacement (on the
+    * pristine norm) so they report what was present, not what an earlier
+    * replacement left behind; replacements are then applied sequentially
+    * in [[PiiPatterns]] order. Narrow and shuffle-free — at 100 TB this
+    * is a pure scan-side rewrite. Output: (id, clean_text, n_email,
+    * n_phone, n_ipv4, n_idnum). */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = Barrier.once(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
+      "norm" -> normText(col("__t")))
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col("norm"), lit(pat), lit(0))).cast("long").as(s"n_$name")
+    }
+    val scrubbed = PiiPatterns.foldLeft(col("norm")) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+    n.select(col("id") +: scrubbed.as("clean_text") +: counts: _*)
+      .orderBy("id")
+  }
+
+  /** Repetition / quality heuristics in the Gopher–C4 family, per
+    * document: the most-frequent-token share, the fraction of word
+    * bigrams that are repeats, and the non-alphanumeric character share —
+    * plus a keep/drop flag at conventional thresholds. Row-local (the
+    * token-frequency scan is O(tokens × distinct) per DOCUMENT — bounded
+    * by document length, independent of corpus size — so the operator
+    * stays a narrow shuffle-free projection at 100 TB). Double math is
+    * explicit left-to-right division so DuckDB reproduces it exactly.
+    * Output: (id, top_token_ratio, dup_bigram_frac, symbol_ratio, keep). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      maxTopTokenRatio: Double = 0.2,
+                      maxDupBigramFrac: Double = 0.3,
+                      maxSymbolRatio: Double = 0.2): DataFrame = {
+    val toks = Barrier.once(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
+      "norm" -> normText(col("__t")))
+    val t = Barrier.once(toks, Seq("id", "norm"), "t" -> split(col("norm"), " "))
+    val counters = Barrier.once(t, Seq("id"),
+      "n_tokens" -> size(col("t")).cast("long"),
+      "top_cnt" -> array_max(transform(array_distinct(col("t")),
+        d => size(filter(col("t"), x => x === d)))).cast("long"),
+      "n_bigrams" -> greatest(lit(0), size(col("t")) - 1).cast("long"),
+      "n_uniq_bigrams" -> size(array_distinct(wordShingles(col("t"), 2))).cast("long"),
+      "n_sym" -> (length(col("norm")) -
+        length(regexp_replace(col("norm"), "[^a-z0-9 ]", ""))).cast("long"),
+      "n_chars" -> length(col("norm")).cast("long"))
+    val topRatio = col("top_cnt").cast("double") / col("n_tokens")
+    val dupFrac = when(col("n_bigrams") > 0L,
+      (col("n_bigrams") - col("n_uniq_bigrams")).cast("double") / col("n_bigrams"))
+      .otherwise(lit(0.0))
+    val symRatio = col("n_sym").cast("double") / col("n_chars")
+    counters.select(
+      col("id"),
+      topRatio.as("top_token_ratio"),
+      dupFrac.as("dup_bigram_frac"),
+      symRatio.as("symbol_ratio"),
+      (topRatio <= maxTopTokenRatio && dupFrac <= maxDupBigramFrac &&
+        symRatio <= maxSymbolRatio).as("keep"))
+      .orderBy("id")
+  }
+
+  /** Benchmark-contamination check: for every corpus document, how many
+    * of its hashed word `k`-grams appear anywhere in a benchmark
+    * (held-out eval) document set. The industry-standard n-gram-overlap
+    * decontamination join, shaped for scale: both sides reduce to
+    * DISTINCT fixed-width gram hashes, the benchmark side collapses to
+    * one row per gram (its size is the benchmark's vocabulary, tiny next
+    * to the corpus — Spark broadcast-joins it under AQE), and corpus
+    * grams left-join it so the exchange carries (id, gram) longs only —
+    * never text. A document with zero overlapping grams still reports
+    * n_hits = 0. Output: (id, n_grams, n_hits, contamination_ratio,
+    * is_contaminated). */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, k: Int = 5,
+                    minHits: Int = 1): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      Barrier.once(
+        Barrier.once(
+          df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
+          "th" -> transform(tokens(col("__t")), charHash _)),
+        Seq("id"), "g" -> hashedShinglesFromTokenHashes(col("th"), k))
+    val corpusGrams = grams(corpus)
+      .select(col("id"), explode(col("g")).as("g"))
+    val benchGrams = grams(benchmark)
+      .select(explode(col("g")).as("g")).distinct()
+      .select(col("g"), lit(1L).as("__hit"))
+    corpusGrams.join(benchGrams, Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col("id"), col("n_grams"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_grams")).as("contamination_ratio"),
+        (col("n_hits") >= minHits).as("is_contaminated"))
+      .orderBy("id")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class TextCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the old bridge"),
+    (2L, "THE quick   brown fox jumps over the lazy dog near the old bridge"),
+    (3L, "completely different content about spark engines and shuffle plans"),
+    (4L, "spam spam spam spam spam spam spam spam spam spam")
+  ).toDF("doc_id", "text")
+
+  "hashSplit" should "assign normalized-identical texts to the same split and stay deterministic" in {
+    val a = TextCuration.hashSplit(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val b = TextCuration.hashSplit(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    a shouldBe b
+    val byId = a.map(t => t._1 -> t).toMap
+    byId(1L)._2 shouldBe byId(2L)._2 // same content hash -> same bucket
+    byId(1L)._3 shouldBe byId(2L)._3 // -> same split: no leakage through dupes
+    all(a.map(_._2)) should (be >= 0L and be < 1000L)
+    a.foreach { case (_, bucket, split) =>
+      split shouldBe (if (bucket < 800) "train" else if (bucket < 900) "val" else "test")
+    }
+  }
+
+  "hashSample" should "be a deterministic content-keyed subset" in {
+    val s1 = TextCuration.hashSample(docs, "doc_id", "text", percent = 60)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = TextCuration.hashSample(docs, "doc_id", "text", percent = 60)
+      .collect().map(_.getLong(0)).toSet
+    s1 shouldBe s2
+    // dupes travel together: either both sampled or neither
+    s1.contains(1L) shouldBe s1.contains(2L)
+    // percent = 100 keeps everything
+    TextCuration.hashSample(docs, "doc_id", "text", percent = 100).count() shouldBe 4L
+  }
+
+  "piiScrub" should "count then replace every planted PII family" in {
+    val planted = Seq((7L,
+      "Reach me at Jane.Doe+spam@Example.COM or +1 (555) 010-7788, " +
+        "server 192.168.001.042, account 987654321 thanks")).toDF("doc_id", "text")
+    val r = TextCuration.piiScrub(planted, "doc_id", "text").collect().head
+    r.getAs[Long]("n_email") shouldBe 1L
+    r.getAs[Long]("n_phone") shouldBe 1L
+    r.getAs[Long]("n_ipv4") shouldBe 1L
+    r.getAs[Long]("n_idnum") shouldBe 1L
+    val clean = r.getAs[String]("clean_text")
+    clean should include("<EMAIL>")
+    clean should include("<PHONE>")
+    clean should include("<IP>")
+    clean should include("<ID>")
+    clean should not include "example.com"
+    clean should not include "987654321"
+    clean should not include "192.168"
+  }
+
+  it should "leave clean text untouched with zero counts" in {
+    val r = TextCuration.piiScrub(docs.filter(col("doc_id") === 3L), "doc_id", "text")
+      .collect().head
+    Seq("n_email", "n_phone", "n_ipv4", "n_idnum").foreach(c => r.getAs[Long](c) shouldBe 0L)
+    r.getAs[String]("clean_text") shouldBe
+      "completely different content about spark engines and shuffle plans"
+  }
+
+  "repetitionStats" should "flag token-spam and pass normal prose" in {
+    val m = TextCuration.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    m(4L).getAs[Double]("top_token_ratio") shouldBe 1.0
+    m(4L).getAs[Double]("dup_bigram_frac") shouldBe (8.0 / 9.0) +- 1e-12
+    m(4L).getAs[Boolean]("keep") shouldBe false
+    m(3L).getAs[Boolean]("keep") shouldBe true
+    m(3L).getAs[Double]("dup_bigram_frac") shouldBe 0.0
+  }
+
+  "contamination" should "flag exactly the corpus docs sharing a 5-gram with the benchmark" in {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon more words here"), // shares 5-grams
+      (2L, "entirely unrelated text with no overlap at all in any window"),
+      (3L, "alpha beta gamma delta trailing off early") // only 4-gram overlap
+    ).toDF("doc_id", "text")
+    val m = TextCuration.contamination(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    m(1L).getAs[Boolean]("is_contaminated") shouldBe true
+    m(1L).getAs[Long]("n_hits") shouldBe 1L // "alpha beta gamma delta epsilon"
+    m(2L).getAs[Boolean]("is_contaminated") shouldBe false
+    m(2L).getAs[Long]("n_hits") shouldBe 0L
+    m(3L).getAs[Boolean]("is_contaminated") shouldBe false
+    m(1L).getAs[Double]("contamination_ratio") shouldBe
+      (1.0 / m(1L).getAs[Long]("n_grams")) +- 1e-12
+  }
+}
