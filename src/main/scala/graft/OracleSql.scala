@@ -221,6 +221,39 @@ object OracleSql {
       |SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts,
       |       COUNT(*) AS n_events FROM parking""".stripMargin),
 
+    // strict as-of twin of AsOfJoin.asOf over the p28 series: for each
+    // event, the max series bucket strictly before its own hour, left
+    // joins preserved so first-hour events keep a null occupancy. The
+    // O(E×S) inequality join is fine for the oracle at sf0.01; the Spark
+    // side is the single-shuffle union-window plan.
+    "p44_asof_occupancy" -> (ParkingCte + """,
+      |hourly AS (
+      |  SELECT parkingLotId, strftime(ts, '%Y-%m-%d %H') AS hour_bucket,
+      |         COUNT(CASE WHEN eventType = 'PARKING_ENTRY' THEN 1 END) AS entries,
+      |         COUNT(CASE WHEN eventType = 'PARKING_EXIT' THEN 1 END) AS exits
+      |  FROM parking GROUP BY 1, 2
+      |), series AS (
+      |  SELECT parkingLotId, hour_bucket,
+      |         GREATEST(0, CAST(SUM(entries) OVER w AS BIGINT)
+      |                     - CAST(SUM(exits) OVER w AS BIGINT)) AS occ
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY parkingLotId ORDER BY hour_bucket
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), ev AS (
+      |  SELECT event_id, parkingLotId, strftime(ts, '%Y-%m-%d %H') AS hb
+      |  FROM parking
+      |), best AS (
+      |  SELECT e.event_id, e.parkingLotId, e.hb, max(s.hour_bucket) AS bh
+      |  FROM ev e LEFT JOIN series s
+      |    ON s.parkingLotId = e.parkingLotId AND s.hour_bucket < e.hb
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT b.event_id, b.parkingLotId, b.hb AS hour_bucket_ev,
+      |       s.occ AS occ_prev_hour
+      |FROM best b LEFT JOIN series s
+      |  ON s.parkingLotId = b.parkingLotId AND s.hour_bucket = b.bh
+      |ORDER BY event_id""".stripMargin),
+
     "p28_cumulative_series" -> (ParkingCte + """,
       |hourly AS (
       |  SELECT parkingLotId, strftime(ts, '%Y-%m-%d %H') AS hour_bucket,

@@ -346,6 +346,24 @@ object ParkingAnalytics {
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest_ts"),
         count(lit(1)).as("n_events"))
 
+  /** As-of enrichment: every event tagged with the lot's running occupancy
+    * as of the last COMPLETED hour before it (strict as-of — the hour the
+    * event itself falls in is still open, so its bucket must not match).
+    * Events in a lot's first active hour have no prior snapshot → null.
+    * Exercises [[AsOfJoin]] over the p28 cumulative series. */
+  def occupancyAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val series = cumulativeSeries(spark, dir)
+      .select(col("parkingLotId"), col("hour_bucket"), col("occupancy_running"))
+    val ev = parkingEvents(spark, dir).select(
+      col("event_id"), col("parkingLotId"),
+      date_format(col("ts"), "yyyy-MM-dd HH").as("hour_bucket_ev"))
+    AsOfJoin.asOf(ev, series, Seq("parkingLotId"),
+        "hour_bucket_ev", "hour_bucket", Seq("occupancy_running"), strict = true)
+      .select(col("event_id"), col("parkingLotId"), col("hour_bucket_ev"),
+        col("occupancy_running").as("occ_prev_hour"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hourly_stats" -> (hourlyStats _),
     "p02_occupancy_by_lot" -> (occupancyByLot _),
@@ -367,5 +385,6 @@ object ParkingAnalytics {
     "p32_duration_stats" -> (durationStats _),
     "p33_entry_exit_ratio" -> (entryExitRatio _),
     "p34_lot_turnover" -> (lotTurnover _),
-    "p35_entries_heatmap" -> (entriesHeatmap _))
+    "p35_entries_heatmap" -> (entriesHeatmap _),
+    "p44_asof_occupancy" -> (occupancyAsOf _))
 }
