@@ -254,6 +254,31 @@ object OracleSql {
       |  ON s.parkingLotId = b.parkingLotId AND s.hour_bucket = b.bh
       |ORDER BY event_id""".stripMargin),
 
+    // point-in-interval twin of RangeJoin.pointInInterval: the oracle
+    // states containment as a plain inequality join (fine at sf0.01);
+    // the Spark side is the day-binned equi-join plan.
+    "p45_event_session_range" -> (ParkingCte + """,
+      |seq AS (
+      |  SELECT *, lag(eventType) OVER w AS prev_type, lag(ts) OVER w AS prev_ts
+      |  FROM parking
+      |  WINDOW w AS (PARTITION BY licensePlate, parkingSpotId ORDER BY event_id)
+      |), sess AS (
+      |  SELECT event_id AS sess_id, parkingLotId, parkingSpotId,
+      |         CAST(FLOOR(epoch(prev_ts)) AS BIGINT) AS entry_sec,
+      |         CAST(FLOOR(epoch(ts)) AS BIGINT) AS exit_sec
+      |  FROM seq WHERE eventType = 'PARKING_EXIT' AND prev_type = 'PARKING_ENTRY'
+      |), ev AS (
+      |  SELECT event_id, parkingLotId, parkingSpotId,
+      |         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ev_sec
+      |  FROM parking
+      |)
+      |SELECT e.event_id, e.parkingLotId, e.parkingSpotId,
+      |       count(*) AS n_sessions, min(s.sess_id) AS first_session
+      |FROM ev e JOIN sess s
+      |  ON s.parkingLotId = e.parkingLotId AND s.parkingSpotId = e.parkingSpotId
+      | AND s.entry_sec <= e.ev_sec AND e.ev_sec <= s.exit_sec
+      |GROUP BY 1, 2, 3 ORDER BY e.event_id""".stripMargin),
+
     "p28_cumulative_series" -> (ParkingCte + """,
       |hourly AS (
       |  SELECT parkingLotId, strftime(ts, '%Y-%m-%d %H') AS hour_bucket,

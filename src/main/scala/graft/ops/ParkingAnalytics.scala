@@ -364,6 +364,32 @@ object ParkingAnalytics {
       .orderBy("event_id")
   }
 
+  /** Range-join attribution: every event matched to the sessions at its
+    * (lot, spot) whose [entry, exit] second-interval contains it —
+    * exercises [[RangeJoin]] with day-width bins over the session
+    * intervals. Events covered by no session (e.g. an ENTRY whose EXIT
+    * never arrived) produce no row, inner-join semantics the oracle
+    * mirrors. */
+  def eventSessionAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("licensePlate", "parkingSpotId").orderBy("event_id")
+    val sess = parkingEvents(spark, dir)
+      .withColumn("prev_type", lag("eventType", 1).over(w))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .filter(isExit && col("prev_type") === "PARKING_ENTRY")
+      .select(col("event_id").as("sess_id"),
+        col("parkingLotId"), col("parkingSpotId"),
+        unix_timestamp(col("prev_ts")).as("entry_sec"),
+        unix_timestamp(col("ts")).as("exit_sec"))
+    val ev = parkingEvents(spark, dir).select(
+      col("event_id"), col("parkingLotId"), col("parkingSpotId"),
+      unix_timestamp(col("ts")).as("ev_sec"))
+    RangeJoin.pointInInterval(ev, sess, Seq("parkingLotId", "parkingSpotId"),
+        "ev_sec", "entry_sec", "exit_sec", binWidth = 86400L)
+      .groupBy("event_id", "parkingLotId", "parkingSpotId")
+      .agg(count(lit(1)).as("n_sessions"), min("sess_id").as("first_session"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hourly_stats" -> (hourlyStats _),
     "p02_occupancy_by_lot" -> (occupancyByLot _),
@@ -386,5 +412,6 @@ object ParkingAnalytics {
     "p33_entry_exit_ratio" -> (entryExitRatio _),
     "p34_lot_turnover" -> (lotTurnover _),
     "p35_entries_heatmap" -> (entriesHeatmap _),
-    "p44_asof_occupancy" -> (occupancyAsOf _))
+    "p44_asof_occupancy" -> (occupancyAsOf _),
+    "p45_event_session_range" -> (eventSessionAttribution _))
 }

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scalable point-in-interval range join — with [[AsOfJoin]], the second
+  * of the interval-join family Spark's built-in equi-join surface lacks.
+  * Matches every point row to every interval row of the same key group
+  * whose [lo, hi] (inclusive) contains the point.
+  *
+  * Spark-first plan via axis binning: the numeric axis is cut into
+  * `binWidth` buckets; each interval EXPLODES into one row per bucket it
+  * overlaps while each point maps to exactly ONE bucket, so the join is a
+  * plain equi-join on (keys, bucket) followed by the residual containment
+  * filter. No |P|×|I| theta-join explosion — candidates are bounded by
+  * interval span / binWidth per interval — and no dedup pass is needed:
+  * an interval appears at most once per bucket and a point lives in one
+  * bucket, so each (point, interval) pair meets at most once. Pick
+  * binWidth near the typical interval span: too small multiplies the
+  * exploded index, too large widens candidate buckets (the standard
+  * binned-range-join dial; both costs are linear and skew degrades into
+  * shuffle-partition skew AQE already handles).
+  *
+  * Point and interval frames must not share non-key column names.
+  */
+object RangeJoin {
+  def pointInInterval(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                      pointCol: String, loCol: String, hiCol: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val binned = intervals
+      .filter(col(loCol) <= col(hiCol)) // degenerate intervals match nothing
+      .withColumn("__bin", explode(sequence(
+        floor(col(loCol).cast("double") / binWidth).cast("long"),
+        floor(col(hiCol).cast("double") / binWidth).cast("long"))))
+    val p = points.withColumn("__bin",
+      floor(col(pointCol).cast("double") / binWidth).cast("long"))
+    p.join(binned, keys :+ "__bin")
+      .filter(col(loCol) <= col(pointCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
+}
