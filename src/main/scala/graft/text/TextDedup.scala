@@ -266,8 +266,12 @@ object TextDedup {
           .groupBy(col("src").as("id")).agg(min(col("dl")).as("lab1"))
         // pointer jump: follow the freshly-updated mapping one more step —
         // jmp = lab1F(lab1) ≤ lab1, at least halving the remaining
-        // distance. Total: every label is a node id, and lab1F covers all
-        // nodes. One job materializes the round; lineage ends here.
+        // distance. ONE jump is the measured optimum here: a second jump
+        // per round cut rounds 7 → 5 on the sf0.1 graph but its extra
+        // tiny-table join cost more wall time than the rounds it saved
+        // (6.9 s → 9.0 s warm). Total: every label is a node id, and
+        // lab1F covers all nodes. One job materializes the round; lineage
+        // ends here.
         val jumpMap = lab1F.select(col("id").as("id2"), col("lab1").as("jmp"))
         val next = lab1F.join(jumpMap, col("lab1") === col("id2"))
           .select(col("id"), least(col("lab1"), col("jmp")).as("label"))
