@@ -279,6 +279,55 @@ object OracleSql {
       | AND s.entry_sec <= e.ev_sec AND e.ev_sec <= s.exit_sec
       |GROUP BY 1, 2, 3 ORDER BY e.event_id""".stripMargin),
 
+    "p46_cube_stats" -> (ParkingCte + """
+      |SELECT COALESCE(parkingLotId, 'ALL') AS lot,
+      |       COALESCE(vehicleType, 'ALL') AS vtype,
+      |       count(*) AS n_events,
+      |       COUNT(CASE WHEN eventType = 'PARKING_ENTRY' THEN 1 END) AS entries
+      |FROM parking
+      |GROUP BY CUBE (parkingLotId, vehicleType)
+      |ORDER BY lot, vtype""".stripMargin),
+
+    "p47_unregistered_plates" -> (ParkingCte + """
+      |SELECT licensePlate, count(*) AS n_events
+      |FROM parking
+      |WHERE licensePlate NOT IN (SELECT u_plate FROM users)
+      |GROUP BY 1 ORDER BY licensePlate""".stripMargin),
+
+    "p48_shared_plates" -> (ParkingCte + """
+      |SELECT DISTINCT licensePlate FROM parking WHERE eventType = 'PARKING_ENTRY'
+      |INTERSECT
+      |SELECT DISTINCT licensePlate FROM parking WHERE eventType = 'PARKING_EXIT'
+      |ORDER BY licensePlate""".stripMargin),
+
+    // gaps-and-islands twin of Spark's session_window(ts, '30 minutes'):
+    // a new session starts exactly when the microsecond gap to the
+    // previous event is >= 30 min (epoch_us keeps the boundary exact —
+    // double epoch() could flip a borderline gap).
+    "p49_plate_sessions" -> (ParkingCte + """,
+      |o AS (
+      |  SELECT licensePlate, ts, event_id,
+      |         lag(ts) OVER (PARTITION BY licensePlate ORDER BY ts, event_id) AS prev
+      |  FROM parking
+      |), m AS (
+      |  SELECT licensePlate, ts, event_id,
+      |         CASE WHEN prev IS NULL
+      |              OR epoch_us(ts) - epoch_us(prev) >= 1800000000 THEN 1
+      |              ELSE 0 END AS brk
+      |  FROM o
+      |), g AS (
+      |  SELECT licensePlate, ts,
+      |         SUM(brk) OVER (PARTITION BY licensePlate ORDER BY ts, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM m
+      |)
+      |SELECT licensePlate,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+      |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+      |       count(*) AS n_events
+      |FROM g GROUP BY licensePlate, grp
+      |ORDER BY licensePlate, first_ts""".stripMargin),
+
     "p28_cumulative_series" -> (ParkingCte + """,
       |hourly AS (
       |  SELECT parkingLotId, strftime(ts, '%Y-%m-%d %H') AS hour_bucket,

@@ -390,6 +390,60 @@ object ParkingAnalytics {
       .orderBy("event_id")
   }
 
+  /** Multi-level rollup via CUBE over (lot, vehicleType): one pass emits
+    * per-(lot, type), per-lot, per-type, and grand totals — the grouping-
+    * sets family SURVEY §2.9 lists as absent in the reference (which runs
+    * a separate driver-side pass per level). Rolled-up dimensions are
+    * COALESCEd to 'ALL' (the source columns are never null, so no
+    * ambiguity) keeping the sort order engine-independent. */
+  def cubeStats(spark: SparkSession, dir: String): DataFrame =
+    parkingEvents(spark, dir)
+      .cube(col("parkingLotId"), col("vehicleType"))
+      .agg(count(lit(1)).as("n_events"), count(when(isEntry, 1)).as("entries"))
+      .select(
+        coalesce(col("parkingLotId"), lit("ALL")).as("lot"),
+        coalesce(col("vehicleType"), lit("ALL")).as("vtype"),
+        col("n_events"), col("entries"))
+      .orderBy("lot", "vtype")
+
+  /** Anti join: event counts for plates with NO row in the user registry
+    * (the registry drops every 7th key, so these are real). left_anti is
+    * the broadcast-friendly negative-membership plan — the registry side
+    * broadcasts exactly like J1's positive enrichment join. */
+  def unregisteredPlates(spark: SparkSession, dir: String): DataFrame =
+    parkingEvents(spark, dir)
+      .join(graft.schema.ParkingModel.users(spark, dir),
+        col("licensePlate") === col("u_plate"), "left_anti")
+      .groupBy("licensePlate").agg(count(lit(1)).as("n_events"))
+      .orderBy("licensePlate")
+
+  /** INTERSECT: plates observed with BOTH an ENTRY and an EXIT event —
+    * the set-op family (§2.9 absent list). (Lot-vs-lot intersect would be
+    * vacuously empty here: a plate's lot is a pure function of its id.)
+    * Spark plans intersect as a distinct-then-semi-join; both sides prune
+    * to the single plate column before the exchange. */
+  def sharedPlates(spark: SparkSession, dir: String): DataFrame = {
+    val ev = parkingEvents(spark, dir)
+    ev.filter(isEntry).select("licensePlate")
+      .intersect(ev.filter(isExit).select("licensePlate"))
+      .orderBy("licensePlate")
+  }
+
+  /** Gap-based sessionization per plate via Spark's NATIVE session_window
+    * (30-minute gap): merges events whose windows overlap, i.e. a new
+    * session starts exactly when the gap to the previous event is
+    * >= 30 min. Reported as (first_ts, last_ts, n_events) rather than the
+    * raw window struct so the oracle's gaps-and-islands twin (exact
+    * microsecond arithmetic) compares value-for-value. */
+  def plateSessions(spark: SparkSession, dir: String): DataFrame =
+    parkingEvents(spark, dir)
+      .groupBy(col("licensePlate"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+      .select(col("licensePlate"), col("first_ts"), col("last_ts"), col("n_events"))
+      .orderBy("licensePlate", "first_ts")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hourly_stats" -> (hourlyStats _),
     "p02_occupancy_by_lot" -> (occupancyByLot _),
@@ -413,5 +467,9 @@ object ParkingAnalytics {
     "p34_lot_turnover" -> (lotTurnover _),
     "p35_entries_heatmap" -> (entriesHeatmap _),
     "p44_asof_occupancy" -> (occupancyAsOf _),
-    "p45_event_session_range" -> (eventSessionAttribution _))
+    "p45_event_session_range" -> (eventSessionAttribution _),
+    "p46_cube_stats" -> (cubeStats _),
+    "p47_unregistered_plates" -> (unregisteredPlates _),
+    "p48_shared_plates" -> (sharedPlates _),
+    "p49_plate_sessions" -> (plateSessions _))
 }
