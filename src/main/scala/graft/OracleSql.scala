@@ -328,6 +328,37 @@ object OracleSql {
       |FROM g GROUP BY licensePlate, grp
       |ORDER BY licensePlate, first_ts""".stripMargin),
 
+    "p51_never_parked" -> (ParkingCte + """
+      |SELECT u_plate AS licensePlate FROM users
+      |EXCEPT
+      |SELECT licensePlate FROM parking
+      |ORDER BY licensePlate""".stripMargin),
+
+    // deterministic lower discrete quantile: element ceil(q*n) of the
+    // sorted duration list — integer selection, no interpolation, so both
+    // engines agree exactly.
+    "p52_duration_percentiles" -> (ParkingCte + """,
+      |seq AS (
+      |  SELECT *, lag(eventType) OVER w AS prev_type, lag(ts) OVER w AS prev_ts
+      |  FROM parking
+      |  WINDOW w AS (PARTITION BY licensePlate, parkingSpotId ORDER BY event_id)
+      |), durs AS (
+      |  SELECT parkingLotId,
+      |         CAST(CASE WHEN prev_type = 'PARKING_ENTRY'
+      |              THEN FLOOR((FLOOR(epoch(ts)) - FLOOR(epoch(prev_ts))) / 60)
+      |              ELSE FLOOR(duration_ms / 60000) END AS BIGINT) AS duration_min
+      |  FROM seq WHERE eventType = 'PARKING_EXIT'
+      |), byLot AS (
+      |  SELECT parkingLotId, list_sort(list(duration_min)) AS ds
+      |  FROM durs GROUP BY parkingLotId
+      |)
+      |SELECT parkingLotId,
+      |       CAST(len(ds) AS BIGINT) AS n_sessions,
+      |       ds[CAST(greatest(1, ceil(0.5 * len(ds))) AS INT)] AS p50_min,
+      |       ds[CAST(greatest(1, ceil(0.9 * len(ds))) AS INT)] AS p90_min,
+      |       ds[CAST(greatest(1, ceil(0.99 * len(ds))) AS INT)] AS p99_min
+      |FROM byLot ORDER BY parkingLotId""".stripMargin),
+
     "p28_cumulative_series" -> (ParkingCte + """,
       |hourly AS (
       |  SELECT parkingLotId, strftime(ts, '%Y-%m-%d %H') AS hour_bucket,

@@ -76,6 +76,15 @@ object DocAnalytics {
       Similarity.knnLsh(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     "p38_knn_ivf" -> ((s, d) =>
       Similarity.knnIvf(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
+    // trained-quantizer IVF: intentionally NO oracle SQL (mirroring three
+    // Lloyd rounds in SQL would re-implement the trainer, not verify it) —
+    // the driver records the weaker rows-only check here while recall
+    // correctness is pinned by SimilaritySpec against brute force.
+    "p50_knn_ivf_trained" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.knnIvfWith(e, "vec_id", "embedding", col("vec_id") < QueryMaxId,
+        Similarity.trainIvfCentroids(e, "vec_id", "embedding"))
+    }),
     // corpus curation: deterministic content-hash split/sample (dupes land
     // in the same split; no RNG), PII scrubbing over text augmented with
     // synthetic formula-generated PII (the oracle rebuilds the identical

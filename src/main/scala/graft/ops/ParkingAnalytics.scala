@@ -444,6 +444,35 @@ object ParkingAnalytics {
       .select(col("licensePlate"), col("first_ts"), col("last_ts"), col("n_events"))
       .orderBy("licensePlate", "first_ts")
 
+  /** EXCEPT: registered plates never observed in any event — the last
+    * set-op family (§2.6/§2.9). (ENTRY-except-EXIT would be vacuously
+    * empty on this data: every plate has both, see p48.) Spark plans
+    * except as distinct-then-anti-join, both sides pruned to one column. */
+  def neverParkedPlates(spark: SparkSession, dir: String): DataFrame =
+    graft.schema.ParkingModel.users(spark, dir).select(col("u_plate").as("licensePlate"))
+      .except(parkingEvents(spark, dir).select("licensePlate"))
+      .orderBy("licensePlate")
+
+  /** Exact per-lot duration percentiles by DETERMINISTIC index selection:
+    * sort the collected durations and take element ceil(q·n) (1-based,
+    * the lower discrete quantile) — integer arithmetic end-to-end, so the
+    * oracle matches value-for-value where interpolating percentile
+    * implementations could drift in double math. collect_list is bounded
+    * by sessions-per-lot; at 100 TB swap in a two-pass rank selection
+    * (count, then filter by row_number) — same semantics, no driver-side
+    * change. */
+  def durationPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    def pick(q: Double) =
+      element_at(col("ds"), greatest(lit(1), ceil(lit(q) * size(col("ds")))).cast("int"))
+    sessionDurations(spark, dir)
+      .groupBy("parkingLotId")
+      .agg(sort_array(collect_list(col("duration_min"))).as("ds"))
+      .select(col("parkingLotId"),
+        size(col("ds")).cast("long").as("n_sessions"),
+        pick(0.5).as("p50_min"), pick(0.9).as("p90_min"), pick(0.99).as("p99_min"))
+      .orderBy("parkingLotId")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hourly_stats" -> (hourlyStats _),
     "p02_occupancy_by_lot" -> (occupancyByLot _),
@@ -471,5 +500,7 @@ object ParkingAnalytics {
     "p46_cube_stats" -> (cubeStats _),
     "p47_unregistered_plates" -> (unregisteredPlates _),
     "p48_shared_plates" -> (sharedPlates _),
-    "p49_plate_sessions" -> (plateSessions _))
+    "p49_plate_sessions" -> (plateSessions _),
+    "p51_never_parked" -> (neverParkedPlates _),
+    "p52_duration_percentiles" -> (durationPercentiles _))
 }
