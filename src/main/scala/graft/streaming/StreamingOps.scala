@@ -112,6 +112,25 @@ object SessionStream {
   * its hourly Redis key. The watermark bounds state: windows more than
   * `lateness` behind the max event time are finalized and evicted.
   */
+/** Gap-based sessionization as a STREAMING aggregate over Spark's native
+  * session_window — the streaming twin of the batch `plateSessions` query
+  * (p49). Sessions merge statefully across micro-batches; the watermark
+  * bounds state by finalizing windows whose end (last event + gap) falls
+  * behind it. Update mode re-emits a session each batch it grows; sinks
+  * upsert by (plate, first_ts) — with event-time-ordered input a session
+  * only ever extends forward, so its first_ts is a stable upsert key. */
+object SessionWindowStream {
+  def sessions(decoded: DataFrame, gap: String = "30 minutes",
+               lateness: String = "1 hour"): DataFrame =
+    decoded
+      .withWatermark("ts", lateness)
+      .groupBy(col("licensePlate"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+      .select(col("licensePlate"), col("first_ts"), col("last_ts"), col("n_events"))
+}
+
 object HourlyStatsStream {
   def aggregates(decoded: DataFrame, lateness: String = "1 hour"): DataFrame =
     decoded

@@ -138,6 +138,32 @@ class StreamingParitySpec extends SparkSpec {
     agg.toMap shouldBe batch
   }
 
+  "SessionWindowStream" should "emit exactly the batch plateSessions rows it finalizes (p49)" in {
+    // streaming session windows support append mode only (Spark 4): a
+    // session emits once its window end (last event + gap) falls behind
+    // the watermark, so sessions near the end of the replay stay open and
+    // unemitted. Parity contract: every emitted row equals its batch twin
+    // exactly, and every batch session comfortably behind the final
+    // watermark (last_ts + gap + slack < max_ts - lateness) was emitted.
+    val emitted = TrieMap.empty[(String, String), (String, Long)]
+    runStream(SessionWindowStream.sessions(decodedStream), "append") { b =>
+      b.collect().foreach { r =>
+        emitted((r.getString(0), r.getString(1))) = (r.getString(2), r.getLong(3))
+      }
+    }
+    val batch = ParkingAnalytics.plateSessions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getString(2), r.getLong(3))).toMap
+    emitted.foreach { case (k, v) => batch.get(k) shouldBe Some(v) }
+    // lateness 60 min + gap 30 min + 1 min slack, as a lexicographically
+    // comparable second-string in the same UTC format as last_ts
+    val cutoff = ParkingModel.parkingEvents(spark, sfDir)
+      .agg(date_format(max(col("ts")) - expr("INTERVAL 91 MINUTES"),
+        "yyyy-MM-dd HH:mm:ss")).head().getString(0)
+    val mustEmit = batch.filter { case (_, (lastTs, _)) => lastTs < cutoff }
+    mustEmit.nonEmpty shouldBe true // the contract below must bite
+    mustEmit.keySet.subsetOf(emitted.keySet) shouldBe true
+  }
+
   "DedupGroupStream" should "converge to the batch duplicateGroups over all streamed pairs" in {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
