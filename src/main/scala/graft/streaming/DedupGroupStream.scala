@@ -60,10 +60,14 @@ object DedupGroupStream {
   /** Attach the incremental-components sink to a stream of (aCol, bCol)
     * pair rows and start it. Each micro-batch refreshes
     * `stateDir/v<batchId>` with the full current (doc_id, group_id)
-    * assignment. */
+    * assignment, then prunes versions older than the newest
+    * `retainVersions` (keeping a few for readers mid-scan of the previous
+    * version and for post-mortem diffing — without pruning the state dir
+    * grows by one full assignment copy per micro-batch forever). */
   def attach(pairStream: DataFrame, aCol: String, bCol: String,
              stateDir: String, checkpointDir: String,
-             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+             trigger: Trigger = Trigger.AvailableNow(),
+             retainVersions: Int = 2): StreamingQuery =
     pairStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -80,6 +84,14 @@ object DedupGroupStream {
         val merged = TextDedup.duplicateGroups(
           stars.union(fresh), "doc_a", "doc_b")
         merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        val root = new Path(stateDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+          .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
+          .sortBy(-_._1)
+          .drop(math.max(1, retainVersions))
+          .foreach { case (_, p) => fs.delete(p, true) }
       }
       .start()
 }

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+
+/** Plan locks for the interval-join and decontamination operators: the
+  * scale claims in their scaladocs (no theta-join explosion, broadcast
+  * direction) asserted against the EXECUTED (AQE-final) plan so a
+  * refactor can't silently regress them. */
+class PlanLockSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Execute and return every physical node, descending through AQE's
+    * stage wrappers (collect treats them as leaves otherwise). */
+  private def executedNodes(df: DataFrame): Seq[SparkPlan] = {
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => Seq(other)
+    }.flatten
+    walk(df.queryExecution.executedPlan)
+  }
+
+  "occupancyAsOf (p44)" should "run join-free — pure union + window" in {
+    val nodes = executedNodes(ParkingAnalytics.occupancyAsOf(spark, sfDir))
+    nodes.count {
+      case _: SortMergeJoinExec | _: BroadcastHashJoinExec |
+           _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    } shouldBe 0
+  }
+
+  "eventSessionAttribution (p45)" should "plan the containment as an equi-join, never a theta join" in {
+    val nodes = executedNodes(ParkingAnalytics.eventSessionAttribution(spark, sfDir))
+    nodes.count {
+      case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    } shouldBe 0
+    nodes.count {
+      case _: SortMergeJoinExec | _: BroadcastHashJoinExec => true
+      case _ => false
+    } should be >= 1
+  }
+
+  "contamination (p42)" should "broadcast the benchmark gram vocabulary" in {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val nodes = executedNodes(graft.text.TextCuration.contamination(
+      docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25), "doc_id", "text"))
+    nodes.count { case _: BroadcastHashJoinExec => true; case _ => false } should be >= 1
+    nodes.count {
+      case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    } shouldBe 0
+  }
+}

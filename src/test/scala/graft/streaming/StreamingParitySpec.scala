@@ -199,6 +199,11 @@ class StreamingParitySpec extends SparkSpec {
     // the interesting shape really happened: both cross-batch merges landed
     got(5L) shouldBe 1L   // {1,2}+{3,4} fused in batch 2, extended in batch 3
     got(21L) shouldBe 10L // {10,11}+{20,21} fused in batch 3
+    // retention pruned old versions: 3 batches ran, default keeps 2
+    val versions = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).sorted
+    versions.length shouldBe 2
+    versions.last shouldBe "v2"
   }
 
   "ViolationStream" should "emit exactly the batch violations rows (p11)" in {
