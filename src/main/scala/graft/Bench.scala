@@ -35,6 +35,13 @@ object Bench {
       emb.as("a").join(emb.as("b"), col("a.vec_id") === col("b.vec_id"))
         .select(graft.functions.AnnPrims.cosine(col("a.embedding"), col("b.embedding")))
         .count()
+      // iterative shape: a 3-pair duplicateGroups warms the localCheckpoint
+      // + window/agg round machinery so the real p37 isn't billed its
+      // one-time codegen/classloading (same rationale as the scan warm-up)
+      import spark.implicits._
+      graft.text.TextDedup.duplicateGroups(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .count()
     } catch { case _: Throwable => () }
     var failed = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
