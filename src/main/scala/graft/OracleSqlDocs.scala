@@ -379,6 +379,50 @@ object OracleSqlDocs {
          |b AS (SELECT id, ${hash("nrm")} * 48271 % $P % 100 AS sample_key FROM n)
          |SELECT id, sample_key FROM b WHERE sample_key < 10 ORDER BY id""".stripMargin,
 
+    // composed curation report: lang-id (p19), content-hash split (p39),
+    // repetition keep flag (p41), and token counts (p18) recomputed per
+    // doc, rolled up by (lang, split) with integer-exact aggregates
+    "p53_curation_summary" ->
+      s"""WITH n AS (SELECT doc_id AS id, ${norm("text")} AS nrm FROM documents),
+         |t AS (SELECT id, nrm, string_split(nrm, ' ') AS t FROM n),
+         |feat AS (
+         |  SELECT id,
+         |    ${hash("nrm")} * 2654435761 % $P % 1000 AS bucket,
+         |    CAST(len(list_filter(t, x -> x IN ('the','is','and','of'))) AS BIGINT) AS en,
+         |    CAST(len(list_filter(t, x -> x IN ('el','la','que','de'))) AS BIGINT) AS es,
+         |    CAST(len(list_filter(t, x -> x IN ('le','les','une','est'))) AS BIGINT) AS fr,
+         |    CAST(len(list_filter(t, x -> x IN ('der','die','und','ist'))) AS BIGINT) AS de,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(list_max(list_transform(list_distinct(t),
+         |      d -> len(list_filter(t, x -> x = d)))) AS BIGINT) AS top_cnt,
+         |    CAST(greatest(0, len(t) - 1) AS BIGINT) AS n_bigrams,
+         |    CAST(len(list_distinct(CASE WHEN len(t) >= 2
+         |      THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+         |      ELSE CAST([] AS VARCHAR[]) END)) AS BIGINT) AS n_uniq_bigrams,
+         |    CAST(length(nrm) - length(regexp_replace(nrm, '[^a-z0-9 ]', '', 'g'))
+         |      AS BIGINT) AS n_sym,
+         |    CAST(length(nrm) AS BIGINT) AS n_chars
+         |  FROM t
+         |), lab AS (
+         |  SELECT id, n_tokens,
+         |    CASE WHEN en + es + fr + de = 0 THEN 'und'
+         |         WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+         |         WHEN es >= fr AND es >= de THEN 'es'
+         |         WHEN fr >= de THEN 'fr' ELSE 'de' END AS predicted_lang,
+         |    CASE WHEN bucket < 800 THEN 'train'
+         |         WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+         |    (CAST(top_cnt AS DOUBLE)/n_tokens <= CAST(0.2 AS DOUBLE)
+         |     AND (CASE WHEN n_bigrams > 0
+         |          THEN CAST(n_bigrams - n_uniq_bigrams AS DOUBLE)/n_bigrams
+         |          ELSE CAST(0.0 AS DOUBLE) END) <= CAST(0.3 AS DOUBLE)
+         |     AND CAST(n_sym AS DOUBLE)/n_chars <= CAST(0.2 AS DOUBLE)) AS keep
+         |  FROM feat
+         |)
+         |SELECT predicted_lang, split, count(*) AS n_docs,
+         |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM lab GROUP BY 1, 2 ORDER BY predicted_lang, split""".stripMargin,
+
     // IVF-flat twin of Similarity.knnIvf: centroids are the 8 lowest-id
     // vectors (the deterministic quantizer the Spark side collects), cell
     // assignment is argmax cosine with ties toward the smallest centroid id

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, sum, when}
 import graft.sources.Tables
 import graft.text.{TextCuration, TextDedup, TextStats}
 import graft.ann.Similarity
@@ -105,6 +105,23 @@ object DocAnalytics {
     }),
     "p43_hash_sample" -> ((s, d) =>
       TextCuration.hashSample(docs(s, d), "doc_id", "text")),
+    // operator COMPOSITION: the curation report a pipeline would emit —
+    // lang-id × split × quality-keep × token budget joined on doc id and
+    // rolled up. Aggregates are counts and long sums only, so the
+    // composed oracle stays value-exact (double means would be
+    // summation-order-dependent).
+    "p53_curation_summary" -> ((s, d) => {
+      val ds = docs(s, d)
+      TextStats.langId(ds, "doc_id", "text").select(col("id"), col("predicted_lang"))
+        .join(TextCuration.hashSplit(ds, "doc_id", "text").select(col("id"), col("split")), "id")
+        .join(TextCuration.repetitionStats(ds, "doc_id", "text").select(col("id"), col("keep")), "id")
+        .join(TextStats.stats(ds, "doc_id", "text").select(col("id"), col("n_tokens")), "id")
+        .groupBy("predicted_lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("predicted_lang", "split")
+    }),
     "p23_embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding")),
     // multimodal: stats and dedup computed from the REAL binary column;

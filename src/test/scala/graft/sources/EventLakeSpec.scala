@@ -53,6 +53,28 @@ class EventLakeSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  it should "survive schema evolution in both directions (declared-schema read)" in {
+    val dir = Files.createTempDirectory("graft-lake-evolve")
+    EventLake.writePartitioned(ParkingModel.parkingEvents(spark, sfDir).limit(5),
+      dir.toString)
+    val part = Files.walk(dir).filter(p => p.toString.contains("h=")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path]).find(Files.isDirectory(_)).get
+    // FORWARD compat: a writer added fields this reader doesn't know —
+    // unknown keys are ignored by the declared-schema read, row survives.
+    // BACKWARD compat: a writer omitted a known nullable field (duration)
+    // — the row decodes with null there rather than being dropped.
+    val newer =
+      """{"event_id":900001,"eventType":"PARKING_ENTRY","timestamp":"2024-01-01T10:00:00.000Z","vehicle":{"licensePlate":"P-9","vehicleType":"car","color":"red"},"parking":{"parkingLotId":"lot-01","parkingSpotId":"7","isSlotHandicapped":false},"duration":null,"NEW_FIELD":{"a":1},"schema_rev":7}"""
+    val older =
+      """{"event_id":900002,"eventType":"PARKING_EXIT","timestamp":"2024-01-01T10:01:00.000Z","vehicle":{"licensePlate":"P-9","vehicleType":"car","color":"red"},"parking":{"parkingLotId":"lot-01","parkingSpotId":"7","isSlotHandicapped":false}}"""
+    Files.write(part.resolve("evolved-extra.json"), (newer + "\n" + older).getBytes("UTF-8"))
+    val out = EventLake.read(spark, dir.toString)
+    out.count() shouldBe 7L
+    val evolved = out.filter(col("event_id") >= 900001L).orderBy("event_id").collect()
+    evolved.map(_.getAs[Long]("event_id")).toSeq shouldBe Seq(900001L, 900002L)
+    evolved.last.isNullAt(evolved.last.fieldIndex("duration_ms")) shouldBe true
+  }
+
   it should "tolerate corrupt lines in the lake (S3 permissive read)" in {
     val dir = Files.createTempDirectory("graft-lake-corrupt")
     EventLake.writePartitioned(ParkingModel.parkingEvents(spark, sfDir).limit(10),
