@@ -359,6 +359,27 @@ object OracleSql {
       |       ds[CAST(greatest(1, ceil(0.99 * len(ds))) AS INT)] AS p99_min
       |FROM byLot ORDER BY parkingLotId""".stripMargin),
 
+    "p54_lot_cardinalities" -> (ParkingCte + """
+      |SELECT parkingLotId,
+      |       COUNT(DISTINCT licensePlate) AS n_plates,
+      |       COUNT(DISTINCT parkingSpotId) AS n_spots,
+      |       count(*) AS n_events
+      |FROM parking GROUP BY 1 ORDER BY parkingLotId""".stripMargin),
+
+    "p55_busiest_hours" -> (ParkingCte + """,
+      |hourly AS (
+      |  SELECT parkingLotId, strftime(ts, '%Y-%m-%d %H') AS hour_bucket,
+      |         count(*) AS entries
+      |  FROM parking WHERE eventType = 'PARKING_ENTRY' GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT *, CAST(dense_rank() OVER (PARTITION BY parkingLotId
+      |                 ORDER BY entries DESC, hour_bucket) AS BIGINT) AS rnk
+      |  FROM hourly
+      |)
+      |SELECT parkingLotId, rnk, hour_bucket, CAST(entries AS BIGINT) AS entries
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY parkingLotId, rnk, hour_bucket""".stripMargin),
+
     "p28_cumulative_series" -> (ParkingCte + """,
       |hourly AS (
       |  SELECT parkingLotId, strftime(ts, '%Y-%m-%d %H') AS hour_bucket,

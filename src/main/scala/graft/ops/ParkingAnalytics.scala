@@ -473,6 +473,39 @@ object ParkingAnalytics {
       .orderBy("parkingLotId")
   }
 
+  /** Distinct aggregation: per-lot distinct plates/spots beside the plain
+    * event count — the distinct-agg family (§2.9 absent list). Spark
+    * plans multi-distinct via Expand + two-level aggregation; the
+    * partial-dedup still runs map-side before the shuffle. */
+  def lotCardinalities(spark: SparkSession, dir: String): DataFrame =
+    parkingEvents(spark, dir)
+      .groupBy("parkingLotId")
+      .agg(
+        countDistinct(col("licensePlate")).as("n_plates"),
+        countDistinct(col("parkingSpotId")).as("n_spots"),
+        count(lit(1)).as("n_events"))
+      .orderBy("parkingLotId")
+
+  /** Ranking window functions: the top-3 busiest hours per lot by entry
+    * count, dense_rank over a per-lot window with a deterministic
+    * (count desc, hour asc) total order — the ranking family (§2.9
+    * absent list; p08's top-K is a global TakeOrderedAndProject, this is
+    * the per-group windowed form). */
+  def busiestHours(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = parkingEvents(spark, dir)
+      .filter(isEntry)
+      .groupBy(col("parkingLotId"), date_format(col("ts"), "yyyy-MM-dd HH").as("hour_bucket"))
+      .agg(count(lit(1)).as("entries"))
+    hourly
+      .withColumn("rnk", dense_rank().over(
+        Window.partitionBy("parkingLotId")
+          .orderBy(col("entries").desc, col("hour_bucket"))))
+      .filter(col("rnk") <= 3)
+      .select(col("parkingLotId"), col("rnk").cast("long").as("rnk"),
+        col("hour_bucket"), col("entries"))
+      .orderBy("parkingLotId", "rnk", "hour_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hourly_stats" -> (hourlyStats _),
     "p02_occupancy_by_lot" -> (occupancyByLot _),
@@ -502,5 +535,7 @@ object ParkingAnalytics {
     "p48_shared_plates" -> (sharedPlates _),
     "p49_plate_sessions" -> (plateSessions _),
     "p51_never_parked" -> (neverParkedPlates _),
-    "p52_duration_percentiles" -> (durationPercentiles _))
+    "p52_duration_percentiles" -> (durationPercentiles _),
+    "p54_lot_cardinalities" -> (lotCardinalities _),
+    "p55_busiest_hours" -> (busiestHours _))
 }
