@@ -336,7 +336,12 @@ object OracleSql {
 
     // deterministic lower discrete quantile: element ceil(q*n) of the
     // sorted duration list — integer selection, no interpolation, so both
-    // engines agree exactly.
+    // engines agree exactly. The q literals are CAST to DOUBLE: DuckDB
+    // would otherwise parse them as DECIMAL and compute ceil(0.9*n)
+    // exactly (= 9 at n=10) while Spark's double 0.9*10 is 9.000…002
+    // (ceil 10) — the index diverges whenever q*n is a whole number in
+    // decimal. Matching Spark's double arithmetic keeps the boundary
+    // identical on both sides for every n.
     "p52_duration_percentiles" -> (ParkingCte + """,
       |seq AS (
       |  SELECT *, lag(eventType) OVER w AS prev_type, lag(ts) OVER w AS prev_ts
@@ -354,9 +359,9 @@ object OracleSql {
       |)
       |SELECT parkingLotId,
       |       CAST(len(ds) AS BIGINT) AS n_sessions,
-      |       ds[CAST(greatest(1, ceil(0.5 * len(ds))) AS INT)] AS p50_min,
-      |       ds[CAST(greatest(1, ceil(0.9 * len(ds))) AS INT)] AS p90_min,
-      |       ds[CAST(greatest(1, ceil(0.99 * len(ds))) AS INT)] AS p99_min
+      |       ds[CAST(greatest(1, ceil(CAST(0.5 AS DOUBLE) * len(ds))) AS INT)] AS p50_min,
+      |       ds[CAST(greatest(1, ceil(CAST(0.9 AS DOUBLE) * len(ds))) AS INT)] AS p90_min,
+      |       ds[CAST(greatest(1, ceil(CAST(0.99 AS DOUBLE) * len(ds))) AS INT)] AS p99_min
       |FROM byLot ORDER BY parkingLotId""".stripMargin),
 
     "p54_lot_cardinalities" -> (ParkingCte + """
