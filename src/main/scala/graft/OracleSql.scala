@@ -336,12 +336,12 @@ object OracleSql {
 
     // deterministic lower discrete quantile: element ceil(q*n) of the
     // sorted duration list — integer selection, no interpolation, so both
-    // engines agree exactly. The q literals are CAST to DOUBLE: DuckDB
-    // would otherwise parse them as DECIMAL and compute ceil(0.9*n)
-    // exactly (= 9 at n=10) while Spark's double 0.9*10 is 9.000…002
-    // (ceil 10) — the index diverges whenever q*n is a whole number in
-    // decimal. Matching Spark's double arithmetic keeps the boundary
-    // identical on both sides for every n.
+    // engines agree exactly. The q literals are CAST to DOUBLE because
+    // DuckDB otherwise parses them as DECIMAL and computes the index in
+    // exact decimal while Spark uses binary doubles; for these constants
+    // the two agree for all n <= 5000 (scanned), but only by IEEE
+    // rounding luck — casting makes both engines evaluate the identical
+    // double expression for any q and n.
     "p52_duration_percentiles" -> (ParkingCte + """,
       |seq AS (
       |  SELECT *, lag(eventType) OVER w AS prev_type, lag(ts) OVER w AS prev_ts
