@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   *
   * `leftTime`/`rightTime` must be mutually comparable (both timestamps,
   * or both zero-padded time strings); payload names must not collide with
-  * left columns.
+  * left columns; (keys, rightTime) should uniquely identify a right row —
+  * with duplicate right times the attached payload is whichever duplicate
+  * the within-partition sort visits last (snapshot series like p44's
+  * hourly occupancy satisfy uniqueness by construction).
   */
 object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
