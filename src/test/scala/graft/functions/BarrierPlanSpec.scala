@@ -69,6 +69,30 @@ class BarrierPlanSpec extends SparkSpec {
     generates(plan).size should be >= 2
   }
 
+  it should "survive optimization in TextCuration.piiScrub's plan" in {
+    // one barrier stores norm; four count regexes + the four-deep
+    // replacement chain all reference it — without the barrier the
+    // normalize regex runs ~9x per row
+    val plan = graft.text.TextCuration.piiScrub(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan
+    generates(plan) should not be empty
+  }
+
+  it should "survive optimization in TextCuration.repetitionStats' plan" in {
+    // norm barrier + token barrier + counter barrier: the counter exprs
+    // (top-token scan, bigram sets) are the expensive ones
+    val plan = graft.text.TextCuration.repetitionStats(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan
+    generates(plan).size should be >= 3
+  }
+
+  it should "survive optimization in TextCuration.hashSplit's plan" in {
+    // norm barrier + hash barrier: bucket and split both read the stored h
+    val plan = graft.text.TextCuration.hashSplit(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan
+    generates(plan).size should be >= 2
+  }
+
   behavior of "the dedup self-join exchanges"
 
   it should "compute the shingle stage once in ngramJaccardPairs (reused exchange)" in {
