@@ -364,6 +364,11 @@ object OracleSql {
       |       ds[CAST(greatest(1, ceil(CAST(0.99 AS DOUBLE) * len(ds))) AS INT)] AS p99_min
       |FROM byLot ORDER BY parkingLotId""".stripMargin),
 
+    "p56_active_registered" -> (ParkingCte + """
+      |SELECT u_plate, handicapped FROM users
+      |WHERE u_plate IN (SELECT licensePlate FROM parking)
+      |ORDER BY u_plate""".stripMargin),
+
     "p54_lot_cardinalities" -> (ParkingCte + """
       |SELECT parkingLotId,
       |       COUNT(DISTINCT licensePlate) AS n_plates,

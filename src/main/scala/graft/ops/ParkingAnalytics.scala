@@ -506,6 +506,16 @@ object ParkingAnalytics {
       .orderBy("parkingLotId", "rnk", "hour_bucket")
   }
 
+  /** Semi join: registry rows (plate + handicapped flag) for plates with
+    * at least one observed event — left_semi keeps registry columns only
+    * and never multiplies rows by match count, the membership-probe
+    * counterpart of p47's anti join. */
+  def activeRegisteredPlates(spark: SparkSession, dir: String): DataFrame =
+    graft.schema.ParkingModel.users(spark, dir)
+      .join(parkingEvents(spark, dir),
+        col("u_plate") === col("licensePlate"), "left_semi")
+      .orderBy("u_plate")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hourly_stats" -> (hourlyStats _),
     "p02_occupancy_by_lot" -> (occupancyByLot _),
@@ -537,5 +547,6 @@ object ParkingAnalytics {
     "p51_never_parked" -> (neverParkedPlates _),
     "p52_duration_percentiles" -> (durationPercentiles _),
     "p54_lot_cardinalities" -> (lotCardinalities _),
-    "p55_busiest_hours" -> (busiestHours _))
+    "p55_busiest_hours" -> (busiestHours _),
+    "p56_active_registered" -> (activeRegisteredPlates _))
 }
