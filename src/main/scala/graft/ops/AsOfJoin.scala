@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   * ordering luck: at equal time, right rows sort before left for ≤
   * semantics and after left under `strict`.
   *
+  * Parallelism bound, stated honestly: the window partitions by the keys,
+  * so max parallelism = key cardinality. Natural as-of keys (symbol,
+  * user, document) are high-cardinality and scale out; for a
+  * low-cardinality key over a huge history (p44's 3 lots at corpus
+  * scale), sub-split the time axis into ranges carrying the last right
+  * row of the previous range as a seed snapshot, then run this operator
+  * per range — same semantics, range-count × key-count parallelism.
+  *
   * `leftTime`/`rightTime` must be mutually comparable (both timestamps,
   * or both zero-padded time strings); payload names must not collide with
   * left columns; (keys, rightTime) should uniquely identify a right row —
