@@ -364,6 +364,12 @@ object OracleSql {
       |       ds[CAST(greatest(1, ceil(CAST(0.99 AS DOUBLE) * len(ds))) AS INT)] AS p99_min
       |FROM byLot ORDER BY parkingLotId""".stripMargin),
 
+    "p57_unbalanced_entries" -> (ParkingCte + """
+      |SELECT licensePlate FROM parking WHERE eventType = 'PARKING_ENTRY'
+      |EXCEPT ALL
+      |SELECT licensePlate FROM parking WHERE eventType = 'PARKING_EXIT'
+      |ORDER BY licensePlate""".stripMargin),
+
     "p56_active_registered" -> (ParkingCte + """
       |SELECT u_plate, handicapped FROM users
       |WHERE u_plate IN (SELECT licensePlate FROM parking)

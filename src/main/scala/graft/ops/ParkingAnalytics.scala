@@ -516,6 +516,18 @@ object ParkingAnalytics {
         col("u_plate") === col("licensePlate"), "left_semi")
       .orderBy("u_plate")
 
+  /** EXCEPT ALL — multiset (bag) difference, a different operator from
+    * p51's set EXCEPT: each plate appears (entries − exits) times when
+    * positive, i.e. the unbalanced-entry multiset (plates currently inside
+    * if the stream ended now). Spark plans exceptAll via a count-annotated
+    * anti-semantics join + generate, all distributed. */
+  def unbalancedEntries(spark: SparkSession, dir: String): DataFrame = {
+    val ev = parkingEvents(spark, dir)
+    ev.filter(isEntry).select("licensePlate")
+      .exceptAll(ev.filter(isExit).select("licensePlate"))
+      .orderBy("licensePlate")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hourly_stats" -> (hourlyStats _),
     "p02_occupancy_by_lot" -> (occupancyByLot _),
@@ -548,5 +560,6 @@ object ParkingAnalytics {
     "p52_duration_percentiles" -> (durationPercentiles _),
     "p54_lot_cardinalities" -> (lotCardinalities _),
     "p55_busiest_hours" -> (busiestHours _),
-    "p56_active_registered" -> (activeRegisteredPlates _))
+    "p56_active_registered" -> (activeRegisteredPlates _),
+    "p57_unbalanced_entries" -> (unbalancedEntries _))
 }
