@@ -44,10 +44,23 @@ object Bench {
         .count()
     } catch { case _: Throwable => () }
     var failed = Map.empty[String, String]
+    // p50 is a training PIPELINE (3 Lloyd passes) followed by a search
+    // query; billing both to one number misreads the 'query' latency, so
+    // its phases are timed separately and reported as :train / :search
+    // sub-entries beside the combined total (round-5 verdict item 8).
+    var phases = Seq.empty[(String, Double)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
+      try {
+        if (name == "p50_knn_ivf_trained") {
+          val cents = graft.ops.DocAnalytics.p50Train(spark, sfDir)
+          val tTrain = (System.nanoTime() - t0) / 1e9
+          graft.ops.DocAnalytics.p50Search(spark, sfDir, cents)
+            .write.format("noop").mode("overwrite").save()
+          phases ++= Seq(s"$name:train" -> tTrain,
+            s"$name:search" -> ((System.nanoTime() - t0) / 1e9 - tTrain))
+        } else fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch {
         case e: Throwable =>
           failed += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
@@ -56,7 +69,7 @@ object Bench {
     val ok = results.filter { case (n, _) => !failed.contains(n) }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val qs = (ok ++ phases).map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errs = failed.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

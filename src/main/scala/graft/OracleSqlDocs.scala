@@ -77,6 +77,45 @@ object OracleSqlDocs {
 
   private val stopList = "('the','a','of','and','to','in','is','on','for','with')"
 
+  /** The IVF-flat SEARCH given a centroid CTE (`cents(cid, ce)`): argmax
+    * cell assignment with ties toward the smallest centroid id, a 2-cell
+    * probe list per query, and (sim DESC, neighbor_id ASC) top-5 — shared
+    * by p38 (lowest-id quantizer) and p50 (trained quantizer read back
+    * from the parquet the query persisted), so the two search oracles
+    * cannot drift apart. */
+  private def ivfSearchSql(centsCte: String): String =
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |$centsCte,
+       |scored AS (
+       |  SELECT v.vec_id, v.e, c.cid, ${cos("v.e", "c.ce")} AS cs
+       |  FROM v CROSS JOIN cents c
+       |),
+       |assigned AS (
+       |  SELECT vec_id AS neighbor_id, e AS ne, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY cs DESC, cid) AS rn
+       |    FROM scored
+       |  ) WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS query_id, e AS qe, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY cs DESC, cid) AS rn
+       |    FROM scored WHERE vec_id < 20
+       |  ) WHERE rn <= 2
+       |),
+       |sims AS (
+       |  SELECT query_id, neighbor_id, ${cos("qe", "ne")} AS sim
+       |  FROM probes JOIN assigned USING (cell) WHERE neighbor_id <> query_id
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM sims
+       |)
+       |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, sim
+       |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin
+
   /** The p40 synthetic-PII augmentation — the `||` twin of
     * DocAnalytics.piiAugmented's concat chain. */
   private val piiAug: String =
@@ -428,9 +467,51 @@ object OracleSqlDocs {
     // assignment is argmax cosine with ties toward the smallest centroid id
     // (the struct-ordering trick on the Spark side ≡ ORDER BY cs DESC, cid
     // ASC here), each query probes its 2 nearest cells, and ranking matches
-    // the tournament top-k's (sim DESC, neighbor_id ASC) total order.
-    "p38_knn_ivf" ->
+    // the bounded top-k aggregate's (sim DESC, neighbor_id ASC) total order.
+    "p38_knn_ivf" -> ivfSearchSql(
+      "cents AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8)"),
+
+    // trained-IVF twin of Similarity.knnIvfWith over the TRAINED quantizer:
+    // the p50 query persists the centroids its plan inlined as literals;
+    // this oracle replays the identical search against those exact floats —
+    // same argmax assignment, same 2-cell probe list, same top-k order.
+    // (The trainer itself is pinned by SimilaritySpec's recall test; a SQL
+    // re-run of Lloyd would verify the trainer against itself.)
+    "p50_knn_ivf_trained" -> ivfSearchSql(
+      "cents AS (SELECT cent_id AS cid, ce FROM read_parquet(" +
+        s"'${graft.ops.DocAnalytics.P50CentroidsPath}/*.parquet'))"),
+
+    // recall@k of the approximate paths vs exact brute force — all three
+    // top-k sets recomputed here with the same expressions as their own
+    // oracles (p21/p22/p38), then set-intersected per query. Integer hit
+    // counts; the single division matches Spark's double math exactly.
+    "p58_ann_recall" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20),
+         |bsims AS (
+         |  SELECT query_id, v.vec_id AS neighbor_id, ${cos("qe", "e")} AS sim
+         |  FROM q JOIN v ON v.vec_id <> query_id
+         |),
+         |btop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY sim DESC, neighbor_id) AS rn
+         |    FROM bsims
+         |  ) WHERE rn <= 5
+         |),
+         |bk AS (SELECT vec_id, e, ${bucket("e", 0, 8)} AS bucket FROM v),
+         |lq AS (SELECT vec_id AS query_id, e AS qe, bucket FROM bk WHERE vec_id < 20),
+         |lsims AS (
+         |  SELECT query_id, b.vec_id AS neighbor_id, ${cos("qe", "b.e")} AS sim
+         |  FROM lq JOIN bk b USING (bucket) WHERE b.vec_id <> query_id
+         |),
+         |ltop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY sim DESC, neighbor_id) AS rn
+         |    FROM lsims
+         |  ) WHERE rn <= 5
+         |),
          |cents AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
          |scored AS (
          |  SELECT v.vec_id, v.e, c.cid, ${cos("v.e", "c.ce")} AS cs
@@ -450,17 +531,32 @@ object OracleSqlDocs {
          |    FROM scored WHERE vec_id < 20
          |  ) WHERE rn <= 2
          |),
-         |sims AS (
+         |isims AS (
          |  SELECT query_id, neighbor_id, ${cos("qe", "ne")} AS sim
          |  FROM probes JOIN assigned USING (cell) WHERE neighbor_id <> query_id
          |),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |                               ORDER BY sim DESC, neighbor_id) AS rn
-         |  FROM sims
-         |)
-         |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, sim
-         |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin,
+         |itop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY sim DESC, neighbor_id) AS rn
+         |    FROM isims
+         |  ) WHERE rn <= 5
+         |),
+         |poss AS (SELECT count(*) AS n_possible FROM btop),
+         |lh AS (SELECT count(*) AS n_hits
+         |       FROM btop JOIN ltop USING (query_id, neighbor_id)),
+         |ih AS (SELECT count(*) AS n_hits
+         |       FROM btop JOIN itop USING (query_id, neighbor_id))
+         |SELECT * FROM (
+         |  SELECT 'ivf' AS method, ih.n_hits AS n_hits,
+         |         poss.n_possible AS n_possible,
+         |         CAST(ih.n_hits AS DOUBLE)/poss.n_possible AS recall_at_k
+         |  FROM ih, poss
+         |  UNION ALL
+         |  SELECT 'lsh', lh.n_hits, poss.n_possible,
+         |         CAST(lh.n_hits AS DOUBLE)/poss.n_possible
+         |  FROM lh, poss
+         |) ORDER BY method""".stripMargin,
 
     "p30_media_stats" ->
       s"""WITH gen AS (

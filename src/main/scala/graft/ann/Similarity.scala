@@ -19,25 +19,26 @@ import graft.functions.AnnPrims._
   */
 object Similarity {
 
-  /** Two-phase deterministic top-k: candidates (query_id, neighbor_id, sim)
-    * → per input-partition top-k → merged global top-k. The result is
-    * independent of partitioning because merging per-partition top-k lists
-    * under the total order (sim desc, neighbor_id asc) is associative. */
+  /** Deterministic bounded top-k: candidates (query_id, neighbor_id, sim)
+    * → k best per query under (sim desc, neighbor_id asc), via the
+    * [[graft.functions.TopKAgg]] k-bounded heap aggregate. Spark plans it
+    * partial→final, so each scan task reduces its split to ≤ k entries per
+    * query BEFORE the shuffle with O(k) memory per (query, partition) —
+    * never a global sort, never a per-partition candidate array (the
+    * collect_list form this replaced was O(partition rows) per group). The
+    * result is independent of partitioning because merging bounded heaps
+    * under a total order is associative. */
   private def topK(cands: DataFrame, k: Int): DataFrame =
     cands
-      .withColumn("pid", spark_partition_id())
-      .groupBy("query_id", "pid")
-      .agg(slice(array_sort(collect_list(struct(
-        (-col("sim")).as("neg"), col("neighbor_id").as("nid"), col("sim").as("s")))),
-        1, k).as("top"))
       .groupBy("query_id")
-      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
+      .agg(graft.functions.TopKAgg.topk(
+        col("sim"), col("neighbor_id").cast("long"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(
         col("query_id"),
         (col("pos") + 1).cast("long").as("knn_rank"),
-        col("col.nid").as("neighbor_id"),
-        col("col.s").as("sim"))
+        col("col.neighbor_id").as("neighbor_id"),
+        col("col.sim").as("sim"))
       .orderBy("query_id", "knn_rank")
 
   /** Exact cosine top-k: every query against the full corpus. */

@@ -14,7 +14,11 @@ object GraftFunctions {
 
   private def litInt(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v
-    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Long, _) =>
+      // reject out-of-range instead of silently wrapping (4294967296L → 0)
+      if (v != v.toInt) throw new IllegalArgumentException(
+        s"$fn expects an Int-range literal parameter, got out-of-range: $v")
+      else v.toInt
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal integer parameter, got: $other")
   }

@@ -350,15 +350,20 @@ object ParkingAnalytics {
     * as of the last COMPLETED hour before it (strict as-of — the hour the
     * event itself falls in is still open, so its bucket must not match).
     * Events in a lot's first active hour have no prior snapshot → null.
-    * Exercises [[AsOfJoin]] over the p28 cumulative series. */
+    * Exercises [[AsOfJoin.asOfRanged]] over the p28 cumulative series:
+    * with only 3 lots as keys, the plain as-of window would sort each
+    * lot's entire history in one task; the 24-way time-range sub-split
+    * makes parallelism 24 × lots while returning identical rows
+    * (range-split ≡ single-window, IntervalJoinPropertySpec). */
   def occupancyAsOf(spark: SparkSession, dir: String): DataFrame = {
     val series = cumulativeSeries(spark, dir)
       .select(col("parkingLotId"), col("hour_bucket"), col("occupancy_running"))
     val ev = parkingEvents(spark, dir).select(
       col("event_id"), col("parkingLotId"),
       date_format(col("ts"), "yyyy-MM-dd HH").as("hour_bucket_ev"))
-    AsOfJoin.asOf(ev, series, Seq("parkingLotId"),
-        "hour_bucket_ev", "hour_bucket", Seq("occupancy_running"), strict = true)
+    AsOfJoin.asOfRanged(ev, series, Seq("parkingLotId"),
+        "hour_bucket_ev", "hour_bucket", Seq("occupancy_running"), strict = true,
+        numRanges = 24, axis = c => to_timestamp(c, "yyyy-MM-dd HH"))
       .select(col("event_id"), col("parkingLotId"), col("hour_bucket_ev"),
         col("occupancy_running").as("occ_prev_hour"))
       .orderBy("event_id")
@@ -453,22 +458,32 @@ object ParkingAnalytics {
       .except(parkingEvents(spark, dir).select("licensePlate"))
       .orderBy("licensePlate")
 
-  /** Exact per-lot duration percentiles by DETERMINISTIC index selection:
-    * sort the collected durations and take element ceil(q·n) (1-based,
-    * the lower discrete quantile) — integer arithmetic end-to-end, so the
-    * oracle matches value-for-value where interpolating percentile
-    * implementations could drift in double math. collect_list is bounded
-    * by sessions-per-lot; at 100 TB swap in a two-pass rank selection
-    * (count, then filter by row_number) — same semantics, no driver-side
-    * change. */
+  /** Exact per-lot duration percentiles by DETERMINISTIC rank selection:
+    * the value at ascending rank ceil(q·n) (1-based, the lower discrete
+    * quantile) — integer arithmetic end-to-end, so the oracle matches
+    * value-for-value where interpolating percentile implementations could
+    * drift in double math.
+    *
+    * Scale shape: rank selection over a window, NOT collect_list — no
+    * per-lot in-memory array ever exists. One hash exchange on the lot
+    * feeds both window functions (row_number for ranks, count for n); the
+    * per-lot sort is Spark's external sort, which spills instead of
+    * OOMing however many sessions a lot has, and the row-local rank
+    * filter reduces each lot to ≤3 rows before the final tiny aggregate.
+    * Ties in duration are irrelevant: whatever order equal values take,
+    * the VALUE at a given rank is identical. */
   def durationPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    def pick(q: Double) =
-      element_at(col("ds"), greatest(lit(1), ceil(lit(q) * size(col("ds")))).cast("int"))
-    sessionDurations(spark, dir)
+    val byLot = Window.partitionBy("parkingLotId")
+    val ranked = sessionDurations(spark, dir)
+      .select(col("parkingLotId"), col("duration_min"))
+      .withColumn("rn", row_number().over(byLot.orderBy("duration_min")))
+      .withColumn("n", count(lit(1)).over(byLot))
+    def rk(q: Double) = greatest(lit(1), ceil(lit(q) * col("n"))).cast("int")
+    def pick(q: Double) = max(when(col("rn") === rk(q), col("duration_min")))
+    ranked
+      .filter(col("rn") === rk(0.5) || col("rn") === rk(0.9) || col("rn") === rk(0.99))
       .groupBy("parkingLotId")
-      .agg(sort_array(collect_list(col("duration_min"))).as("ds"))
-      .select(col("parkingLotId"),
-        size(col("ds")).cast("long").as("n_sessions"),
+      .agg(max(col("n")).as("n_sessions"),
         pick(0.5).as("p50_min"), pick(0.9).as("p90_min"), pick(0.99).as("p99_min"))
       .orderBy("parkingLotId")
   }

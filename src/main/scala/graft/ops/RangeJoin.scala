@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Scalable point-in-interval range join — with [[AsOfJoin]], the second
@@ -24,6 +24,20 @@ import org.apache.spark.sql.functions._
   * Point and interval frames must not share non-key column names.
   */
 object RangeJoin {
+
+  /** Integer floor-division of a long axis value — NEVER through double:
+    * a double cast loses precision above 2^53, which would bin rows wrong
+    * and make the residual filter silently DROP true matches. pmod makes
+    * the numerator an exact multiple, so the integral divide is exact
+    * floor division over the full long range. */
+  private def floorDiv(c: Column, w: Long): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val exact = c.cast("long") - pmod(c.cast("long"), lit(w))
+    GraftSqlBridge.column(IntegralDivide(
+      GraftSqlBridge.expression(exact), GraftSqlBridge.expression(lit(w))))
+  }
+
   def pointInInterval(points: DataFrame, intervals: DataFrame, keys: Seq[String],
                       pointCol: String, loCol: String, hiCol: String,
                       binWidth: Long): DataFrame = {
@@ -31,10 +45,8 @@ object RangeJoin {
     val binned = intervals
       .filter(col(loCol) <= col(hiCol)) // degenerate intervals match nothing
       .withColumn("__bin", explode(sequence(
-        floor(col(loCol).cast("double") / binWidth).cast("long"),
-        floor(col(hiCol).cast("double") / binWidth).cast("long"))))
-    val p = points.withColumn("__bin",
-      floor(col(pointCol).cast("double") / binWidth).cast("long"))
+        floorDiv(col(loCol), binWidth), floorDiv(col(hiCol), binWidth))))
+    val p = points.withColumn("__bin", floorDiv(col(pointCol), binWidth))
     p.join(binned, keys :+ "__bin")
       .filter(col(loCol) <= col(pointCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")

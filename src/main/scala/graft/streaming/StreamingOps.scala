@@ -114,11 +114,13 @@ object SessionStream {
   */
 /** Gap-based sessionization as a STREAMING aggregate over Spark's native
   * session_window — the streaming twin of the batch `plateSessions` query
-  * (p49). Sessions merge statefully across micro-batches; the watermark
-  * bounds state by finalizing windows whose end (last event + gap) falls
-  * behind it. Update mode re-emits a session each batch it grows; sinks
-  * upsert by (plate, first_ts) — with event-time-ordered input a session
-  * only ever extends forward, so its first_ts is a stable upsert key. */
+  * (p49). Sessions merge statefully across micro-batches. Append-mode
+  * finalization (Spark 4 supports streaming session_window aggregation in
+  * append only): a session is emitted exactly ONCE, when its window end
+  * (last event + gap) falls behind the watermark and no late event can
+  * extend it — so downstream sinks receive closed sessions, no upsert
+  * key needed. The watermark bounds state by evicting those finalized
+  * windows. */
 object SessionWindowStream {
   def sessions(decoded: DataFrame, gap: String = "30 minutes",
                lateness: String = "1 hour"): DataFrame =
@@ -129,6 +131,58 @@ object SessionWindowStream {
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
       .select(col("licensePlate"), col("first_ts"), col("last_ts"), col("n_events"))
+}
+
+/** One event of the streaming as-of join's unioned input: left lookups and
+  * right snapshots tagged by side (`is_right`). */
+final case class AsOfEvent(key: String, t: Long, is_right: Boolean,
+                           left_id: Long, payload: Option[Long])
+
+/** Per-key as-of state: the latest right snapshot seen so far. A genuinely
+  * null payload VALUE is preserved (`payload = None` with the snapshot
+  * still winning) — the same latest-ROW semantics as the batch operator's
+  * payload-struct fix. */
+final case class RightSnap(t: Long, payload: Option[Long])
+
+/** One joined output row: the left lookup with the as-of payload. */
+final case class AsOfJoined(key: String, left_id: Long, t: Long,
+                            payload: Option[Long])
+
+/** Streaming as-of join — the `flatMapGroupsWithState` twin of
+  * [[graft.ops.AsOfJoin.asOf]] (the same pattern SessionStream uses for
+  * p05): state is ONE tiny record per key (the latest right snapshot), so
+  * the state store is O(keys) at any stream length. Within a micro-batch
+  * events replay in (t, side-tag) order with the batch operator's exact
+  * tie rule — right before left at equal t for ≤ semantics, after left
+  * under `strict`; left rows emit on arrival against the state as of
+  * their replay point.
+  *
+  * Contract for batch parity: per key, events arrive time-ordered ACROSS
+  * micro-batches (any order within one) — an out-of-order right row
+  * arriving after a later left row has been emitted cannot retroactively
+  * re-join it (the standard emit-on-arrival streaming as-of trade; the
+  * parity suite feeds time-chunked batches, as would any replay from a
+  * time-partitioned lake or a per-key-ordered Kafka topic). */
+object AsOfStream {
+  def joined(events: Dataset[AsOfEvent], strict: Boolean = false): Dataset[AsOfJoined] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rightTag = if (strict) 2 else 0
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, evs: Iterator[AsOfEvent], state: GroupState[RightSnap]) =>
+          val sorted = evs.toIndexedSeq
+            .sortBy(e => (e.t, if (e.is_right) rightTag else 1))
+          var last = state.getOption
+          val out = Seq.newBuilder[AsOfJoined]
+          sorted.foreach { e =>
+            if (e.is_right) last = Some(RightSnap(e.t, e.payload))
+            else out += AsOfJoined(key, e.left_id, e.t, last.flatMap(_.payload))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }
 
 object HourlyStatsStream {

@@ -35,6 +35,13 @@ import graft.functions.TextPrims._
   */
 object TextDedup {
 
+  /** Document-frequency cap for [[ngramJaccardPairs]]' inverted index,
+    * as a distinct type: the cap is REQUIRED and sits where an optional
+    * Int (`shingleK`) once did, so a bare-Int positional argument from an
+    * older call site must fail to compile rather than silently change
+    * meaning. 0 = exact/uncapped (small corpora only). */
+  final case class MaxDf(value: Int) extends AnyVal
+
   /** Exact dedup keyed by TWO independent polynomial hashes of the
     * normalized text (different seed/multiplier/modulus), a ~2^60 combined
     * key space — one ~2^30 hash alone would falsely merge distinct
@@ -139,13 +146,13 @@ object TextDedup {
     * scale.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        maxShingleDf: Int,
+                        maxShingleDf: MaxDf,
                         shingleK: Int = 3, minJaccard: Double = 0.8): DataFrame = {
     // Hashed shingles: every index below shuffles fixed-width longs, not
     // n-gram strings — at web scale that is the difference between
     // shuffling hashes and shuffling the corpus.
     val docs = shingleFrame(df, idCol, textCol, shingleK)
-    ngramJaccardCounting(docs, minJaccard, maxShingleDf)
+    ngramJaccardCounting(docs, minJaccard, maxShingleDf.value)
   }
 
   /** The inverted-index counting join, shared by exact (cap 0) and capped

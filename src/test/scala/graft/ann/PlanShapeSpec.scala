@@ -22,20 +22,23 @@ class PlanShapeSpec extends SparkSpec {
   private def embeddings =
     graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
 
-  /** All exchange nodes (shuffle + broadcast) in the final adaptive plan —
-    * descending into query stages, which `collect` treats as leaves. */
-  private def exchanges(plan: SparkPlan): Seq[Exchange] = {
-    def walk(p: SparkPlan): Seq[Exchange] = {
-      val here = p match { case e: Exchange => Seq(e); case _ => Seq.empty }
+  /** Every node of the final adaptive plan — descending into query
+    * stages, which `collect` treats as leaves. */
+  private def allNodes(plan: SparkPlan): Seq[SparkPlan] = {
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
       val kids = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case q: QueryStageExec => Seq(q.plan)
         case other => other.children
       }
-      here ++ kids.flatMap(walk)
+      p +: kids.flatMap(walk)
     }
     walk(plan)
   }
+
+  /** All exchange nodes (shuffle + broadcast) in the final adaptive plan. */
+  private def exchanges(plan: SparkPlan): Seq[Exchange] =
+    allNodes(plan).collect { case e: Exchange => e }
 
   "nearDupPairs" should "never put the vector column through the banding exchange" in {
     val df = Similarity.nearDupPairs(embeddings, "vec_id", "embedding")
@@ -64,7 +67,35 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  it should "agree with a brute-force cosine check on the planted near-dups" in {
+  "topK" should "plan as a k-bounded partial→final aggregate in every knn path" in {
+    // the bounded heap aggregate is the whole point (round-5 verdict item
+    // 3): each scan task must reduce to ≤k entries per query BEFORE the
+    // shuffle. If a future edit regresses to collect_list-then-slice (no
+    // partial TopKAgg) or loses the object-hash strategy, fail loudly.
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, ObjectHashAggregateExec}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+    val e = embeddings
+    val paths = Seq(
+      "brute" -> Similarity.knnBruteForce(e, "vec_id", "embedding", col("vec_id") < 5),
+      "lsh" -> Similarity.knnLsh(e, "vec_id", "embedding", col("vec_id") < 5),
+      "ivf" -> Similarity.knnIvf(e, "vec_id", "embedding", col("vec_id") < 5))
+    paths.foreach { case (name, df) =>
+      df.collect() // settle the adaptive plan
+      val aggs = allNodes(df.queryExecution.executedPlan)
+        .collect { case a: BaseAggregateExec => a }
+      val topkModes = aggs.flatMap(_.aggregateExpressions)
+        .filter(_.aggregateFunction.isInstanceOf[graft.functions.TopKAgg])
+        .map(_.mode).toSet
+      withClue(s"$name: topk agg modes: ") {
+        topkModes should contain allOf (Partial, Final)
+      }
+      withClue(s"$name: object-hash strategy: ") {
+        aggs.exists(_.isInstanceOf[ObjectHashAggregateExec]) shouldBe true
+      }
+    }
+  }
+
+  "nearDupPairs" should "agree with a brute-force cosine check on the planted near-dups" in {
     // two exact duplicates + near-dup planted among random vectors
     val base = Array.fill(64)(0.5f)
     val near = base.clone(); near(0) = 0.45f

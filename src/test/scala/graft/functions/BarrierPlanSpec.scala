@@ -96,7 +96,7 @@ class BarrierPlanSpec extends SparkSpec {
   behavior of "the dedup self-join exchanges"
 
   it should "compute the shingle stage once in ngramJaccardPairs (reused exchange)" in {
-    val df = graft.text.TextDedup.ngramJaccardPairs(docs, "doc_id", "text", maxShingleDf = 0)
+    val df = graft.text.TextDedup.ngramJaccardPairs(docs, "doc_id", "text", maxShingleDf = graft.text.TextDedup.MaxDf(0))
     df.collect() // settle the adaptive plan
     reusedExchanges(df.queryExecution.executedPlan) should not be empty
   }

@@ -44,4 +44,29 @@ class AsOfJoinSpec extends SparkSpec {
     out.count() shouldBe 6L
     out.columns.toSeq shouldBe Seq("key", "id", "lt", "v")
   }
+
+  it should "attach the latest right ROW even when its payload value is null" in {
+    // regression for the per-column last(ignoreNulls) formulation, which
+    // skipped a null-payload right row and attached the STALE value 100
+    val right = Seq(("k1", 10L, Some(100L)), ("k1", 20L, None))
+      .toDF("key", "rt", "v")
+    val left = Seq(("k1", 1L, 25L), ("k1", 2L, 15L)).toDF("key", "id", "lt")
+    val got = AsOfJoin.asOf(left, right, Seq("key"), "lt", "rt", Seq("v"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getAs[Long]("v"))))
+      .toMap
+    got shouldBe Map(1L -> None, 2L -> Some(100L))
+  }
+
+  "asOfRanged" should "return exactly the fixture answers through the sub-split plan" in {
+    val got = AsOfJoin.asOfRanged(lookups, snaps, Seq("key"), "lt", "rt",
+        Seq("v"), strict = false, numRanges = 4)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getAs[Long]("v"))))
+      .toMap
+    got shouldBe Map(
+      1L -> None, 2L -> Some(100L), 3L -> Some(200L), 4L -> Some(300L),
+      5L -> Some(555L), 6L -> None)
+  }
 }

@@ -73,4 +73,28 @@ class IntervalJoinPropertySpec extends SparkSpec {
       withClue(s"strict=$strict: ") { got shouldBe naive }
     }
   }
+
+  "asOfRanged" should "equal the single-window as-of on random data for every range count" in {
+    val snaps = samples(intervalGen, 50, 21000L).distinct
+      .map { case (k, id, t, _) => (k, t, id) }
+    val looks = samples(pointGen, 50, 31000L).distinct
+      .zipWithIndex.map { case ((k, _, t), i) => (k, i.toLong, t) }
+    val uniq = snaps.groupBy(s => (s._1, s._2)).map(_._2.head).toSeq
+    val right = uniq.toDF("key", "rt", "v")
+    val left = looks.toDF("key", "id", "lt")
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.collect().map { r =>
+        r.getAs[Long]("id") ->
+          (if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getAs[Long]("v")))
+      }.toMap
+    for (strict <- Seq(false, true)) {
+      val plain = rows(
+        AsOfJoin.asOf(left, right, Seq("key"), "lt", "rt", Seq("v"), strict))
+      for (nr <- Seq(1, 2, 3, 8, 64)) {
+        val ranged = rows(AsOfJoin.asOfRanged(left, right, Seq("key"), "lt",
+          "rt", Seq("v"), strict, numRanges = nr))
+        withClue(s"strict=$strict numRanges=$nr: ") { ranged shouldBe plain }
+      }
+    }
+  }
 }

@@ -206,6 +206,51 @@ class StreamingParitySpec extends SparkSpec {
     versions.last shouldBe "v2"
   }
 
+  "AsOfStream" should "emit exactly the batch asOf rows across time-ordered micro-batches" in {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+    val rnd = new scala.util.Random(42)
+    // unique global times keep cross-batch in-order chunking well-defined;
+    // some right payload VALUES are null so the latest-ROW (not latest
+    // non-null) semantics crosses the state boundary too
+    val events = rnd.shuffle((0L until 90L).toList).zipWithIndex.map {
+      case (t, i) =>
+        val key = "k" + (i % 3)
+        if (i % 2 == 0) (key, t, true, 0L, if (i % 10 == 0) None else Some(t * 7))
+        else (key, t, false, i.toLong, None)
+    }
+    val dir = Files.createTempDirectory("graft-asof-json")
+    events.sortBy(_._2).grouped(30).zipWithIndex.foreach { case (evs, i) =>
+      val lines = evs.map { case (k, t, isR, lid, p) =>
+        s"""{"key":"$k","t":$t,"is_right":$isR,"left_id":$lid,"payload":${p.map(_.toString).getOrElse("null")}}"""
+      }
+      val f = dir.resolve(f"chunk-$i%03d.json")
+      Files.write(f, String.join("\n", lines: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("t", LongType),
+      StructField("is_right", BooleanType), StructField("left_id", LongType),
+      StructField("payload", LongType)))
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .json(dir.toString).as[AsOfEvent]
+    val got = TrieMap.empty[Long, Option[Long]]
+    runStream(AsOfStream.joined(stream).toDF(), "append") { b =>
+      b.collect().foreach { r =>
+        got(r.getAs[Long]("left_id")) =
+          if (r.isNullAt(r.fieldIndex("payload"))) None
+          else Some(r.getAs[Long]("payload"))
+      }
+    }
+    val left = events.filter(!_._3).map(e => (e._1, e._4, e._2)).toDF("key", "id", "lt")
+    val right = events.filter(_._3).map(e => (e._1, e._2, e._5)).toDF("key", "rt", "v")
+    val batch = graft.ops.AsOfJoin.asOf(left, right, Seq("key"), "lt", "rt", Seq("v"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getAs[Long]("v")))).toMap
+    batch.values.exists(_.isEmpty) shouldBe true // null/absent payloads really occur
+    got.toMap shouldBe batch
+  }
+
   "ViolationStream" should "emit exactly the batch violations rows (p11)" in {
     val got = ArrayBuffer.empty[Seq[Any]]
     runStream(ViolationStream.alerts(decodedStream, ParkingModel.users(spark, sfDir)), "append") {

@@ -43,7 +43,7 @@ class TextDedupSpec extends SparkSpec {
   }
 
   "ngramJaccardPairs" should "agree with minhash on high-similarity pairs" in {
-    val exact = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", maxShingleDf = 0, minJaccard = 0.5)
+    val exact = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", maxShingleDf = TextDedup.MaxDf(0), minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val mh = TextDedup.minhashNearDup(docs, "doc_id", "text", minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -56,13 +56,13 @@ class TextDedupSpec extends SparkSpec {
     // every shingle of docs 1/2/3 co-occurs; a df cap of 1 empties the
     // index of shared shingles → no pairs survive (jaccard lower bound 0)
     val capped = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
-      minJaccard = 0.5, maxShingleDf = 1)
+      minJaccard = 0.5, maxShingleDf = TextDedup.MaxDf(1))
     capped.count() shouldBe 0
     // a generous cap changes nothing on this corpus
     val loose = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
-      minJaccard = 0.5, maxShingleDf = 1000)
+      minJaccard = 0.5, maxShingleDf = TextDedup.MaxDf(1000))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val exact = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", maxShingleDf = 0, minJaccard = 0.5)
+    val exact = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", maxShingleDf = TextDedup.MaxDf(0), minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     loose shouldBe exact
   }
