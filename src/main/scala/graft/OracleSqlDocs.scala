@@ -154,6 +154,26 @@ object OracleSqlDocs {
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
        |)""".stripMargin
 
+  /** The p23 multi-table-LSH embedding near-dup chain up to `sims`
+    * (candidate pairs with exact cosine) — shared by p23 and the p59
+    * component closure so the two cannot drift apart. */
+  private val embPairCtes: String =
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |bk AS (
+       |  SELECT vec_id, e, 0 AS tbl, ${bucket("e", 0, 4)} AS bucket FROM v
+       |  UNION ALL SELECT vec_id, e, 1, ${bucket("e", 4, 4)} FROM v
+       |  UNION ALL SELECT vec_id, e, 2, ${bucket("e", 8, 4)} FROM v
+       |  UNION ALL SELECT vec_id, e, 3, ${bucket("e", 12, 4)} FROM v
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |),
+       |sims AS (
+       |  SELECT va AS vec_a, vb AS vec_b, ${cos("x.e", "y.e")} AS sim
+       |  FROM cand JOIN v x ON va = x.vec_id JOIN v y ON vb = y.vec_id
+       |)""".stripMargin
+
   val docs: Map[String, String] = Map(
     "p13_exact_dedup" ->
       s"""SELECT ${hash(norm("text"))} AS text_hash,
@@ -590,22 +610,46 @@ object OracleSqlDocs {
          |SELECT MIN(asset_id) AS keep_id, COUNT(*) AS n_copies
          |FROM hist GROUP BY features ORDER BY keep_id""".stripMargin,
 
-    "p23_embedding_neardup" ->
-      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-         |bk AS (
-         |  SELECT vec_id, e, 0 AS tbl, ${bucket("e", 0, 4)} AS bucket FROM v
-         |  UNION ALL SELECT vec_id, e, 1, ${bucket("e", 4, 4)} FROM v
-         |  UNION ALL SELECT vec_id, e, 2, ${bucket("e", 8, 4)} FROM v
-         |  UNION ALL SELECT vec_id, e, 3, ${bucket("e", 12, 4)} FROM v
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |),
-         |sims AS (
-         |  SELECT va AS vec_a, vb AS vec_b, ${cos("x.e", "y.e")} AS sim
-         |  FROM cand JOIN v x ON va = x.vec_id JOIN v y ON vb = y.vec_id
-         |)
+    "p23_embedding_neardup" -> (embPairCtes +
+      s"""
          |SELECT vec_a, vec_b, sim FROM sims
-         |WHERE sim >= CAST(0.4 AS DOUBLE) ORDER BY vec_a, vec_b""".stripMargin)
+         |WHERE sim >= CAST(0.4 AS DOUBLE) ORDER BY vec_a, vec_b""".stripMargin),
+
+    // connected components over the EMBEDDING near-dup pair graph — the
+    // p23 pair chain closed by the same recursive-reachability CTE as p37,
+    // component label = min member id
+    "p59_embedding_dedup_groups" ->
+      (embPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+         |pairs AS (SELECT vec_a AS va, vec_b AS vb FROM sims
+         |          WHERE sim >= CAST(0.4 AS DOUBLE)),
+         |nodes AS (SELECT va AS id FROM pairs UNION SELECT vb AS id FROM pairs),
+         |edges AS (SELECT va AS a, vb AS b FROM pairs
+         |          UNION ALL SELECT vb AS a, va AS b FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS lab FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.lab AS lab FROM reach r JOIN edges e ON e.a = r.id
+         |)
+         |SELECT id AS vec_id, MIN(lab) AS group_id
+         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin),
+
+    // the dedup keep-list: every document except non-canonical members of
+    // a simhash duplicate group (p37's closure, membership-inverted)
+    "p60_dedup_keep_list" ->
+      (simhashCandCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+         |pairs AS (SELECT da, db FROM cand WHERE bit_count(xor(sa, sb)) <= 1),
+         |nodes AS (SELECT da AS id FROM pairs UNION SELECT db AS id FROM pairs),
+         |edges AS (SELECT da AS a, db AS b FROM pairs
+         |          UNION ALL SELECT db AS a, da AS b FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS lab FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.lab AS lab FROM reach r JOIN edges e ON e.a = r.id
+         |),
+         |members AS (SELECT id, MIN(lab) AS g FROM reach GROUP BY id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM members WHERE id <> g)
+         |ORDER BY doc_id""".stripMargin))
 }

@@ -174,6 +174,26 @@ object DocAnalytics {
     }),
     "p23_embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding")),
+    // cross-modality operator COMPOSITION: connected components over the
+    // EMBEDDING near-dup pair graph — the same duplicateGroups engine p37
+    // runs on text pairs, fed by the vector miner; the oracle recomputes
+    // the p23 pairs and closes them with a recursive CTE (p37's pattern).
+    "p59_embedding_dedup_groups" -> ((s, d) =>
+      TextDedup.duplicateGroups(
+          Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding"),
+          "vec_a", "vec_b")
+        .select(col("doc_id").as("vec_id"), col("group_id"))),
+    // the dedup pipeline's END PRODUCT: the keep-list — every document
+    // except non-canonical duplicate-group members (group_id = min member
+    // keeps itself). mine pairs → group → anti-join, all one lazy plan.
+    "p60_dedup_keep_list" -> ((s, d) => {
+      val ds = docs(s, d)
+      val dupMembers = TextDedup.duplicateGroups(
+          TextDedup.simhashNearDup(ds, "doc_id", "text"), "doc_a", "doc_b")
+        .filter(col("doc_id") =!= col("group_id")).select("doc_id")
+      ds.select("doc_id").join(dupMembers, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    }),
     // multimodal: stats and dedup computed from the REAL binary column;
     // the oracle recomputes from the generating formula — a mismatch at
     // any byte breaks the hash compare.

@@ -251,6 +251,41 @@ class StreamingParitySpec extends SparkSpec {
     got.toMap shouldBe batch
   }
 
+  "RangeJoin" should "run unchanged as a stream-static join (streaming points side)" in {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // the binned range join is STATELESS (row-local bin + equi-join +
+    // residual filter), so the batch operator IS its own streaming twin —
+    // this case proves Spark accepts the plan on an unbounded side and
+    // that results match batch exactly across micro-batches
+    val ivs = Seq(("k1", 1L, 0L, 10L), ("k1", 2L, 5L, 25L), ("k2", 3L, -6L, 4L))
+    val pts = (0 until 30).map(i => ("k" + (i % 2 + 1), i.toLong, (i * 3 - 10).toLong))
+    val dir = Files.createTempDirectory("graft-range-json")
+    pts.grouped(10).zipWithIndex.foreach { case (ps, i) =>
+      val lines = ps.map { case (k, id, t) => s"""{"key":"$k","pt_id":$id,"t":$t}""" }
+      val f = dir.resolve(f"chunk-$i%03d.json")
+      Files.write(f, String.join("\n", lines: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = StructType(Seq(StructField("key", StringType),
+      StructField("pt_id", LongType), StructField("t", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val intervals = ivs.toDF("key", "iv_id", "lo", "hi")
+    val got = ArrayBuffer.empty[(Long, Long)]
+    runStream(graft.ops.RangeJoin.pointInInterval(
+        stream, intervals, Seq("key"), "t", "lo", "hi", binWidth = 7L), "append") { b =>
+      b.collect().foreach(r => got.synchronized {
+        got += ((r.getAs[Long]("pt_id"), r.getAs[Long]("iv_id")))
+      })
+    }
+    val batch = graft.ops.RangeJoin.pointInInterval(
+        pts.toDF("key", "pt_id", "t"), intervals, Seq("key"), "t", "lo", "hi", 7L)
+      .collect().map(r => (r.getAs[Long]("pt_id"), r.getAs[Long]("iv_id"))).toSet
+    batch.nonEmpty shouldBe true
+    got.toSet shouldBe batch
+  }
+
   "ViolationStream" should "emit exactly the batch violations rows (p11)" in {
     val got = ArrayBuffer.empty[Seq[Any]]
     runStream(ViolationStream.alerts(decodedStream, ParkingModel.users(spark, sfDir)), "append") {
