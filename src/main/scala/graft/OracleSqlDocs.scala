@@ -367,6 +367,16 @@ object OracleSqlDocs {
          |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, sim
          |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin,
 
+    // corpus vocabulary: term + document frequency per whitespace token of
+    // the normalized text, top 50 under the strict (tf DESC, token) order
+    "p61_vocab_top" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, unnest(string_split(${norm("text")}, ' ')) AS token
+         |  FROM documents
+         |)
+         |SELECT token, count(*) AS tf, count(DISTINCT id) AS df
+         |FROM toks GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin,
+
     // content-hash split twin: same hash, same Knuth re-scramble, same
     // per-mille thresholds
     "p39_hash_split" ->

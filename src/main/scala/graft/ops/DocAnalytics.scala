@@ -135,6 +135,20 @@ object DocAnalytics {
           col("vec_id") < QueryMaxId), "lsh"))
         .orderBy("method")
     }),
+    // the vocabulary-builder staple of a training-data pipeline: corpus
+    // term frequency + document frequency per token, top 50 under a
+    // deterministic (tf DESC, token ASC) order. Partial hash-agg runs
+    // map-side before the token shuffle and the final top-k plans as
+    // TakeOrderedAndProject — no global sort of the vocabulary.
+    "p61_vocab_top" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{countDistinct, explode, desc}
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(graft.functions.TextPrims.tokens(col("text"))).as("token"))
+      toks.groupBy("token")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(desc("tf"), col("token"))
+        .limit(50)
+    }),
     // corpus curation: deterministic content-hash split/sample (dupes land
     // in the same split; no RNG), PII scrubbing over text augmented with
     // synthetic formula-generated PII (the oracle rebuilds the identical
