@@ -51,6 +51,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[GramStats].getName, "gram_stats"),
       (cs: Seq[Expression]) => {
         arity("gram_stats", cs, 2); GramStats(cs.head, litInt(cs(1), "gram_stats"))
+      }),
+    // an AggregateFunction IS an Expression — the analyzer wraps it in an
+    // AggregateExpression when it appears in an aggregation context, the
+    // same way built-in SQL aggregates register.
+    (new FunctionIdentifier("topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk"),
+      (cs: Seq[Expression]) => {
+        arity("topk", cs, 3); TopKAgg(cs(0), cs(1), litInt(cs(2), "topk"))
       }))
 
   /** Register every function on an ALREADY-BUILT session (extensions only

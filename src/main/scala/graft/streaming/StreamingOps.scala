@@ -133,6 +133,27 @@ object SessionWindowStream {
       .select(col("licensePlate"), col("first_ts"), col("last_ts"), col("n_events"))
 }
 
+/** Streaming exact dedup — the stateful twin of the batch
+  * [[graft.text.TextDedup.exactDedup]]: the first arrival of each distinct
+  * normalized-text content survives, keyed by the SAME two independent
+  * polynomial hashes the batch operator groups on, via Spark's native
+  * streaming `dropDuplicates` (state store holds one tiny entry per
+  * distinct content — fixed-width hashes, never text). Which copy
+  * represents a content group depends on arrival order (the batch twin
+  * keeps min id); the content GROUPS are identical, which is what the
+  * parity case asserts. For bounded state retention at an unbounded
+  * stream, add a watermark + `dropDuplicatesWithinWatermark`. */
+object ExactDedupStream {
+  def firstSeen(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextPrims._
+    docs
+      .select(col(idCol).as("id"), normText(col(textCol)).as("norm"))
+      .select(col("id"), charHash(col("norm")).as("text_hash"),
+        graft.functions.PolyHash(col("norm"), 11L, 37L, 998244353L).as("text_hash2"))
+      .dropDuplicates("text_hash", "text_hash2")
+  }
+}
+
 /** One event of the streaming as-of join's unioned input: left lookups and
   * right snapshots tagged by side (`is_right`). */
 final case class AsOfEvent(key: String, t: Long, is_right: Boolean,

@@ -35,6 +35,20 @@ class SqlSurfaceSpec extends SparkSpec {
       df.select(GramStats(col("s"), 8)).head.getStruct(0)
   }
 
+  it should "evaluate topk as a SQL aggregate matching the Column form" in {
+    val df = Seq((1L, 0.9, 10L), (1L, 0.7, 11L), (1L, 0.9, 9L), (2L, 0.1, 12L))
+      .toDF("g", "sim", "id")
+    df.createOrReplaceTempView("v_topk")
+    val sql = spark.sql(
+      "SELECT g, topk(sim, id, 2) AS top FROM v_topk GROUP BY g ORDER BY g")
+      .collect().map(_.toString).toSeq
+    val api = df.groupBy("g")
+      .agg(TopKAgg.topk(col("sim"), col("id"), 2).as("top")).orderBy("g")
+      .collect().map(_.toString).toSeq
+    sql shouldBe api
+    sql.head should include("9,0.9") // tie on sim → smaller id first
+  }
+
   it should "reject non-literal codegen parameters" in {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_sig(array(1L), cast(id AS INT)) FROM range(1)").collect()

@@ -251,6 +251,36 @@ class StreamingParitySpec extends SparkSpec {
     got.toMap shouldBe batch
   }
 
+  "ExactDedupStream" should "keep one survivor per batch-dedup content group across micro-batches" in {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-docs-json")
+    val lines = docsDf.orderBy("doc_id")
+      .select(to_json(struct(col("doc_id"), col("text"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(math.max(1, lines.length / 5)).zipWithIndex.foreach { case (ls, i) =>
+      val f = dir.resolve(f"chunk-$i%03d.json")
+      Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val got = ArrayBuffer.empty[(Long, Long, Long)]
+    runStream(ExactDedupStream.firstSeen(stream, "doc_id", "text"), "append") { b =>
+      b.collect().foreach(r => got.synchronized {
+        got += ((r.getLong(0), r.getLong(1), r.getLong(2)))
+      })
+    }
+    val batch = graft.text.TextDedup.exactDedup(docsDf, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet // (hash, hash2)
+    // exactly one survivor per distinct content, covering every batch group
+    got.size shouldBe batch.size
+    got.map(t => (t._2, t._3)).toSet shouldBe batch
+  }
+
   "RangeJoin" should "run unchanged as a stream-static join (streaming points side)" in {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
