@@ -43,23 +43,32 @@ object Bench {
         Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
         .count()
     } catch { case _: Throwable => () }
+    // SPARK_GRAFT_ONLY=p37,p60 limits the run to matching query-name
+    // prefixes — an iteration aid; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    def selected(name: String) = only.forall(_.exists(name.startsWith))
     var failed = Map.empty[String, String]
-    // p50 is a training PIPELINE (3 Lloyd passes) followed by a search
-    // query; billing both to one number misreads the 'query' latency, so
-    // its phases are timed separately and reported as :train / :search
-    // sub-entries beside the combined total (round-5 verdict item 8).
+    // Multi-phase pipelines (e.g. p50: 3 Lloyd training passes, then a
+    // search) report per-phase sub-entries beside the combined total
+    // (round-5 verdict item 8) — timed through DocAnalytics.phasedQueries,
+    // the exact code path the registered query runs, so the benchmarked
+    // and verified pipelines cannot drift (round-6 advice).
     var phases = Seq.empty[(String, Double)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => selected(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        if (name == "p50_knn_ivf_trained") {
-          val cents = graft.ops.DocAnalytics.p50Train(spark, sfDir)
-          val tTrain = (System.nanoTime() - t0) / 1e9
-          graft.ops.DocAnalytics.p50Search(spark, sfDir, cents)
-            .write.format("noop").mode("overwrite").save()
-          phases ++= Seq(s"$name:train" -> tTrain,
-            s"$name:search" -> ((System.nanoTime() - t0) / 1e9 - tTrain))
-        } else fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        graft.ops.DocAnalytics.phasedQueries.get(name) match {
+          case Some((finalPhase, pf)) =>
+            var tPrev = t0
+            pf(spark, sfDir, phase => {
+              val now = System.nanoTime()
+              phases :+= s"$name:$phase" -> ((now - tPrev) / 1e9)
+              tPrev = now
+            }).write.format("noop").mode("overwrite").save()
+            phases :+= s"$name:$finalPhase" -> ((System.nanoTime() - tPrev) / 1e9)
+          case None => fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
       } catch {
         case e: Throwable =>
           failed += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -79,9 +79,14 @@ final class TopKHeap(val k: Int) {
 case class TopKAgg(simExpr: Expression, idExpr: Expression, k: Int,
                    override val mutableAggBufferOffset: Int = 0,
                    override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKHeap] {
+  extends TypedImperativeAggregate[TopKHeap] with ExpectsInputTypes {
 
   require(k >= 1, "topk requires k >= 1")
+
+  // declared input types make a mistyped SQL call (`topk(float_sim, int_id,
+  // k)`) fail at ANALYSIS with an implicit cast or a clear type error,
+  // instead of update()'s asInstanceOf throwing at runtime.
+  override def inputTypes: Seq[GraftSqlBridge.AbstractDT] = Seq(DoubleType, LongType)
 
   override def children: Seq[Expression] = Seq(simExpr, idExpr)
   override def nullable: Boolean = false

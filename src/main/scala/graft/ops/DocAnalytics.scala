@@ -24,13 +24,26 @@ object DocAnalytics {
     * for the "query set" a real ANN service would broadcast. */
   private val QueryMaxId = 20
 
+  /** Base directory for oracle-replay artifacts (trained centroids etc.),
+    * configurable via `-Dgraft.oracle.dir=` so a packaged deployment isn't
+    * pinned to this build tree's path; the default resolves against the
+    * process cwd (sbt runs in the repo root → `target/`, build output,
+    * never committed). Verify deletes it at startup so a stale artifact
+    * from a previous run fails the oracle LOUDLY (missing file) instead of
+    * silently verifying old state (round-6 advice). */
+  def oracleArtifactDir: String =
+    // absolutized because the path is embedded in dumped oracle SQL that a
+    // separate DuckDB process replays from its OWN cwd
+    new java.io.File(sys.props.getOrElse("graft.oracle.dir", "target/graft-oracle"))
+      .getAbsolutePath
+
   /** Where the p50 query persists its trained quantizer so the DuckDB
     * oracle can replay the SEARCH against the exact centroids the Spark
-    * plan inlined (under target/ — build output, never committed). The
-    * trainer itself is pinned separately by SimilaritySpec's recall test;
-    * persisting decouples search verification from any run-to-run float
-    * summation-order wobble in training. */
-  val P50CentroidsPath = "/root/repo/target/graft-oracle/p50_centroids"
+    * plan inlined. The trainer itself is pinned separately by
+    * SimilaritySpec's recall test; persisting decouples search
+    * verification from any run-to-run float summation-order wobble in
+    * training. */
+  def P50CentroidsPath: String = s"$oracleArtifactDir/p50_centroids"
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -64,6 +77,21 @@ object DocAnalytics {
       lit(" ip 10.0.0."), (col("doc_id") % 256).cast("string"),
       lit(" ref "), (col("doc_id") + 900000000L).cast("string")).as("text"))
   }
+
+  /** Multi-phase pipelines (training + search), keyed by registered query
+    * name: `(finalPhaseLabel, fn)` where `fn`'s callback fires with each
+    * completed phase's label at its boundary. The bench times phases
+    * through THIS — the exact code path the registered query runs — so the
+    * benchmarked and correctness-verified pipelines cannot drift, and a
+    * query rename breaks the map lookup visibly instead of silently
+    * disabling the phase split (round-6 advice). */
+  val phasedQueries: Map[String, (String, (SparkSession, String, String => Unit) => DataFrame)] =
+    Map("p50_knn_ivf_trained" -> ("search", (s, d, onPhase) => {
+      val cents = p50Train(s, d)
+      persistCentroids(s, cents)
+      onPhase("train")
+      p50Search(s, d, cents)
+    }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p13_exact_dedup" -> ((s, d) =>
@@ -108,11 +136,8 @@ object DocAnalytics {
     // centroids are persisted to parquet and the DuckDB oracle replays the
     // identical argmax-assign / probe / top-k against them (p38's oracle
     // with the centroid CTE swapped to read_parquet).
-    "p50_knn_ivf_trained" -> ((s, d) => {
-      val cents = p50Train(s, d)
-      persistCentroids(s, cents)
-      p50Search(s, d, cents)
-    }),
+    "p50_knn_ivf_trained" -> ((s, d) =>
+      phasedQueries("p50_knn_ivf_trained")._2(s, d, _ => ())),
     // ANN quality as an oracle-checked QUERY: recall@k of the LSH and IVF
     // approximate paths against the exact brute-force top-k, one row per
     // method — integer hit counts plus one exact division, so the DuckDB

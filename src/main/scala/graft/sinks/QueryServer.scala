@@ -30,9 +30,14 @@ import org.apache.spark.sql.DataFrame
 object QueryServer {
 
   /** Start serving `view` on `port` (0 = ephemeral; read the bound port
-    * from the returned server's address). Call `.stop(0)` to shut down. */
-  def start(view: () => DataFrame, port: Int = 0, maxLimit: Int = 10000): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    * from the returned server's address). Binds LOOPBACK by default — the
+    * endpoint is unauthenticated and a request triggers a driver-side
+    * collect, so exposure beyond the host must be an explicit
+    * `bindAddress` decision, never the default. Call `.stop(0)` to shut
+    * down. */
+  def start(view: () => DataFrame, port: Int = 0, maxLimit: Int = 10000,
+            bindAddress: String = "127.0.0.1"): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
 
     def respond(ex: HttpExchange, code: Int, contentType: String, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -45,22 +50,29 @@ object QueryServer {
       respond(ex, 200, "application/json", """{"status":"ok"}"""))
 
     server.createContext("/rows", (ex: HttpExchange) => {
-      try {
-        val limit = Option(ex.getRequestURI.getQuery)
-          .flatMap(_.split("&").collectFirst {
-            case p if p.startsWith("limit=") => p.stripPrefix("limit=").toInt
-          })
-          .getOrElse(100)
-          .max(0).min(maxLimit)
-        // toJSON keeps the engine's own column names/types; one bounded
-        // collect per request — the limit rides into the plan, so Spark
-        // stops scanning once N rows are produced (CollectLimit).
-        val lines = view().limit(limit).toJSON.collect()
-        respond(ex, 200, "application/x-ndjson", lines.mkString("\n"))
-      } catch {
-        case e: Throwable =>
-          respond(ex, 500, "application/json",
-            s"""{"error":${jsonStr(Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
+      // a malformed limit is the CLIENT's error (400), not a server fault
+      // (500) — parsed before the query try so the two can't be conflated.
+      val rawLimit = Option(ex.getRequestURI.getQuery)
+        .flatMap(_.split("&").collectFirst {
+          case p if p.startsWith("limit=") => p.stripPrefix("limit=")
+        })
+      rawLimit.map(_.toIntOption) match {
+        case Some(None) =>
+          respond(ex, 400, "application/json",
+            s"""{"error":${jsonStr(s"limit must be an integer, got '${rawLimit.get}'")}}""")
+        case parsed =>
+          try {
+            val limit = parsed.flatten.getOrElse(100).max(0).min(maxLimit)
+            // toJSON keeps the engine's own column names/types; one bounded
+            // collect per request — the limit rides into the plan, so Spark
+            // stops scanning once N rows are produced (CollectLimit).
+            val lines = view().limit(limit).toJSON.collect()
+            respond(ex, 200, "application/x-ndjson", lines.mkString("\n"))
+          } catch {
+            case e: Throwable =>
+              respond(ex, 500, "application/json",
+                s"""{"error":${jsonStr(Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
+          }
       }
     })
 

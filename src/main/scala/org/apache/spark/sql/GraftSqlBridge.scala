@@ -13,6 +13,11 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** `AbstractDataType` is `private[sql]` in Spark 4; aliasing it here lets
+    * graft expressions declare `inputTypes` (ExpectsInputTypes) so mistyped
+    * SQL arguments fail at analysis instead of at runtime. */
+  type AbstractDT = org.apache.spark.sql.types.AbstractDataType
+
   /** Register a function on an already-built session (the extensions hook
     * only runs at session build; `sessionState` is `private[sql]`). */
   def registerFunction(spark: SparkSession,
