@@ -377,6 +377,97 @@ object OracleSqlDocs {
          |SELECT token, count(*) AS tf, count(DISTINCT id) AS df
          |FROM toks GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin,
 
+    // IVF index balance profile: the same argmax cell assignment as p38's
+    // search (ties toward the smallest centroid id), aggregated per cell;
+    // share is one exact double division by the corpus count.
+    "p62_cluster_profile" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+         |scored AS (
+         |  SELECT v.vec_id, c.cid, ${cos("v.e", "c.ce")} AS cs
+         |  FROM v CROSS JOIN cents c
+         |),
+         |assigned AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY cs DESC, cid) AS rn
+         |    FROM scored
+         |  ) WHERE rn = 1
+         |),
+         |g AS (
+         |  SELECT cell, count(*) AS n_vectors,
+         |         min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+         |  FROM assigned GROUP BY cell
+         |)
+         |SELECT cell, n_vectors, min_vec_id, max_vec_id,
+         |  CAST(n_vectors AS DOUBLE) / CAST((SELECT count(*) FROM v) AS DOUBLE) AS share
+         |FROM g ORDER BY cell""".stripMargin,
+
+    // stratified deterministic sample: top-3 per predicted language under
+    // the scrambled-content-hash priority (p19's language vote + p39's
+    // scramble family with a different reduction range); ties break by id
+    // on both engines.
+    "p63_lang_sample" ->
+      s"""WITH n AS (SELECT doc_id AS id, ${norm("text")} AS nrm FROM documents),
+         |t AS (SELECT id, nrm, string_split(nrm, ' ') AS t FROM n),
+         |hits AS (
+         |  SELECT id,
+         |    CAST(len(list_filter(t, x -> x IN ('the','is','and','of'))) AS BIGINT) AS en,
+         |    CAST(len(list_filter(t, x -> x IN ('el','la','que','de'))) AS BIGINT) AS es,
+         |    CAST(len(list_filter(t, x -> x IN ('le','les','une','est'))) AS BIGINT) AS fr,
+         |    CAST(len(list_filter(t, x -> x IN ('der','die','und','ist'))) AS BIGINT) AS de,
+         |    ${hash("nrm")} * 2654435761 % $P % 1000000 AS priority
+         |  FROM t
+         |),
+         |lang AS (
+         |  SELECT id, priority,
+         |    CASE WHEN en + es + fr + de = 0 THEN 'und'
+         |         WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+         |         WHEN es >= fr AND es >= de THEN 'es'
+         |         WHEN fr >= de THEN 'fr' ELSE 'de' END AS predicted_lang
+         |  FROM hits
+         |),
+         |ranked AS (
+         |  SELECT predicted_lang, id, priority,
+         |    row_number() OVER (PARTITION BY predicted_lang
+         |                       ORDER BY priority, id) AS rn
+         |  FROM lang
+         |)
+         |SELECT predicted_lang, CAST(rn AS BIGINT) AS sample_rank, id, priority
+         |FROM ranked WHERE rn <= 3 ORDER BY predicted_lang, sample_rank""".stripMargin,
+
+    // corpus length histogram: 100-char integer-DIV buckets over the
+    // normalized length, token budget per bucket.
+    "p64_length_histogram" ->
+      s"""WITH n AS (SELECT doc_id AS id, ${norm("text")} AS nrm FROM documents),
+         |st AS (SELECT id, CAST(length(nrm) AS BIGINT) AS n_chars,
+         |              CAST(len(string_split(nrm, ' ')) AS BIGINT) AS n_tokens
+         |       FROM n)
+         |SELECT n_chars // 100 AS bucket, count(*) AS n_docs,
+         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM st GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // dedup-group profile: p37's recursive component closure joined with
+    // per-document token counts, rolled up per group.
+    "p65_group_profile" -> (simhashCandCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+         |pairs AS (SELECT da, db FROM cand WHERE bit_count(xor(sa, sb)) <= 1),
+         |nodes AS (SELECT da AS id FROM pairs UNION SELECT db AS id FROM pairs),
+         |edges AS (SELECT da AS a, db AS b FROM pairs
+         |          UNION ALL SELECT db AS a, da AS b FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS lab FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.lab AS lab FROM reach r JOIN edges e ON e.a = r.id
+         |),
+         |grp AS (SELECT id, MIN(lab) AS group_id FROM reach GROUP BY id),
+         |ntok AS (SELECT id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+         |SELECT group_id, count(*) AS n_members, max(g.id) AS max_doc_id,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM grp g JOIN ntok USING (id)
+         |GROUP BY group_id ORDER BY group_id""".stripMargin),
+
     // content-hash split twin: same hash, same Knuth re-scramble, same
     // per-mille thresholds
     "p39_hash_split" ->

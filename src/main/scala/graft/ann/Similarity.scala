@@ -132,6 +132,28 @@ object Similarity {
     topK(cands, k)
   }
 
+  /** Corpus clustering profile under the deterministic lowest-id
+    * quantizer: one row per cell with its population, id range and corpus
+    * share — the "how balanced is my index" diagnostic every IVF
+    * deployment watches (an unbalanced quantizer turns nProbe into a
+    * full scan of the hot cell). Scale shape: assignment is the same
+    * row-local argmax the search uses (centroids inlined as literals —
+    * no corpus shuffle), the profile is one partial-agg groupBy on an
+    * `nCells`-ary key, and the share window runs over nCells rows. */
+  def cellProfile(emb: DataFrame, idCol: String, vecCol: String,
+                  nCells: Int = 8): DataFrame = {
+    val cents = lowestIdCentroids(emb, idCol, vecCol, nCells)
+    val assigned = emb.select(col(idCol).cast("long").as("vid"),
+      cellOf(col(vecCol), cents).as("cell"))
+    assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("vid")).as("min_vec_id"), max(col("vid")).as("max_vec_id"))
+      .withColumn("share", col("n_vectors").cast("double") /
+        sum(col("n_vectors")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+          .cast("double"))
+      .orderBy("cell")
+  }
+
   /** Bounded-Lloyd k-means training for the IVF quantizer, deterministic
     * end-to-end: init = the `nCells` lowest-id vectors, then `iters`
     * rounds of (assign by max-cosine, recompute per-cell means). Each

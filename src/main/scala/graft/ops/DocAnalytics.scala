@@ -211,6 +211,62 @@ object DocAnalytics {
           sum(col("n_tokens")).as("total_tokens"))
         .orderBy("predicted_lang", "split")
     }),
+    // IVF index balance profile: per-cell population / id-range / corpus
+    // share under the deterministic lowest-id quantizer (the oracle
+    // mirrors the same argmax assignment as p38's search).
+    "p62_cluster_profile" -> ((s, d) =>
+      Similarity.cellProfile(emb(s, d), "vec_id", "embedding")),
+    // stratified deterministic sampling: top-3 documents per predicted
+    // language under a scrambled-content-hash priority. Reuses the
+    // k-bounded TopKAgg heap (priority negated into its (sim DESC, id
+    // ASC) order), so each scan task reduces to ≤3 rows per language
+    // BEFORE the shuffle — never a per-language window sort, which at
+    // 100 TB would funnel a whole language through one task.
+    "p63_lang_sample" -> ((s, d) => {
+      import graft.functions.TextPrims
+      val ds = docs(s, d)
+      val lang = TextStats.langId(ds, "doc_id", "text")
+        .select(col("id"), col("predicted_lang"))
+      val pri = ds.select(col("doc_id").as("id"),
+        (TextPrims.charHash(TextPrims.normText(col("text")))
+          * lit(2654435761L) % lit(TextPrims.P) % lit(1000000L)).as("priority"))
+      lang.join(pri, "id")
+        .groupBy("predicted_lang")
+        .agg(graft.functions.TopKAgg.topk(
+          (col("priority") * -1).cast("double"), col("id"), 3).as("top"))
+        .select(col("predicted_lang"), org.apache.spark.sql.functions.posexplode(col("top")))
+        .select(col("predicted_lang"),
+          (col("pos") + 1).cast("long").as("sample_rank"),
+          col("col.neighbor_id").as("id"),
+          (col("col.sim") * -1).cast("long").as("priority"))
+        .orderBy("predicted_lang", "sample_rank")
+    }),
+    // corpus length histogram: 100-char buckets with per-bucket counts
+    // and token budget — integer DIV on both engines, no float binning.
+    "p64_length_histogram" -> ((s, d) =>
+      TextStats.stats(docs(s, d), "doc_id", "text")
+        .groupBy(org.apache.spark.sql.functions.expr("n_chars div 100").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.min("n_chars").as("min_chars"),
+          org.apache.spark.sql.functions.max("n_chars").as("max_chars"),
+          sum("n_tokens").as("total_tokens"))
+        .orderBy("bucket")),
+    // dedup-group profile: per connected component — size, id span, token
+    // mass — the report that tells a pipeline how much volume dedup
+    // removes per cluster. Composition: pair mining -> CC -> stats join.
+    "p65_group_profile" -> ((s, d) => {
+      val ds = docs(s, d)
+      val groups = TextDedup.duplicateGroups(
+        TextDedup.simhashNearDup(ds, "doc_id", "text"), "doc_a", "doc_b")
+      val ntok = TextStats.stats(ds, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"))
+      groups.join(ntok, "doc_id")
+        .groupBy("group_id")
+        .agg(count(lit(1)).as("n_members"),
+          org.apache.spark.sql.functions.max("doc_id").as("max_doc_id"),
+          sum("n_tokens").as("total_tokens"))
+        .orderBy("group_id")
+    }),
     "p23_embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding")),
     // cross-modality operator COMPOSITION: connected components over the

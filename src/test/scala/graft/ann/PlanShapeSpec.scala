@@ -95,6 +95,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  "lang_sample" should "plan its per-language top-k through the partial→final TopKAgg" in {
+    // the stratified sampler reuses the k-bounded heap instead of a
+    // per-language window sort — at corpus scale a window would funnel a
+    // whole language through one task; the heap reduces map-side first.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+    val df = graft.ops.DocAnalytics.queries("p63_lang_sample")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val modes = allNodes(df.queryExecution.executedPlan)
+      .collect { case a: BaseAggregateExec => a }
+      .flatMap(_.aggregateExpressions)
+      .filter(_.aggregateFunction.isInstanceOf[graft.functions.TopKAgg])
+      .map(_.mode).toSet
+    modes should contain allOf (Partial, Final)
+  }
+
   "nearDupPairs" should "agree with a brute-force cosine check on the planted near-dups" in {
     // two exact duplicates + near-dup planted among random vectors
     val base = Array.fill(64)(0.5f)

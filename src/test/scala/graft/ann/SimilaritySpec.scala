@@ -82,6 +82,18 @@ class SimilaritySpec extends SparkSpec {
     ivfRecall should be >= 0.6
   }
 
+  "cellProfile" should "partition the corpus exactly once and account every vector" in {
+    val corpus = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val rows = Similarity.cellProfile(corpus, "vec_id", "embedding").collect()
+    rows.length should be <= 8
+    rows.map(_.getAs[Long]("n_vectors")).sum shouldBe corpus.count()
+    // shares are exact divisions of the populations — they sum to 1
+    rows.map(_.getAs[Double]("share")).sum shouldBe 1.0 +- 1e-9
+    // cell ids come from the quantizer's seed vectors (lowest ids)
+    val cellIds = rows.map(_.getAs[Long]("cell"))
+    cellIds.toSet.size shouldBe cellIds.length
+  }
+
   "knnLsh" should "recover near-identical vectors from the same bucket" in {
     val out = Similarity.knnLsh(emb, "vec_id", "embedding", col("vec_id") === 1L, k = 3, dim = 4)
       .collect().map(_.getAs[Long]("neighbor_id"))
