@@ -116,6 +116,21 @@ object OracleSqlDocs {
        |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, sim
        |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin
 
+  /** Parameterized polynomial-hash twin (seed/multiplier/modulus) — the
+    * generic form of [[hash]], for the CMS hash-row families (printed
+    * from the same [[graft.text.Sketches.CmsParams]] constants the Spark
+    * side uses). */
+  private def hashWith(s: String, seed: Long, mult: Long, mod: Long): String =
+    s"list_reduce(list_prepend(CAST($seed AS BIGINT), list_transform(string_split($s, ''), " +
+      s"c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a*$mult + b) % $mod)"
+
+  /** A Scala double printed as a DuckDB DOUBLE literal (e0-suffixed so it
+    * parses DOUBLE, not DECIMAL). */
+  private def dblLit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
   /** The p40 synthetic-PII augmentation — the `||` twin of
     * DocAnalytics.piiAugmented's concat chain. */
   private val piiAug: String =
@@ -447,6 +462,71 @@ object OracleSqlDocs {
          |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
          |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM st GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // deterministic HyperLogLog distinct-shingle estimate: 256 integer
+    // registers (max rank each), harmonic denominator as ONE register-
+    // ordered L-R fold seeded with the absent registers — double math
+    // order-identical to the Spark side; alpha·m² printed from the same
+    // Scala double.
+    "p66_hll_cardinality" -> (shingleCtes +
+      s""",
+         |grams AS (SELECT unnest(sh) AS g FROM shn),
+         |regs AS (
+         |  SELECT g % 256 AS register,
+         |         max(CASE WHEN (g >> 8) = 0 THEN 23
+         |                  ELSE 23 - length(bin(g >> 8)) END) AS m_j
+         |  FROM grams GROUP BY 1
+         |),
+         |folded AS (
+         |  SELECT list(m_j ORDER BY register) AS ms, count(*) AS n_present
+         |  FROM regs
+         |),
+         |ex AS (SELECT count(DISTINCT g) AS n_exact FROM grams),
+         |den AS (
+         |  SELECT n_present, n_exact,
+         |    list_reduce(list_prepend(CAST(256 AS DOUBLE) - CAST(n_present AS DOUBLE),
+         |      list_transform(ms, x -> CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << x))),
+         |      (a, b) -> a + b) AS denom
+         |  FROM folded CROSS JOIN ex
+         |)
+         |SELECT CAST(256 AS BIGINT) AS m, n_present, n_exact,
+         |  ${dblLit(graft.text.Sketches.HllAlphaM2)} / denom AS estimate,
+         |  (${dblLit(graft.text.Sketches.HllAlphaM2)} / denom
+         |     - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_error
+         |FROM den""".stripMargin),
+
+    // Count-Min token-frequency estimates for the exact top-10 tokens —
+    // integer-only, so overestimates (hash collisions) compare exactly;
+    // the four hash rows are printed from the same CmsParams constants.
+    "p67_cms_frequency" -> {
+      val rows = graft.text.Sketches.CmsParams.zipWithIndex
+      val cellUnion = rows.map { case ((seed, mult, mod), j) =>
+        s"SELECT $j AS rw, ${hashWith("token", seed, mult, mod)} % 1024 AS cell FROM toks"
+      }.mkString("\n    UNION ALL ")
+      val probeUnion = rows.map { case ((seed, mult, mod), j) =>
+        s"SELECT token, tf_exact, $j AS rw, ${hashWith("token", seed, mult, mod)} % 1024 AS cell FROM top"
+      }.mkString("\n    UNION ALL ")
+      s"""WITH n AS (SELECT ${norm("text")} AS nrm FROM documents),
+         |toks AS (SELECT unnest(string_split(nrm, ' ')) AS token FROM n),
+         |cells AS (
+         |  SELECT rw, cell, count(*) AS c FROM (
+         |    $cellUnion
+         |  ) GROUP BY rw, cell
+         |),
+         |top AS (
+         |  SELECT token, count(*) AS tf_exact FROM toks
+         |  GROUP BY token ORDER BY tf_exact DESC, token LIMIT 10
+         |),
+         |probes AS (
+         |    $probeUnion
+         |),
+         |est AS (
+         |  SELECT token, tf_exact, min(c) AS tf_cms
+         |  FROM probes JOIN cells USING (rw, cell) GROUP BY token, tf_exact
+         |)
+         |SELECT token, tf_exact, tf_cms, tf_cms - tf_exact AS overestimate
+         |FROM est ORDER BY tf_exact DESC, token""".stripMargin
+    },
 
     // dedup-group profile: p37's recursive component closure joined with
     // per-document token counts, rolled up per group.

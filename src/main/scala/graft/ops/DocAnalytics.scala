@@ -267,6 +267,13 @@ object DocAnalytics {
           sum("n_tokens").as("total_tokens"))
         .orderBy("group_id")
     }),
+    // sketch operators — deterministic HLL / Count-Min with value-exact
+    // oracles (the exact counts in their outputs are the verification
+    // harness; the sketch path is the fixed-size partial-aggregable state)
+    "p66_hll_cardinality" -> ((s, d) =>
+      graft.text.Sketches.hllShingleCardinality(docs(s, d), "doc_id", "text")),
+    "p67_cms_frequency" -> ((s, d) =>
+      graft.text.Sketches.cmsTokenFrequency(docs(s, d), "doc_id", "text")),
     "p23_embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding")),
     // cross-modality operator COMPOSITION: connected components over the

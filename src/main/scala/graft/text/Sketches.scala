@@ -1,0 +1,128 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PolyHash
+import graft.functions.TextPrims._
+
+/** Bounded-memory sketch operators — the primitives a 100 TB pipeline
+  * reaches for when exact distinct/frequency state no longer fits:
+  * HyperLogLog cardinality and Count-Min frequency. Both are built
+  * DETERMINISTIC (integer register/cell state, double math only in fixed
+  * left-to-right folds) so the DuckDB oracle verifies them value-exactly
+  * — unlike engine-native `approx_count_distinct`, whose sketch layout is
+  * implementation-defined and engine-specific.
+  *
+  * Scale shape is the whole point of a sketch: both aggregates are
+  * partial-aggregable (`max` per HLL register, `sum` per CMS cell), so
+  * every scan task reduces its split to a fixed-size table — 256
+  * registers / depth×width cells — BEFORE the shuffle, and only that
+  * fixed-size state ever crosses the wire, whatever the corpus size.
+  */
+object Sketches {
+
+  /** HLL registers: 256 (8-bit index from the low hash bits); rank uses
+    * the remaining 22 bits of the ~30-bit polynomial hash. */
+  private val HllRegisters = 256
+  private val HllRankBits = 22
+
+  /** alpha_m · m² for m = 256 (Flajolet et al.'s bias constant),
+    * computed once here and printed into the oracle SQL from this same
+    * double, so the two engines share the literal bit-for-bit. */
+  val HllAlphaM2: Double = 0.7213 / (1 + 1.079 / HllRegisters) * HllRegisters * HllRegisters
+
+  /** HyperLogLog distinct-shingle estimate over a corpus, one output row:
+    * `(m, n_present, n_exact, estimate, rel_error)`.
+    *
+    * The sketch path: shingle hash → (register = h mod 256, rank = number
+    * of leading zero bits of the 22-bit remainder + 1) → `max(rank)` per
+    * register (map-side partial: each task reduces to ≤256 rows before
+    * the shuffle) → the harmonic estimate, computed as ONE fixed
+    * left-to-right fold over the register-ordered ranks (missing
+    * registers fold in as the seed term), so the double sum is
+    * order-identical in DuckDB. The 256-element collect is bounded by
+    * construction — registers, not rows.
+    *
+    * `n_exact` (and the error column it feeds) is the VERIFICATION
+    * harness, not part of the sketch path: at 100 TB you run only the
+    * register aggregate; the exact distinct count exists here so the
+    * oracle pins both the sketch and its accuracy claim. */
+  def hllShingleCardinality(df: DataFrame, idCol: String, textCol: String,
+                            shingleK: Int = 3): DataFrame = {
+    val grams = TextDedup.shingleFrame(df, idCol, textCol, shingleK)
+      .select(explode(col("sh")).as("g"))
+    val v = shiftright(col("g"), 8) // g div 256; g is a non-negative ~30-bit hash
+    // rank = leading zeros of the 22-bit value + 1 = 23 - bitlength(v);
+    // bin() gives the minimal binary string on both engines.
+    val rank = when(v === 0L, lit(HllRankBits + 1))
+      .otherwise(lit(HllRankBits + 1) - length(bin(v))).cast("long")
+    val regs = grams
+      .select((col("g") % HllRegisters).as("register"), rank.as("rank"))
+      .groupBy("register").agg(max(col("rank")).as("m_j"))
+    val exact = grams.agg(countDistinct(col("g")).as("n_exact"))
+    val folded = regs.agg(
+      sort_array(collect_list(struct(col("register"), col("m_j")))).as("arr"),
+      count(lit(1)).as("n_present"))
+    // denominator = (m - present) · 2⁻⁰ + Σ 2^(−M_j), register-ascending:
+    // the seed carries the absent registers, then one L-R fold. SQL form
+    // because the Scala shiftleft only takes a literal shift; 2^(−M) by
+    // integer shift + division is exact, matching the oracle bit-for-bit.
+    val denom = expr(
+      "aggregate(transform(arr, e -> CAST(1 AS DOUBLE) / " +
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(e.m_j AS INT)) AS DOUBLE)), " +
+        "CAST(256 AS DOUBLE) - CAST(n_present AS DOUBLE), (acc, x) -> acc + x)")
+    folded.crossJoin(exact).select(
+      lit(HllRegisters.toLong).as("m"),
+      col("n_present"),
+      col("n_exact"),
+      (lit(HllAlphaM2) / denom).as("estimate"),
+      ((lit(HllAlphaM2) / denom - col("n_exact").cast("double"))
+        / col("n_exact").cast("double")).as("rel_error"))
+  }
+
+  /** Count-Min sketch hash-row parameters (seed, multiplier, modulus) —
+    * four independent polynomial-hash families; printed into the oracle
+    * SQL from these same constants. */
+  val CmsParams: Seq[(Long, Long, Long)] = Seq(
+    (7L, 31L, 1000000007L), (11L, 37L, 998244353L),
+    (13L, 41L, 1000000007L), (17L, 43L, 998244353L))
+  private val CmsWidth = 1024
+
+  /** Count-Min frequency estimates for the corpus's top-`k` tokens, one
+    * row per probed token: `(token, tf_exact, tf_cms, overestimate)` —
+    * all integers, so the oracle compare is exact; `tf_cms ≥ tf_exact`
+    * always (collisions only ever add).
+    *
+    * Sketch path: every token occurrence maps to `depth` (row, cell)
+    * pairs (cell = row's polynomial hash mod 1024 — a row-local
+    * expression); `sum` per cell is map-side partial, so each scan task
+    * crosses the shuffle with ≤ depth×width cell counters regardless of
+    * corpus size. The probe side recomputes each probe token's cells and
+    * takes the min across rows. `tf_exact` / the top-k probe list is the
+    * verification harness: at 100 TB the sketch table is the product and
+    * probes are point lookups. */
+  def cmsTokenFrequency(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 10): DataFrame = {
+    val toks = df.select(explode(tokens(col(textCol))).as("token"))
+    def cellOf(row: Int, c: Column): Column = {
+      val (seed, mult, mod) = CmsParams(row)
+      PolyHash(c, seed, mult, mod) % CmsWidth
+    }
+    val cells = toks.select(explode(array(CmsParams.indices.map(j =>
+        struct(lit(j).as("row"), cellOf(j, col("token")).as("cell"))): _*)).as("rc"))
+      .select(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .groupBy("row", "cell").agg(count(lit(1)).as("c"))
+    val top = toks.groupBy("token").agg(count(lit(1)).as("tf_exact"))
+      .orderBy(desc("tf_exact"), col("token")).limit(k)
+    val probes = top.select(col("token"), col("tf_exact"),
+        explode(array(CmsParams.indices.map(j =>
+          struct(lit(j).as("row"), cellOf(j, col("token")).as("cell"))): _*)).as("rc"))
+      .select(col("token"), col("tf_exact"),
+        col("rc.row").as("row"), col("rc.cell").as("cell"))
+    probes.join(cells, Seq("row", "cell"))
+      .groupBy("token", "tf_exact").agg(min(col("c")).as("tf_cms"))
+      .select(col("token"), col("tf_exact"), col("tf_cms"),
+        (col("tf_cms") - col("tf_exact")).as("overestimate"))
+      .orderBy(desc("tf_exact"), col("token"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Accuracy claims for the sketch operators (their VALUES are pinned by
+  * the DuckDB oracle; these pin that the sketches are actually good). */
+class SketchesSpec extends SparkSpec {
+
+  private def docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+
+  "hllShingleCardinality" should "estimate within the theoretical error band" in {
+    val r = Sketches.hllShingleCardinality(docs, "doc_id", "text").head()
+    val exact = r.getAs[Long]("n_exact")
+    val est = r.getAs[Double]("estimate")
+    exact should be > 0L
+    // 1.04/sqrt(256) ≈ 6.5% standard error; allow 3 sigma
+    math.abs(est - exact) / exact.toDouble should be < 0.20
+  }
+
+  it should "be exact-ish and saturation-free on a tiny corpus" in {
+    import spark.implicits._
+    val tiny = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val r = Sketches.hllShingleCardinality(tiny, "doc_id", "text").head()
+    r.getAs[Long]("n_exact") shouldBe 2L // two distinct 3-shingles, deduped
+    r.getAs[Long]("n_present") shouldBe 2L
+  }
+
+  "cmsTokenFrequency" should "never underestimate and bound the collision error" in {
+    val rows = Sketches.cmsTokenFrequency(docs, "doc_id", "text").collect()
+    rows.length shouldBe 10
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("tf_exact")
+      val over = r.getAs[Long]("overestimate")
+      over should be >= 0L // CMS collisions only ever add
+      // 4 rows × 1024 cells on this corpus: expected collision mass per
+      // cell is total_tokens/1024; min-of-4 keeps error well under 10%
+      over.toDouble / exact.toDouble should be < 0.10
+    }
+  }
+}
