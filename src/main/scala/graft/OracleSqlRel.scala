@@ -1,0 +1,92 @@
+package graft
+
+/** DuckDB oracle SQL for the star-schema relational queries (p68–p71).
+  * Money math mirrors [[graft.ops.RelAnalytics]] exactly: 2-decimal
+  * doubles → integer cents via round(x·100), all sums exact integers
+  * (DuckDB sums BIGINT as HUGEINT — same values), one closing division
+  * per output column in the same left-to-right order as the Spark
+  * expressions, so the final doubles compare bit-for-bit.
+  */
+object OracleSqlRel {
+
+  /** extendedprice·(1−discount) in 10⁻⁴-dollar units — exact integers. */
+  private val rev =
+    "CAST(round(l_extendedprice*100) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount*100) AS BIGINT))"
+
+  val rel: Map[String, String] = Map(
+    "p68_pricing_summary" ->
+      s"""WITH l AS (
+         |  SELECT l_returnflag, l_linestatus,
+         |    CAST(l_quantity AS BIGINT) AS qty,
+         |    CAST(round(l_extendedprice*100) AS BIGINT) AS ep,
+         |    CAST(round(l_discount*100) AS BIGINT) AS d,
+         |    CAST(round(l_tax*100) AS BIGINT) AS t
+         |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         |), g AS (
+         |  SELECT l_returnflag, l_linestatus,
+         |    sum(qty) AS sum_qty, sum(ep) AS base_cents,
+         |    sum(ep*(100-d)) AS disc_units,
+         |    sum(ep*(100-d)*(100+t)) AS charge_units,
+         |    sum(d) AS disc_pct_sum, count(*) AS count_order
+         |  FROM l GROUP BY 1, 2
+         |)
+         |SELECT l_returnflag, l_linestatus,
+         |  CAST(sum_qty AS BIGINT) AS sum_qty,
+         |  CAST(base_cents AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_base_price,
+         |  CAST(disc_units AS DOUBLE) / CAST(10000 AS DOUBLE) AS sum_disc_price,
+         |  CAST(charge_units AS DOUBLE) / CAST(1000000 AS DOUBLE) AS sum_charge,
+         |  CAST(sum_qty AS DOUBLE) / CAST(count_order AS DOUBLE) AS avg_qty,
+         |  CAST(base_cents AS DOUBLE) / CAST(100 AS DOUBLE)
+         |    / CAST(count_order AS DOUBLE) AS avg_price,
+         |  CAST(disc_pct_sum AS DOUBLE) / CAST(100 AS DOUBLE)
+         |    / CAST(count_order AS DOUBLE) AS avg_disc,
+         |  count_order
+         |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "p69_top_orders" ->
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+         |  CAST(sum(rev) AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue
+         |FROM (
+         |  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority, $rev AS rev
+         |  FROM customer c
+         |  JOIN orders o ON c_custkey = o_custkey
+         |  JOIN lineitem l ON o_orderkey = l_orderkey
+         |  WHERE c_mktsegment = 'BUILDING'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01'
+         |    AND l_shipdate > TIMESTAMP '1998-01-01'
+         |)
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "p70_nation_revenue" ->
+      s"""SELECT n_name,
+         |  CAST(sum($rev) AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue
+         |FROM customer c
+         |JOIN orders o ON c_custkey = o_custkey
+         |JOIN lineitem l ON o_orderkey = l_orderkey
+         |JOIN supplier s ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation n ON c_nationkey = n_nationkey
+         |JOIN region r ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "p71_promo_share" ->
+      s"""WITH j AS (
+         |  SELECT $rev AS rev, p_type
+         |  FROM lineitem l JOIN part p ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+         |    AND l_shipdate < TIMESTAMP '1999-01-01'
+         |), a AS (
+         |  SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS promo_units,
+         |         sum(rev) AS total_units
+         |  FROM j
+         |)
+         |SELECT
+         |  CAST(promo_units AS DOUBLE) / CAST(10000 AS DOUBLE) AS promo_revenue,
+         |  CAST(total_units AS DOUBLE) / CAST(10000 AS DOUBLE) AS total_revenue,
+         |  CAST(promo_units AS DOUBLE) / CAST(total_units AS DOUBLE) AS promo_share
+         |FROM a""".stripMargin)
+}

@@ -12,10 +12,11 @@ object SparkEntry {
     * LLM-pipeline surface (dedup / similarity / text analysis). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParkingAnalytics.queries ++ DocAnalytics.queries ++
+      graft.ops.RelAnalytics.queries ++
       Map("p24_hourly_doc_flat" -> (graft.ops.HourlyDocs.flat _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    OracleSql.parking ++ OracleSqlDocs.docs
+    OracleSql.parking ++ OracleSqlDocs.docs ++ OracleSqlRel.rel
 }

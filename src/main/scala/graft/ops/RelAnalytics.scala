@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Star-schema relational analytics over the TPC-H-shaped tables
+  * (lineitem/orders/customer/supplier/part/nation/region) — the classic
+  * warehouse query patterns a general-purpose engine must run well:
+  * scan-heavy group-aggregation (p68), selective multi-way join with
+  * top-k (p69), a five-table star join with bounded-dimension broadcasts
+  * (p70), and conditional aggregation over a dimension attribute (p71).
+  *
+  * Plan discipline (audited via .explain): date/segment filters sit
+  * directly on the scans (parquet PushedFilters), only referenced columns
+  * are read (ReadSchema), every aggregate runs map-side partial before
+  * its shuffle, and the only broadcast HINTS are the dimensions bounded
+  * by construction (nation/region — world geography, not data scale);
+  * customer/supplier/part grow with the corpus, so their join strategy is
+  * left to size-based planning (AQE broadcasts them at bench scale and
+  * shuffles them at 100 TB, both correctly).
+  *
+  * Money math is EXACT-INTEGER by design: the generated prices/discounts
+  * are 2-decimal, so every monetary expression is computed in integer
+  * cents (× 10⁴ for discounted, × 10⁶ for taxed units) and summed
+  * exactly — summation order cannot perturb the result, which is what
+  * lets the DuckDB oracle compare the final doubles bit-for-bit after
+  * the single closing division. Long sums hold to ~sf100 for the taxed
+  * units (≈7e10/row × row count); beyond that the same expressions sum
+  * as decimal(38,0) unchanged — p68's charge column already does, as the
+  * template.
+  */
+object RelAnalytics {
+
+  /** round-half-up 2-decimal double → exact integer cents. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  /** discount/tax percentage points as exact integers. */
+  private def pct(c: Column): Column = round(c * 100).cast("long")
+
+  /** extendedprice·(1−discount) in 10⁻⁴-dollar units — exact. */
+  private def discUnits(ep: Column, d: Column): Column =
+    cents(ep) * (lit(100L) - pct(d))
+
+  private def asDollars4(sum: Column): Column =
+    sum.cast("double") / lit(10000.0)
+
+  /** p68 — Q1-shaped pricing summary: one scan-heavy pass over lineitem
+    * with a pushed date filter; all eight aggregates ride one map-side
+    * partial aggregation on a 6-ary group key. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+    val chargeUnits = // ep·(1−d)·(1+t) in 10⁻⁶ units; decimal(38,0) sum —
+      // the overflow-proof template for the largest scale factors
+      (discUnits(col("l_extendedprice"), col("l_discount"))
+        * (lit(100L) + pct(col("l_tax")))).cast("decimal(38,0)")
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("base_cents"),
+        sum(discUnits(col("l_extendedprice"), col("l_discount"))).as("disc_units"),
+        sum(chargeUnits).as("charge_units"),
+        sum(pct(col("l_discount"))).as("disc_pct_sum"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        (col("base_cents").cast("double") / lit(100.0)).as("sum_base_price"),
+        asDollars4(col("disc_units")).as("sum_disc_price"),
+        (col("charge_units").cast("double") / lit(1000000.0)).as("sum_charge"),
+        (col("sum_qty").cast("double") / col("count_order").cast("double")).as("avg_qty"),
+        (col("base_cents").cast("double") / lit(100.0)
+          / col("count_order").cast("double")).as("avg_price"),
+        (col("disc_pct_sum").cast("double") / lit(100.0)
+          / col("count_order").cast("double")).as("avg_disc"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** p69 — Q3-shaped: top-10 highest-revenue urgent orders for one market
+    * segment, not yet shipped at the cutoff. The segment and date filters
+    * push to the scans; the final top-k plans as TakeOrderedAndProject
+    * (never a global sort of the aggregate). */
+  def topOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        discUnits(col("l_extendedprice"), col("l_discount")).as("rev_units"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(col("rev_units")).as("rev_units"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        asDollars4(col("rev_units")).as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** p70 — Q5-shaped: revenue per nation in one region from LOCAL
+    * suppliers (customer and supplier share the nation). nation/region
+    * are broadcast by hint (bounded by construction); customer/supplier
+    * join strategy stays size-based. */
+  def nationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_suppkey"),
+      discUnits(col("l_extendedprice"), col("l_discount")).as("rev_units"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = broadcast(Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name", "n_regionkey"))
+    val r = broadcast(Tables.region(spark, dir)
+      .filter(col("r_name") === "ASIA").select("r_regionkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(col("rev_units")).as("rev_units"))
+      .select(col("n_name"), asDollars4(col("rev_units")).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  /** p71 — Q14-shaped: promotional revenue share for one ship year —
+    * conditional aggregation over a joined dimension attribute; the share
+    * is one division of two exactly-summed integers. */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        discUnits(col("l_extendedprice"), col("l_discount")).as("rev_units"))
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_units")).otherwise(0L))
+          .as("promo_units"),
+        sum(col("rev_units")).as("total_units"))
+      .select(
+        asDollars4(col("promo_units")).as("promo_revenue"),
+        asDollars4(col("total_units")).as("total_revenue"),
+        (col("promo_units").cast("double") / col("total_units").cast("double"))
+          .as("promo_share"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p68_pricing_summary" -> (pricingSummary _),
+    "p69_top_orders" -> (topOrders _),
+    "p70_nation_revenue" -> (nationRevenue _),
+    "p71_promo_share" -> (promoShare _))
+}
