@@ -47,8 +47,16 @@ object Sketches {
     * harness, not part of the sketch path: at 100 TB you run only the
     * register aggregate; the exact distinct count exists here so the
     * oracle pins both the sketch and its accuracy claim. */
-  def hllShingleCardinality(df: DataFrame, idCol: String, textCol: String,
-                            shingleK: Int = 3): DataFrame = {
+  /** (register, rank) update rows for the HLL sketch — the shared shaping
+    * of the batch estimate and the STREAMING register table: because the
+    * register state is a monotone `max`, the same frame aggregates
+    * incrementally under Structured Streaming with state bounded at 256
+    * rows however long the stream runs (the sketch property that makes
+    * HLL the streaming-cardinality primitive). Works on batch and
+    * streaming DataFrames alike. */
+  private[graft] def hllRegisterUpdates(df: DataFrame, idCol: String,
+                                        textCol: String,
+                                        shingleK: Int = 3): DataFrame = {
     val grams = TextDedup.shingleFrame(df, idCol, textCol, shingleK)
       .select(explode(col("sh")).as("g"))
     val v = shiftright(col("g"), 8) // g div 256; g is a non-negative ~30-bit hash
@@ -56,9 +64,21 @@ object Sketches {
     // bin() gives the minimal binary string on both engines.
     val rank = when(v === 0L, lit(HllRankBits + 1))
       .otherwise(lit(HllRankBits + 1) - length(bin(v))).cast("long")
-    val regs = grams
-      .select((col("g") % HllRegisters).as("register"), rank.as("rank"))
+    grams.select((col("g") % HllRegisters).as("register"), rank.as("rank"))
+  }
+
+  /** The 256-row register table: `max(rank)` per register — map-side
+    * partial in batch, bounded incremental state in streaming. */
+  def hllRegisters(df: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 3): DataFrame =
+    hllRegisterUpdates(df, idCol, textCol, shingleK)
       .groupBy("register").agg(max(col("rank")).as("m_j"))
+
+  def hllShingleCardinality(df: DataFrame, idCol: String, textCol: String,
+                            shingleK: Int = 3): DataFrame = {
+    val grams = TextDedup.shingleFrame(df, idCol, textCol, shingleK)
+      .select(explode(col("sh")).as("g"))
+    val regs = hllRegisters(df, idCol, textCol, shingleK)
     val exact = grams.agg(countDistinct(col("g")).as("n_exact"))
     val folded = regs.agg(
       sort_array(collect_list(struct(col("register"), col("m_j")))).as("arr"),

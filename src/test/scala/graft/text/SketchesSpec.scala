@@ -26,6 +26,40 @@ class SketchesSpec extends SparkSpec {
     r.getAs[Long]("n_present") shouldBe 2L
   }
 
+  "hllRegisters" should "converge to the batch register table when fed as a stream" in {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    // chunk the documents into 5 json files → ≥5 micro-batches; the
+    // monotone per-register max must merge incrementally to exactly the
+    // batch table, with state bounded at 256 rows throughout.
+    val dir = Files.createTempDirectory("graft-hll-stream")
+    val lines = docs.orderBy("doc_id")
+      .select(to_json(struct(col("doc_id"), col("text"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(math.max(1, lines.length / 5)).zipWithIndex.foreach {
+      case (chunk, i) =>
+        val f = dir.resolve(f"chunk-$i%03d.json")
+        Files.write(f, String.join("\n", chunk: _*).getBytes("UTF-8"))
+        f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val ckpt = Files.createTempDirectory("graft-hll-ckpt").toString
+    val q = Sketches.hllRegisters(stream, "doc_id", "text")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hll_regs_stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val streamed = spark.table("hll_regs_stream").collect()
+      .map(r => (r.getAs[Long]("register"), r.getAs[Long]("m_j"))).toSet
+    val batch = Sketches.hllRegisters(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("register"), r.getAs[Long]("m_j"))).toSet
+    streamed shouldBe batch
+  }
+
   "cmsTokenFrequency" should "never underestimate and bound the collision error" in {
     val rows = Sketches.cmsTokenFrequency(docs, "doc_id", "text").collect()
     rows.length shouldBe 10
