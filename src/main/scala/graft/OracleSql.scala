@@ -370,6 +370,27 @@ object OracleSql {
       |SELECT licensePlate FROM parking WHERE eventType = 'PARKING_EXIT'
       |ORDER BY licensePlate""".stripMargin),
 
+    "p72_rollup_stats" -> (ParkingCte + """
+      |SELECT COALESCE(parkingLotId, 'ALL') AS lot,
+      |       COALESCE(vehicleType, 'ALL') AS vtype,
+      |       count(*) AS n_events,
+      |       COUNT(CASE WHEN eventType = 'PARKING_ENTRY' THEN 1 END) AS entries
+      |FROM parking
+      |GROUP BY ROLLUP (parkingLotId, vehicleType)
+      |ORDER BY lot, vtype""".stripMargin),
+
+    // the pivot twin: one conditional count per (explicit) vehicle type —
+    // exactly the aggregate Spark's pivot plans internally
+    "p73_vehicle_type_pivot" -> (ParkingCte + """
+      |SELECT parkingLotId AS lot,
+      |       COUNT(CASE WHEN vehicleType = 'car' THEN 1 END) AS car,
+      |       COUNT(CASE WHEN vehicleType = 'truck' THEN 1 END) AS truck,
+      |       COUNT(CASE WHEN vehicleType = 'motorcycle' THEN 1 END) AS motorcycle,
+      |       COUNT(CASE WHEN vehicleType = 'van' THEN 1 END) AS van,
+      |       COUNT(CASE WHEN vehicleType = 'suv' THEN 1 END) AS suv
+      |FROM parking WHERE eventType = 'PARKING_ENTRY'
+      |GROUP BY 1 ORDER BY lot""".stripMargin),
+
     "p56_active_registered" -> (ParkingCte + """
       |SELECT u_plate, handicapped FROM users
       |WHERE u_plate IN (SELECT licensePlate FROM parking)

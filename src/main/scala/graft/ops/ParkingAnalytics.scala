@@ -411,6 +411,36 @@ object ParkingAnalytics {
         col("n_events"), col("entries"))
       .orderBy("lot", "vtype")
 
+  /** ROLLUP — the hierarchical member of the grouping-sets family (cube's
+    * p46 sibling): per-(lot, type), per-lot, and grand total, WITHOUT the
+    * per-type-across-lots level cube adds. Same Expand-based single-pass
+    * plan; rolled-up dims COALESCEd to 'ALL' for engine-independent
+    * order. */
+  def rollupStats(spark: SparkSession, dir: String): DataFrame =
+    parkingEvents(spark, dir)
+      .rollup(col("parkingLotId"), col("vehicleType"))
+      .agg(count(lit(1)).as("n_events"), count(when(isEntry, 1)).as("entries"))
+      .select(
+        coalesce(col("parkingLotId"), lit("ALL")).as("lot"),
+        coalesce(col("vehicleType"), lit("ALL")).as("vtype"),
+        col("n_events"), col("entries"))
+      .orderBy("lot", "vtype")
+
+  /** PIVOT — long-to-wide reshaping: entry counts per lot with one column
+    * per vehicle type. The value list is EXPLICIT (the schema must never
+    * depend on a distinct-scan of the data — at 100 TB that is a full
+    * extra pass, and a nondeterministic column order); missing (lot,
+    * type) combos land as 0, not null. One partial-agg pass — pivot plans
+    * as a regular aggregate over conditional counts. */
+  def vehicleTypePivot(spark: SparkSession, dir: String): DataFrame =
+    parkingEvents(spark, dir)
+      .filter(isEntry)
+      .groupBy(col("parkingLotId").as("lot"))
+      .pivot("vehicleType", graft.schema.ParkingModel.VehicleTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("lot")
+
   /** Anti join: event counts for plates with NO row in the user registry
     * (the registry drops every 7th key, so these are real). left_anti is
     * the broadcast-friendly negative-membership plan — the registry side
@@ -576,5 +606,7 @@ object ParkingAnalytics {
     "p54_lot_cardinalities" -> (lotCardinalities _),
     "p55_busiest_hours" -> (busiestHours _),
     "p56_active_registered" -> (activeRegisteredPlates _),
-    "p57_unbalanced_entries" -> (unbalancedEntries _))
+    "p57_unbalanced_entries" -> (unbalancedEntries _),
+    "p72_rollup_stats" -> (rollupStats _),
+    "p73_vehicle_type_pivot" -> (vehicleTypePivot _))
 }
