@@ -370,6 +370,20 @@ object OracleSql {
       |SELECT licensePlate FROM parking WHERE eventType = 'PARKING_EXIT'
       |ORDER BY licensePlate""".stripMargin),
 
+    // full-outer entry/exit reconciliation (query key lives with the
+    // relational family; the data is the parking events table)
+    "p75_entry_exit_reconciliation" -> (ParkingCte + """
+      |, e AS (SELECT licensePlate AS plate, count(*) AS n_entries
+      |        FROM parking WHERE eventType = 'PARKING_ENTRY' GROUP BY 1),
+      |x AS (SELECT licensePlate AS plate, count(*) AS n_exits
+      |      FROM parking WHERE eventType = 'PARKING_EXIT' GROUP BY 1)
+      |SELECT plate,
+      |       COALESCE(n_entries, 0) AS n_entries,
+      |       COALESCE(n_exits, 0) AS n_exits,
+      |       COALESCE(n_entries, 0) - COALESCE(n_exits, 0) AS diff
+      |FROM e FULL OUTER JOIN x USING (plate)
+      |ORDER BY plate""".stripMargin),
+
     "p72_rollup_stats" -> (ParkingCte + """
       |SELECT COALESCE(parkingLotId, 'ALL') AS lot,
       |       COALESCE(vehicleType, 'ALL') AS vtype,

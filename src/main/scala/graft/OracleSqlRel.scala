@@ -73,6 +73,21 @@ object OracleSqlRel {
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "p74_small_qty_revenue" ->
+      s"""WITH l AS (
+         |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         |         CAST(round(l_extendedprice*100) AS BIGINT) AS ep
+         |  FROM lineitem
+         |), a AS (
+         |  SELECT l_partkey, sum(qty) AS sq, count(*) AS cnt
+         |  FROM l GROUP BY 1
+         |)
+         |SELECT count(*) AS n_small_rows,
+         |       CAST(sum(ep) AS DOUBLE) / CAST(100 AS DOUBLE) AS small_revenue
+         |FROM l JOIN a USING (l_partkey)
+         |WHERE CAST(qty AS DOUBLE) <
+         |      CAST(0.2 AS DOUBLE) * (CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE))""".stripMargin,
+
     "p71_promo_share" ->
       s"""WITH j AS (
          |  SELECT $rev AS rev, p_type

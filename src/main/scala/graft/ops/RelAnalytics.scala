@@ -151,9 +151,53 @@ object RelAnalytics {
           .as("promo_share"))
   }
 
+  /** p74 — Q17-shaped: revenue from below-average-quantity line items,
+    * i.e. the correlated scalar subquery `qty < 0.2·avg(qty per part)`
+    * in its DECORRELATED form — one per-part aggregate joined back to
+    * the fact (the plan Catalyst rewrites such subqueries into anyway;
+    * stating it as agg+join keeps it explicit and co-partitioned: both
+    * sides shuffle once on l_partkey). The threshold is computed in the
+    * same expression order on both engines; the aggregate sums stay
+    * exact integers. */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+      cents(col("l_extendedprice")).as("ep"))
+    val perPart = l.groupBy("l_partkey")
+      .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cnt"))
+    l.join(perPart, "l_partkey")
+      .filter(col("qty").cast("double") <
+        lit(0.2) * (col("sq").cast("double") / col("cnt").cast("double")))
+      .agg(count(lit(1)).as("n_small_rows"), sum(col("ep")).as("ep_sum"))
+      .select(col("n_small_rows"),
+        (col("ep_sum").cast("double") / lit(100.0)).as("small_revenue"))
+  }
+
+  /** p75 — FULL OUTER reconciliation: per-plate entry vs exit counts over
+    * the events table, keeping plates that appear on either side only
+    * (the audit query every ledger-ish pipeline runs). Exercises the one
+    * outer-join shape the surface lacked; both sides pre-aggregate before
+    * the join, so the outer join matches one row per plate per side. */
+  def entryExitReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.schema.ParkingModel.parkingEvents(spark, dir)
+    def side(kind: String, as: String) =
+      ev.filter(col("eventType") === kind)
+        .groupBy(col("licensePlate").as("plate"))
+        .agg(count(lit(1)).as(as))
+    side("PARKING_ENTRY", "n_entries")
+      .join(side("PARKING_EXIT", "n_exits"), Seq("plate"), "full_outer")
+      .select(col("plate"),
+        coalesce(col("n_entries"), lit(0L)).as("n_entries"),
+        coalesce(col("n_exits"), lit(0L)).as("n_exits"))
+      .withColumn("diff", col("n_entries") - col("n_exits"))
+      .orderBy("plate")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p68_pricing_summary" -> (pricingSummary _),
     "p69_top_orders" -> (topOrders _),
     "p70_nation_revenue" -> (nationRevenue _),
-    "p71_promo_share" -> (promoShare _))
+    "p71_promo_share" -> (promoShare _),
+    "p74_small_qty_revenue" -> (smallQuantityRevenue _),
+    "p75_entry_exit_reconciliation" -> (entryExitReconciliation _))
 }
