@@ -384,6 +384,30 @@ object OracleSql {
       |FROM e FULL OUTER JOIN x USING (plate)
       |ORDER BY plate""".stripMargin),
 
+    // RANGE frame on epoch seconds. DuckDB epoch() is a fractional DOUBLE
+    // and CAST..BIGINT ROUNDS; Spark's unix_timestamp FLOORS — so floor
+    // explicitly before the cast.
+    "p76_trailing_hour_load" -> (ParkingCte + """
+      |SELECT event_id, parkingLotId,
+      |       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+      |       count(*) OVER (PARTITION BY parkingLotId
+      |                      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |                      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+      |         AS events_last_hour
+      |FROM parking ORDER BY event_id""".stripMargin),
+
+    "p77_slot_event_sequence" -> (ParkingCte + """
+      |SELECT event_id, eventType,
+      |  lead(eventType, 1) OVER w AS next_event_type,
+      |  first_value(licensePlate) OVER wr AS first_plate,
+      |  nth_value(licensePlate, 2) OVER wr AS second_plate
+      |FROM parking
+      |WINDOW
+      |  w AS (PARTITION BY parkingLotId, parkingSpotId ORDER BY ts, event_id),
+      |  wr AS (PARTITION BY parkingLotId, parkingSpotId ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin),
+
     "p72_rollup_stats" -> (ParkingCte + """
       |SELECT COALESCE(parkingLotId, 'ALL') AS lot,
       |       COALESCE(vehicleType, 'ALL') AS vtype,

@@ -441,6 +441,44 @@ object ParkingAnalytics {
       .na.fill(0L)
       .orderBy("lot")
 
+  /** RANGE-frame sliding window — the time-based frame the windows family
+    * still lacked (p12/p28 use ROWS frames): per lot, the count of events
+    * in the trailing hour of VALUE range (3599 seconds preceding through
+    * now), per event. RANGE frames are tie-safe by definition (all rows
+    * at equal ordering value share one frame), so no tiebreak column is
+    * needed for determinism. Scale: one shuffle on the lot key; the frame
+    * is evaluated by a sliding two-pointer over each partition's sort —
+    * O(n) per partition, state bounded by the hour's row count. */
+  def trailingHourLoad(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("parkingLotId").orderBy("epoch_s")
+      .rangeBetween(-3599, Window.currentRow)
+    parkingEvents(spark, dir)
+      .select(col("event_id"), col("parkingLotId"),
+        unix_timestamp(col("ts")).as("epoch_s"))
+      .withColumn("events_last_hour", count(lit(1)).over(w))
+      .orderBy("event_id")
+  }
+
+  /** Navigation window functions (lead / first_value / nth_value) over
+    * the per-slot event sequence — the forward-looking complement of
+    * p05's lag pairing. Ordering is (ts, event_id): unique by event_id,
+    * so every navigation result is deterministic; the nth_value frame is
+    * explicit ROWS so both engines evaluate the same prefix. */
+  def slotEventSequence(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("parkingLotId", "parkingSpotId")
+      .orderBy("ts", "event_id")
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parkingEvents(spark, dir)
+      .select(col("event_id"), col("parkingLotId"), col("parkingSpotId"),
+        col("ts"), col("eventType"), col("licensePlate"))
+      .withColumn("next_event_type", lead(col("eventType"), 1).over(w))
+      .withColumn("first_plate", first(col("licensePlate")).over(wRows))
+      .withColumn("second_plate", nth_value(col("licensePlate"), 2).over(wRows))
+      .select("event_id", "eventType", "next_event_type",
+        "first_plate", "second_plate")
+      .orderBy("event_id")
+  }
+
   /** Anti join: event counts for plates with NO row in the user registry
     * (the registry drops every 7th key, so these are real). left_anti is
     * the broadcast-friendly negative-membership plan — the registry side
@@ -608,5 +646,7 @@ object ParkingAnalytics {
     "p56_active_registered" -> (activeRegisteredPlates _),
     "p57_unbalanced_entries" -> (unbalancedEntries _),
     "p72_rollup_stats" -> (rollupStats _),
-    "p73_vehicle_type_pivot" -> (vehicleTypePivot _))
+    "p73_vehicle_type_pivot" -> (vehicleTypePivot _),
+    "p76_trailing_hour_load" -> (trailingHourLoad _),
+    "p77_slot_event_sequence" -> (slotEventSequence _))
 }
