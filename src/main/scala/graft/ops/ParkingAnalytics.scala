@@ -448,7 +448,11 @@ object ParkingAnalytics {
     * at equal ordering value share one frame), so no tiebreak column is
     * needed for determinism. Scale: one shuffle on the lot key; the frame
     * is evaluated by a sliding two-pointer over each partition's sort —
-    * O(n) per partition, state bounded by the hour's row count. */
+    * O(n) per partition, state bounded by the hour's row count. Like p44,
+    * window parallelism = key cardinality: for a LOW-cardinality key over
+    * a huge history, sub-split the time axis with a one-frame-width
+    * overlap and drop the duplicated boundary rows — the asOfRanged
+    * remedy ([[AsOfJoin.asOfRanged]]) applied to frames. */
   def trailingHourLoad(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("parkingLotId").orderBy("epoch_s")
       .rangeBetween(-3599, Window.currentRow)

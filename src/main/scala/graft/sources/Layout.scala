@@ -50,4 +50,32 @@ object Layout {
       .drop("__zx", "__zy", "__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Compact a parquet directory's small files into ~`targetFileBytes`
+    * outputs — the operational companion of every streaming/hourly sink:
+    * micro-batch and per-hour writers accumulate files far below the
+    * scan-efficient size, and at 100 TB the scan's task-scheduling and
+    * footer overhead is dominated by FILE COUNT, not bytes. File count is
+    * computed from the on-disk size (no data pass); the rewrite is one
+    * round-robin repartition. The swap is write-tmp → delete → rename:
+    * atomic on a filesystem, NOT on an object store — production object
+    * stores get atomicity from a table format's metadata commit; this is
+    * the rewrite primitive underneath. Returns the output file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L << 20): Int = {
+    val dir = new java.io.File(path)
+    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = path + ".compact-tmp"
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmp)
+    def rmRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmRec)); f.delete(); ()
+    }
+    rmRec(dir)
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new IllegalStateException(s"compact: rename $tmp -> $path failed")
+    n
+  }
 }

@@ -58,4 +58,17 @@ class LayoutSpec extends SparkSpec {
     // and the z-layout's worse dimension still beats the baseline's worse
     math.max(zSpan1, zSpan2) should be < oSpan2
   }
+
+  "compact" should "reduce the file count without changing the data" in {
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_extendedprice")
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    l.repartition(40).write.parquet(dir) // the small-file mess a micro-batch sink leaves
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    parquetFiles shouldBe 40
+    val before = l.agg(count(lit(1)), sum("l_orderkey")).head()
+    Layout.compact(spark, dir) shouldBe 1 // tiny table -> one right-sized file
+    parquetFiles shouldBe 1
+    spark.read.parquet(dir).agg(count(lit(1)), sum("l_orderkey")).head() shouldBe before
+  }
 }
