@@ -255,15 +255,70 @@ object TextDedup {
   @volatile private[graft] var lastRounds: Int = 0
 
   def duplicateGroups(pairs: DataFrame, aCol: String, bCol: String,
-                      maxIters: Int = 25): DataFrame = {
-    // the edge list is persisted for the loop's scope: the plan BELOW
-    // references `e` five times (both union sides, nodes' two projections,
-    // the initial labels) and `pairs` is typically a whole mining pipeline
-    // (simhash/LSH self-join) — without this boundary the miner re-executes
-    // per reference (measured: p59's 7–8.5 s dropped to ~4 s). Loop-scoped
-    // only; released in the finally below.
+                      maxIters: Int = 25,
+                      localEdgeThreshold: Long = 10L * 1000 * 1000): DataFrame = {
+    // the edge list is persisted for this call's scope: the plans BELOW
+    // reference `e` several times and `pairs` is typically a whole mining
+    // pipeline (simhash/LSH self-join) — without this boundary the miner
+    // re-executes per reference (measured: p59's 7–8.5 s dropped to ~4 s).
+    // Released in the finally below.
     val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .persist()
+    try {
+      // the count materializes the miner ONCE into the persisted blocks
+      // (the first downstream job would have anyway) and is the runtime
+      // statistic the algorithm choice reads — the same data-driven
+      // adaptivity AQE applies to join strategies, applied to the CC
+      // algorithm: a pair graph under the threshold is solved EXACTLY by
+      // one executor-side union-find task (memory 2×edges longs ≤ a few
+      // hundred MB at the 10M default — an explicit, bounded budget);
+      // above it, the iterative min-label loop below scales to any size.
+      // Near-dup graphs are sparse by construction (banding bounds the
+      // candidate volume), so at 100 TB most corpora still mine well past
+      // the threshold and take the loop — the local path exists because
+      // paying ~30 scheduled stages on a graph that fits in one task is
+      // pure overhead, at ANY cluster size.
+      if (e.count() <= localEdgeThreshold) localUnionFind(e)
+      else iterativeGroups(e, maxIters)
+    } finally { e.unpersist(false) }
+  }
+
+  /** Single-task exact union-find with path compression; union links the
+    * larger root under the smaller, so each component's terminal root is
+    * its minimum member — the same labeling the iterative path converges
+    * to (EquivalencePropertySpec pins them equal on random graphs). The
+    * result is eagerly checkpointed so the caller's plan reads the
+    * computed blocks, not the mining lineage. */
+  private def localUnionFind(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val flat = e.toDF("_1", "_2").as[(Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        parent.keysIterator.map(n => (n, find(n))).toArray.iterator
+      }
+      .toDF("doc_id", "group_id")
+      .localCheckpoint(true)
+    lastRounds = 1
+    flat.orderBy("doc_id")
+  }
+
+  /** The distributed path: iterative min-label propagation with pointer
+    * jumping over the (already persisted) edge list. */
+  private def iterativeGroups(e: DataFrame, maxIters: Int): DataFrame = {
     val nodes = e.select(col("src")).union(e.select(col("dst"))).distinct()
     // symmetric closure + one self-loop per node, partitioned by dst — the
     // key of EVERY round's edge⋈labels join — so the persisted edges
@@ -322,7 +377,7 @@ object TextDedup {
       throw new IllegalStateException(
         s"duplicateGroups did not converge in $maxIters rounds — " +
           "a component has diameter above maxIters; raise it")
-    } finally { sym.unpersist(false); e.unpersist(false) }
+    } finally { sym.unpersist(false) } // e is released by the caller
   }
 
   private val SimhashBits = 30

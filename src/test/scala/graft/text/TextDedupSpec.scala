@@ -67,38 +67,69 @@ class TextDedupSpec extends SparkSpec {
     loose shouldBe exact
   }
 
+  // threshold 0 forces the distributed loop — the small fixtures below
+  // would otherwise take the single-task union-find path
+  private val Iterative = 0L
+
   "duplicateGroups" should "label a diameter-9 chain by its min id in bounded rounds" in {
     // chain 1-2-…-10: the min label travels one hop per round, so this
     // exercises 9 propagation rounds — the case where an unbounded lineage
     // would nest 9 rounds of joins into every action.
     val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val groups = TextDedup.duplicateGroups(pairs, "doc_a", "doc_b")
+    val groups = TextDedup.duplicateGroups(pairs, "doc_a", "doc_b",
+        localEdgeThreshold = Iterative)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     groups.map(_._1).toSeq shouldBe (1L to 10L)
     all(groups.map(_._2)) shouldBe 1L
   }
 
-  it should "keep disconnected components apart" in {
+  it should "keep disconnected components apart (both paths)" in {
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val m = TextDedup.duplicateGroups(pairs, "doc_a", "doc_b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    m shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    Seq(Iterative, 1000000L).foreach { thr =>
+      val m = TextDedup.duplicateGroups(pairs, "doc_a", "doc_b",
+          localEdgeThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"threshold=$thr: ") { m shouldBe expect }
+    }
   }
 
-  it should "return empty groups for an empty pair set" in {
+  it should "return empty groups for an empty pair set (both paths)" in {
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
-    TextDedup.duplicateGroups(pairs, "doc_a", "doc_b").count() shouldBe 0L
+    Seq(Iterative, 1000000L).foreach { thr =>
+      TextDedup.duplicateGroups(pairs, "doc_a", "doc_b",
+        localEdgeThreshold = thr).count() shouldBe 0L
+    }
   }
 
   it should "throw rather than return wrong groups when maxIters is too low" in {
     val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     an[IllegalStateException] should be thrownBy
-      TextDedup.duplicateGroups(pairs, "doc_a", "doc_b", maxIters = 2)
+      TextDedup.duplicateGroups(pairs, "doc_a", "doc_b", maxIters = 2,
+        localEdgeThreshold = Iterative)
+  }
+
+  it should "agree between the union-find and iterative paths on random graphs" in {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(70)
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+      }.filter { case (a, b) => a != b }
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val local = TextDedup.duplicateGroups(pairs, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val iter = TextDedup.duplicateGroups(pairs, "doc_a", "doc_b",
+          localEdgeThreshold = Iterative)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"trial $trial (${edges.length} edges): ") { local shouldBe iter }
+    }
   }
 
   it should "return a lineage-truncated plan (no join survives the loop)" in {
     val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val out = TextDedup.duplicateGroups(pairs, "doc_a", "doc_b")
+    val out = TextDedup.duplicateGroups(pairs, "doc_a", "doc_b",
+      localEdgeThreshold = Iterative)
     // the returned frame reads the final checkpointed label blocks — if any
     // Join leaks into its plan, the localCheckpoint truncation regressed and
     // per-round work is O(rounds) again
