@@ -463,6 +463,76 @@ object OracleSqlDocs {
          |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM st GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    // the curation-funnel capstone: exact dedup → simhash CC over the
+    // keepers → quality flags → splits, as one recursive-CTE statement
+    // assembled from the same helper fragments as p13/p17/p37/p41/p39 —
+    // integer counts only, so the composed pipeline verifies end-to-end.
+    "p78_curation_funnel" ->
+      s"""WITH RECURSIVE kd AS (
+         |  SELECT min(doc_id) AS id FROM documents
+         |  GROUP BY ${hash(norm("text"))},
+         |    list_reduce(list_prepend(CAST(11 AS BIGINT),
+         |      list_transform(string_split(${norm("text")}, ''),
+         |        c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a*37 + b) % 998244353)
+         |), kdd AS (
+         |  SELECT d.doc_id AS id, d.text FROM documents d JOIN kd ON d.doc_id = kd.id
+         |),
+         |toks AS (SELECT id, string_split(${norm("text")}, ' ') AS t FROM kdd),
+         |th AS (SELECT id, list_transform(t, tok -> ${hash("tok")}) AS h FROM toks),
+         |sigs AS (SELECT id, $simhashExpr AS sig FROM th),
+         |bands AS (
+         |  SELECT id, sig, r.band AS band, (sig >> (r.band*15)) % 32768 AS bucket
+         |  FROM sigs, range(0, 2) r(band)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS da, a.sig AS sa, b.id AS db, b.sig AS sb
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+         |),
+         |prs AS (SELECT da, db FROM cand WHERE bit_count(xor(sa, sb)) <= 1),
+         |nodes AS (SELECT da AS id FROM prs UNION SELECT db AS id FROM prs),
+         |edges AS (SELECT da AS a, db AS b FROM prs
+         |          UNION ALL SELECT db AS a, da AS b FROM prs),
+         |reach AS (
+         |  SELECT id, id AS lab FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.lab AS lab FROM reach r JOIN edges e ON e.a = r.id
+         |),
+         |grp AS (SELECT id, MIN(lab) AS group_id FROM reach GROUP BY id),
+         |noncanon AS (SELECT id FROM grp WHERE id <> group_id),
+         |canon AS (SELECT id, text FROM kdd
+         |          WHERE id NOT IN (SELECT id FROM noncanon)),
+         |cn AS (SELECT id, ${norm("text")} AS nrm FROM canon),
+         |ct AS (SELECT id, nrm, string_split(nrm, ' ') AS t FROM cn),
+         |cc AS (SELECT id, nrm,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(list_max(list_transform(list_distinct(t),
+         |    d -> len(list_filter(t, x -> x = d)))) AS BIGINT) AS top_cnt,
+         |  CAST(greatest(0, len(t) - 1) AS BIGINT) AS n_bigrams,
+         |  CAST(len(list_distinct(CASE WHEN len(t) >= 2
+         |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+         |    ELSE CAST([] AS VARCHAR[]) END)) AS BIGINT) AS n_uniq_bigrams,
+         |  CAST(length(nrm) - length(regexp_replace(nrm, '[^a-z0-9 ]', '', 'g'))
+         |    AS BIGINT) AS n_sym,
+         |  CAST(length(nrm) AS BIGINT) AS n_chars
+         |FROM ct),
+         |keepq AS (
+         |  SELECT id, nrm FROM cc
+         |  WHERE CAST(top_cnt AS DOUBLE)/n_tokens <= CAST(0.2 AS DOUBLE)
+         |    AND (CASE WHEN n_bigrams > 0
+         |         THEN CAST(n_bigrams - n_uniq_bigrams AS DOUBLE)/n_bigrams
+         |         ELSE CAST(0.0 AS DOUBLE) END) <= CAST(0.3 AS DOUBLE)
+         |    AND CAST(n_sym AS DOUBLE)/n_chars <= CAST(0.2 AS DOUBLE)
+         |),
+         |sp AS (SELECT id, ${hash("nrm")} * 2654435761 % $P % 1000 AS bucket FROM keepq)
+         |SELECT
+         |  (SELECT count(*) FROM documents) AS n_total,
+         |  (SELECT count(*) FROM kd) AS n_exact,
+         |  (SELECT count(*) FROM canon) AS n_canonical,
+         |  (SELECT count(*) FROM keepq) AS n_quality,
+         |  (SELECT count(*) FROM sp WHERE bucket < 800) AS n_train,
+         |  (SELECT count(*) FROM sp WHERE bucket >= 800 AND bucket < 900) AS n_val,
+         |  (SELECT count(*) FROM sp WHERE bucket >= 900) AS n_test""".stripMargin,
+
     // deterministic HyperLogLog distinct-shingle estimate: 256 integer
     // registers (max rank each), harmonic denominator as ONE register-
     // ordered L-R fold seeded with the absent registers — double math

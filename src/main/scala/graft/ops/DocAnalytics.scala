@@ -267,6 +267,38 @@ object DocAnalytics {
           sum("n_tokens").as("total_tokens"))
         .orderBy("group_id")
     }),
+    // the pipeline CAPSTONE: the whole curation funnel as ONE query —
+    // total → exact-dedup keepers → near-dup canonical (simhash pairs
+    // mined over the exact keepers, CC, drop non-canonical members) →
+    // quality keepers (Gopher–C4 flags) → train/val/test counts. All
+    // integer counts, so the DuckDB twin (the same chain as one
+    // recursive-CTE statement) verifies the composition end-to-end.
+    // The repartition on the keeper frame is the standard exchange-reuse
+    // boundary: every later stage references it, and one shuffle stage
+    // feeds them all instead of re-running exact dedup per reference.
+    "p78_curation_funnel" -> ((s, d) => {
+      val ds = docs(s, d)
+      val exactKeep = TextDedup.exactDedup(ds, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val kdd = ds.join(exactKeep, "doc_id").repartition(col("doc_id"))
+      val dupMembers = TextDedup.duplicateGroups(
+          TextDedup.simhashNearDup(kdd, "doc_id", "text"), "doc_a", "doc_b")
+        .filter(col("doc_id") =!= col("group_id")).select("doc_id")
+      val canon = kdd.join(dupMembers, Seq("doc_id"), "left_anti")
+        .repartition(col("doc_id"))
+      val keepq = TextCuration.repetitionStats(canon, "doc_id", "text")
+        .filter(col("keep")).select(col("id").as("doc_id"))
+      val splits = TextCuration.hashSplit(canon.join(keepq, "doc_id"), "doc_id", "text")
+      def c1(df: DataFrame, name: String) = df.agg(count(lit(1)).as(name))
+      c1(ds, "n_total")
+        .crossJoin(c1(kdd, "n_exact"))
+        .crossJoin(c1(canon, "n_canonical"))
+        .crossJoin(c1(keepq, "n_quality"))
+        .crossJoin(splits.agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test")))
+    }),
     // sketch operators — deterministic HLL / Count-Min with value-exact
     // oracles (the exact counts in their outputs are the verification
     // harness; the sketch path is the fixed-size partial-aggregable state)
