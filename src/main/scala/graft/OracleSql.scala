@@ -408,6 +408,15 @@ object OracleSql {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin),
 
+    "p79_grouping_sets" -> (ParkingCte + """
+      |SELECT COALESCE(parkingLotId, 'ALL') AS lot,
+      |       COALESCE(vehicleType, 'ALL') AS vtype,
+      |       CAST(GROUPING(parkingLotId, vehicleType) AS BIGINT) AS gid,
+      |       count(*) AS n_events
+      |FROM parking
+      |GROUP BY GROUPING SETS ((parkingLotId), (vehicleType), ())
+      |ORDER BY lot, vtype""".stripMargin),
+
     "p72_rollup_stats" -> (ParkingCte + """
       |SELECT COALESCE(parkingLotId, 'ALL') AS lot,
       |       COALESCE(vehicleType, 'ALL') AS vtype,

@@ -846,6 +846,27 @@ object OracleSqlDocs {
          |  CAST(list_max(bytes) AS BIGINT) AS max_byte
          |FROM gen ORDER BY asset_id""".stripMargin,
 
+    // frame-window twin: regenerate each video's byte array from the
+    // formula, split into 64-byte windows, keep every 4th — count and sum
+    // per window pin the sampler's boundaries exactly.
+    "p80_frame_windows" ->
+      s"""WITH gen AS (
+         |  SELECT vec_id AS asset_id,
+         |    CAST(256 + (vec_id % 7) * 128 AS INT) AS n
+         |  FROM embeddings WHERE vec_id % 3 = 2
+         |), w AS (
+         |  SELECT asset_id, n, unnest(range(0, CAST(ceil(CAST(n AS DOUBLE)/64) AS INT))) AS widx
+         |  FROM gen
+         |)
+         |SELECT asset_id, CAST(widx AS BIGINT) AS frame_idx,
+         |  CAST(least(n, (widx+1)*64) - widx*64 AS BIGINT) AS n_bytes,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [(asset_id*31 + 7*i*i) % 256
+         |     for i in range(CAST(widx*64 AS INT), CAST(least(n, (widx+1)*64) AS INT))]),
+         |    (a, b) -> a + b) AS BIGINT) AS byte_sum
+         |FROM w WHERE widx % 4 = 0
+         |ORDER BY asset_id, frame_idx""".stripMargin,
+
     "p31_media_dedup" ->
       s"""WITH gen AS (
          |  SELECT vec_id AS asset_id, 256 + (vec_id % 7) * 128 AS n,

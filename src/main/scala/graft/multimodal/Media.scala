@@ -132,6 +132,26 @@ object Media {
     }.toDF("asset_id", "frame_idx", "frame")
   }
 
+  /** Frame-window statistics from the REAL binary column — byte count and
+    * byte sum per sampled frame, so the oracle (recomputing both from the
+    * generating formula) verifies the WINDOW BOUNDARIES of the sampler
+    * exactly: an off-by-one in the window split or the stride changes
+    * some window's sum. Integers only. */
+  def frameWindowStats(assets: Dataset[MediaAsset], frameBytes: Int = 64,
+                       every: Int = 4): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(_.kind == "video").flatMap { a =>
+      a.content.grouped(frameBytes).zipWithIndex
+        .filter { case (_, idx) => idx % every == 0 }
+        .map { case (frame, idx) =>
+          (a.asset_id, idx.toLong, frame.length.toLong,
+            frame.foldLeft(0L)((s, b) => s + (b & 0xFF)))
+        }
+    }.toDF("asset_id", "frame_idx", "n_bytes", "byte_sum")
+      .orderBy("asset_id", "frame_idx")
+  }
+
   /** Decode through the seam (stubbed here) — per-partition batching. */
   def decode(assets: Dataset[MediaAsset], decoder: MediaDecoder): Dataset[Decoded] = {
     val spark = assets.sparkSession

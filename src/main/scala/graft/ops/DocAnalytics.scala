@@ -333,6 +333,8 @@ object DocAnalytics {
     // any byte breaks the hash compare.
     "p30_media_stats" -> ((s, d) =>
       graft.multimodal.Media.stats(graft.multimodal.Media.assets(s, d))),
+    "p80_frame_windows" -> ((s, d) =>
+      graft.multimodal.Media.frameWindowStats(graft.multimodal.Media.assets(s, d))),
     "p31_media_dedup" -> ((s, d) =>
       graft.multimodal.Media.exactFeatureDedup(graft.multimodal.Media.assets(s, d))))
 }

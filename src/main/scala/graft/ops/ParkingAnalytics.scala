@@ -441,6 +441,23 @@ object ParkingAnalytics {
       .na.fill(0L)
       .orderBy("lot")
 
+  /** Explicit GROUPING SETS — the general member of the family (cube p46
+    * and rollup p72 are its two canned shapes): per-lot totals, per-type
+    * totals, and the grand total — WITHOUT the (lot, type) cross level —
+    * plus `grouping_id()` so consumers can tell the levels apart without
+    * sentinel-value sniffing. Single Expand pass like its siblings. */
+  def groupingSetStats(spark: SparkSession, dir: String): DataFrame =
+    parkingEvents(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("parkingLotId")), Seq(col("vehicleType")), Seq()),
+        col("parkingLotId"), col("vehicleType"))
+      .agg(count(lit(1)).as("n_events"), grouping_id().as("gid"))
+      .select(
+        coalesce(col("parkingLotId"), lit("ALL")).as("lot"),
+        coalesce(col("vehicleType"), lit("ALL")).as("vtype"),
+        col("gid"), col("n_events"))
+      .orderBy("lot", "vtype")
+
   /** RANGE-frame sliding window — the time-based frame the windows family
     * still lacked (p12/p28 use ROWS frames): per lot, the count of events
     * in the trailing hour of VALUE range (3599 seconds preceding through
@@ -652,5 +669,6 @@ object ParkingAnalytics {
     "p72_rollup_stats" -> (rollupStats _),
     "p73_vehicle_type_pivot" -> (vehicleTypePivot _),
     "p76_trailing_hour_load" -> (trailingHourLoad _),
-    "p77_slot_event_sequence" -> (slotEventSequence _))
+    "p77_slot_event_sequence" -> (slotEventSequence _),
+    "p79_grouping_sets" -> (groupingSetStats _))
 }
