@@ -121,17 +121,28 @@ object Sketches {
     * takes the min across rows. `tf_exact` / the top-k probe list is the
     * verification harness: at 100 TB the sketch table is the product and
     * probes are point lookups. */
-  def cmsTokenFrequency(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 10): DataFrame = {
+  private def cellOf(row: Int, c: Column): Column = {
+    val (seed, mult, mod) = CmsParams(row)
+    PolyHash(c, seed, mult, mod) % CmsWidth
+  }
+
+  /** The depth×width CMS cell table: occurrence counts per (row, cell) —
+    * map-side partial in batch; under Structured Streaming the same frame
+    * aggregates incrementally with state bounded at depth×width rows
+    * (counts are mergeable sums), the streaming twin SketchesSpec pins
+    * against the batch table. */
+  def cmsCells(df: DataFrame, textCol: String): DataFrame = {
     val toks = df.select(explode(tokens(col(textCol))).as("token"))
-    def cellOf(row: Int, c: Column): Column = {
-      val (seed, mult, mod) = CmsParams(row)
-      PolyHash(c, seed, mult, mod) % CmsWidth
-    }
-    val cells = toks.select(explode(array(CmsParams.indices.map(j =>
+    toks.select(explode(array(CmsParams.indices.map(j =>
         struct(lit(j).as("row"), cellOf(j, col("token")).as("cell"))): _*)).as("rc"))
       .select(col("rc.row").as("row"), col("rc.cell").as("cell"))
       .groupBy("row", "cell").agg(count(lit(1)).as("c"))
+  }
+
+  def cmsTokenFrequency(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 10): DataFrame = {
+    val toks = df.select(explode(tokens(col(textCol))).as("token"))
+    val cells = cmsCells(df, textCol)
     val top = toks.groupBy("token").agg(count(lit(1)).as("tf_exact"))
       .orderBy(desc("tf_exact"), col("token")).limit(k)
     val probes = top.select(col("token"), col("tf_exact"),

@@ -60,6 +60,36 @@ class SketchesSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  "cmsCells" should "converge to the batch cell table when fed as a stream" in {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-cms-stream")
+    val lines = docs.orderBy("doc_id")
+      .select(to_json(struct(col("doc_id"), col("text"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(math.max(1, lines.length / 4)).zipWithIndex.foreach {
+      case (chunk, i) =>
+        val f = dir.resolve(f"chunk-$i%03d.json")
+        Files.write(f, String.join("\n", chunk: _*).getBytes("UTF-8"))
+        f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val ckpt = Files.createTempDirectory("graft-cms-ckpt").toString
+    val q = Sketches.cmsCells(stream, "text")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_cells_stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Int]("row"), r.getAs[Long]("cell")) -> r.getAs[Long]("c")).toMap
+    toMap(spark.table("cms_cells_stream").collect()) shouldBe
+      toMap(Sketches.cmsCells(docs, "text").collect())
+  }
+
   "cmsTokenFrequency" should "never underestimate and bound the collision error" in {
     val rows = Sketches.cmsTokenFrequency(docs, "doc_id", "text").collect()
     rows.length shouldBe 10
