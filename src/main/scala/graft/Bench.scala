@@ -60,13 +60,18 @@ object Bench {
       try {
         graft.ops.DocAnalytics.phasedQueries.get(name) match {
           case Some((finalPhase, pf)) =>
+            // phases buffer locally and publish only on success — a query
+            // that fails mid-pipeline must not leave orphan phase entries
+            // beside its error record
             var tPrev = t0
+            val local = Seq.newBuilder[(String, Double)]
             pf(spark, sfDir, phase => {
               val now = System.nanoTime()
-              phases :+= s"$name:$phase" -> ((now - tPrev) / 1e9)
+              local += s"$name:$phase" -> ((now - tPrev) / 1e9)
               tPrev = now
             }).write.format("noop").mode("overwrite").save()
-            phases :+= s"$name:$finalPhase" -> ((System.nanoTime() - tPrev) / 1e9)
+            local += s"$name:$finalPhase" -> ((System.nanoTime() - tPrev) / 1e9)
+            phases ++= local.result()
           case None => fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
       } catch {

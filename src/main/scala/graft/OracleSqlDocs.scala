@@ -541,11 +541,12 @@ object OracleSqlDocs {
     "p66_hll_cardinality" -> (shingleCtes +
       s""",
          |grams AS (SELECT unnest(sh) AS g FROM shn),
+         |gv AS (SELECT g, (g * 48271) % 998244353 % 4194304 AS v FROM grams),
          |regs AS (
          |  SELECT g % 256 AS register,
-         |         max(CASE WHEN (g >> 8) = 0 THEN 23
-         |                  ELSE 23 - length(bin(g >> 8)) END) AS m_j
-         |  FROM grams GROUP BY 1
+         |         max(CASE WHEN v = 0 THEN 23
+         |                  ELSE 23 - length(bin(v)) END) AS m_j
+         |  FROM gv GROUP BY 1
          |),
          |folded AS (
          |  SELECT list(m_j ORDER BY register) AS ms, count(*) AS n_present

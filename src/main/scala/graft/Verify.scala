@@ -18,10 +18,8 @@ object Verify {
     // refresh oracle-replay artifacts (p50's trained centroids): deleting
     // up front makes a stale artifact from a previous run fail the oracle
     // loudly (missing file) instead of silently verifying old state.
-    def rmRec(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rmRec)); f.delete(); ()
-    }
-    rmRec(new java.io.File(graft.ops.DocAnalytics.oracleArtifactDir))
+    graft.sources.FsUtil.deleteRecursively(
+      new java.io.File(graft.ops.DocAnalytics.oracleArtifactDir))
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

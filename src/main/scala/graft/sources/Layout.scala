@@ -32,6 +32,10 @@ object Layout {
     val r = df.agg(
       min(col(c1).cast("double")), max(col(c1).cast("double")),
       min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
+    if (r.isNullAt(0)) { // empty input: nothing to lay out, write it as-is
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def normExpr(c: String, lo: Double, hi: Double): Column = {
       val scale = if (hi > lo) ((1L << bits) - 1).toDouble / (hi - lo) else 0.0
       least(lit((1L << bits) - 1), greatest(lit(0L),
@@ -57,25 +61,37 @@ object Layout {
     * scan-efficient size, and at 100 TB the scan's task-scheduling and
     * footer overhead is dominated by FILE COUNT, not bytes. File count is
     * computed from the on-disk size (no data pass); the rewrite is one
-    * round-robin repartition. The swap is write-tmp → delete → rename:
-    * atomic on a filesystem, NOT on an object store — production object
-    * stores get atomicity from a table format's metadata commit; this is
-    * the rewrite primitive underneath. Returns the output file count. */
+    * round-robin repartition. The swap renames the ORIGINAL aside first,
+    * then the rewrite in, then deletes the aside — at no instant is the
+    * path absent with the data only in a temp dir, and a failed second
+    * rename restores the original. Single renames are atomic on a
+    * filesystem, NOT on an object store — production object stores get
+    * atomicity from a table format's metadata commit; this is the rewrite
+    * primitive underneath. FLAT directories only: a partitionBy layout
+    * (data files nested under key= dirs) must be compacted per partition,
+    * and is rejected loudly rather than silently flattened to one file.
+    * Returns the output file count. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L << 20): Int = {
     val dir = new java.io.File(path)
-    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+    val bytes = entries.filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    if (bytes == 0 && entries.exists(_.isDirectory))
+      throw new IllegalArgumentException(
+        s"compact: $path looks partitioned (nested dirs, no top-level data " +
+          "files) — compact each partition directory instead")
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val tmp = path + ".compact-tmp"
+    val tmp = new java.io.File(path + ".compact-tmp")
+    val aside = new java.io.File(path + ".compact-old")
     spark.read.parquet(path).repartition(n)
-      .write.mode("overwrite").parquet(tmp)
-    def rmRec(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rmRec)); f.delete(); ()
-    }
-    rmRec(dir)
-    if (!new java.io.File(tmp).renameTo(dir))
+      .write.mode("overwrite").parquet(tmp.getPath)
+    if (!dir.renameTo(aside))
+      throw new IllegalStateException(s"compact: rename $path aside failed")
+    if (!tmp.renameTo(dir)) {
+      aside.renameTo(dir) // restore the original before failing
       throw new IllegalStateException(s"compact: rename $tmp -> $path failed")
+    }
+    FsUtil.deleteRecursively(aside)
     n
   }
 }

@@ -47,6 +47,22 @@ object Sketches {
     * harness, not part of the sketch path: at 100 TB you run only the
     * register aggregate; the exact distinct count exists here so the
     * oracle pins both the sketch and its accuracy claim. */
+  /** (register, rank) update rows from a (g) gram-hash frame. The rank
+    * value must be uniform on a POWER-OF-TWO range or the geometric rank
+    * distribution is systematically distorted (taking the high bits of
+    * the mod-P hash directly — range ≈ 1.86·2^21, not 2^22 — biased the
+    * estimate ~+8.6%): scramble g multiplicatively into the 998244353
+    * range and keep the LOW 22 bits — the reduction modulus is tiny
+    * relative to the range, so per-residue bias is ≤ 1/238 ≈ 0.4%. */
+  private def registerUpdates(grams: DataFrame): DataFrame = {
+    val v = (col("g") * lit(48271L)) % lit(998244353L) % lit(1L << HllRankBits)
+    // rank = leading zeros of the 22-bit value + 1 = 23 - bitlength(v);
+    // bin() gives the minimal binary string on both engines.
+    val rank = when(v === 0L, lit(HllRankBits + 1))
+      .otherwise(lit(HllRankBits + 1) - length(bin(v))).cast("long")
+    grams.select((col("g") % HllRegisters).as("register"), rank.as("rank"))
+  }
+
   /** (register, rank) update rows for the HLL sketch — the shared shaping
     * of the batch estimate and the STREAMING register table: because the
     * register state is a monotone `max`, the same frame aggregates
@@ -56,16 +72,9 @@ object Sketches {
     * streaming DataFrames alike. */
   private[graft] def hllRegisterUpdates(df: DataFrame, idCol: String,
                                         textCol: String,
-                                        shingleK: Int = 3): DataFrame = {
-    val grams = TextDedup.shingleFrame(df, idCol, textCol, shingleK)
-      .select(explode(col("sh")).as("g"))
-    val v = shiftright(col("g"), 8) // g div 256; g is a non-negative ~30-bit hash
-    // rank = leading zeros of the 22-bit value + 1 = 23 - bitlength(v);
-    // bin() gives the minimal binary string on both engines.
-    val rank = when(v === 0L, lit(HllRankBits + 1))
-      .otherwise(lit(HllRankBits + 1) - length(bin(v))).cast("long")
-    grams.select((col("g") % HllRegisters).as("register"), rank.as("rank"))
-  }
+                                        shingleK: Int = 3): DataFrame =
+    registerUpdates(TextDedup.shingleFrame(df, idCol, textCol, shingleK)
+      .select(explode(col("sh")).as("g")))
 
   /** The 256-row register table: `max(rank)` per register — map-side
     * partial in batch, bounded incremental state in streaming. */
@@ -76,9 +85,13 @@ object Sketches {
 
   def hllShingleCardinality(df: DataFrame, idCol: String, textCol: String,
                             shingleK: Int = 3): DataFrame = {
+    // ONE grams frame feeds both the register aggregate and the exact
+    // count — the shared subtree reuses the shingle stage's exchange
+    // instead of re-deriving the corpus per consumer
     val grams = TextDedup.shingleFrame(df, idCol, textCol, shingleK)
       .select(explode(col("sh")).as("g"))
-    val regs = hllRegisters(df, idCol, textCol, shingleK)
+    val regs = registerUpdates(grams)
+      .groupBy("register").agg(max(col("rank")).as("m_j"))
     val exact = grams.agg(countDistinct(col("g")).as("n_exact"))
     val folded = regs.agg(
       sort_array(collect_list(struct(col("register"), col("m_j")))).as("arr"),
@@ -141,9 +154,19 @@ object Sketches {
 
   def cmsTokenFrequency(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 10): DataFrame = {
-    val toks = df.select(explode(tokens(col(textCol))).as("token"))
-    val cells = cmsCells(df, textCol)
-    val top = toks.groupBy("token").agg(count(lit(1)).as("tf_exact"))
+    // ONE token-count aggregate feeds both the cell table (cell counts =
+    // sums of per-token counts) and the exact top-k probe list — the two
+    // branches share the token exchange instead of tokenizing the corpus
+    // twice. (The streaming path uses the single-aggregate [[cmsCells]]
+    // form instead: chained streaming aggregations are unsupported.)
+    val tokenCounts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val cells = tokenCounts.select(col("cnt"),
+        explode(array(CmsParams.indices.map(j =>
+          struct(lit(j).as("row"), cellOf(j, col("token")).as("cell"))): _*)).as("rc"))
+      .select(col("rc.row").as("row"), col("rc.cell").as("cell"), col("cnt"))
+      .groupBy("row", "cell").agg(sum(col("cnt")).as("c"))
+    val top = tokenCounts.withColumnRenamed("cnt", "tf_exact")
       .orderBy(desc("tf_exact"), col("token")).limit(k)
     val probes = top.select(col("token"), col("tf_exact"),
         explode(array(CmsParams.indices.map(j =>

@@ -262,7 +262,11 @@ object TextDedup {
     // pipeline (simhash/LSH self-join) — without this boundary the miner
     // re-executes per reference (measured: p59's 7–8.5 s dropped to ~4 s).
     // Released in the finally below.
+    // null ids carry no linkage: the iterative path would drop them at its
+    // equi-joins anyway; filtering up front keeps the union-find path
+    // (primitive-long encoders) behaviorally identical instead of throwing
     val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .persist()
     try {
       // the count materializes the miner ONCE into the persisted blocks
