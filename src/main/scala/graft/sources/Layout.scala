@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** acc + x_bit<<2i + y_bit<<(2i+1) folded over the bit positions —
+    * the Z-curve interleave of the bound `__zx`/`__zy` columns; exposed
+    * for LayoutSpec's bit-level lock against a reference interleave. */
+  private[sources] def interleaveExpr(bits: Int): Column = expr(
+    s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) ->
+       |  acc + shiftleft(shiftright(__zx, i) % 2, 2*i)
+       |      + shiftleft(shiftright(__zy, i) % 2, 2*i + 1))""".stripMargin)
+
   /** Write `df` z-ordered on (`c1`, `c2`) into `numFiles` range-split
     * parquet files at `path`. */
   def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
@@ -44,11 +52,7 @@ object Layout {
     df
       .withColumn("__zx", normExpr(c1, r.getDouble(0), r.getDouble(1)))
       .withColumn("__zy", normExpr(c2, r.getDouble(2), r.getDouble(3)))
-      // acc | x_bit<<2i | y_bit<<2i+1, one fold over the bit positions
-      .withColumn("__z", expr(
-        s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) ->
-           |  acc + shiftleft(shiftright(__zx, i) % 2, 2*i)
-           |      + shiftleft(shiftright(__zy, i) % 2, 2*i + 1))""".stripMargin))
+      .withColumn("__z", interleaveExpr(bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__zx", "__zy", "__z")

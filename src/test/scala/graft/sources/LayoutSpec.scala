@@ -59,6 +59,23 @@ class LayoutSpec extends SparkSpec {
     math.max(zSpan1, zSpan2) should be < oSpan2
   }
 
+  "interleaveExpr" should "match a reference bit interleave exactly" in {
+    import spark.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val rnd = new scala.util.Random(23)
+    val pts = Seq((0L, 0L), (65535L, 65535L), (1L, 0L), (0L, 1L)) ++
+      Seq.fill(64)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("__zx", "__zy")
+      .withColumn("__z", Layout.interleaveExpr(16))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) =>
+      withClue(s"($x, $y): ") { z shouldBe ref(x, y, 16) }
+    }
+  }
+
   "compact" should "reduce the file count without changing the data" in {
     val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_extendedprice")
     val dir = Files.createTempDirectory("graft-compact").toString + "/t"
