@@ -690,6 +690,42 @@ object OracleSqlDocs {
          |b AS (SELECT id, ${hash("nrm")} * 48271 % $P % 100 AS sample_key FROM n)
          |SELECT id, sample_key FROM b WHERE sample_key < 10 ORDER BY id""".stripMargin,
 
+    // context-window chunking: stride-24 windows of 32 tokens; DuckDB's
+    // inclusive 1-based list slice clamps exactly like Spark's slice()
+    "p81_token_chunks" ->
+      s"""WITH n AS (SELECT doc_id AS id, ${norm("text")} AS nrm FROM documents),
+         |t AS (SELECT id, string_split(nrm, ' ') AS t,
+         |             len(string_split(nrm, ' ')) AS n FROM n),
+         |ch AS (
+         |  SELECT id, t, n,
+         |    unnest(range(0, CAST(ceil(CAST(n AS DOUBLE)/24) AS INT))) AS k
+         |  FROM t
+         |)
+         |SELECT id, CAST(k AS BIGINT) AS chunk_idx,
+         |  CAST(k*24 AS BIGINT) AS start_tok,
+         |  CAST(least(32, n - k*24) AS BIGINT) AS n_chunk_tokens,
+         |  ${hash("array_to_string(t[CAST(k*24+1 AS INT) : CAST(k*24+32 AS INT)], ' ')")} AS chunk_hash
+         |FROM ch ORDER BY id, chunk_idx""".stripMargin,
+
+    // sequence packing: global prefix sum over id order → token-budget
+    // bins; the Spark side computes the same sum distributed (range
+    // partitions + offsets), so the values must agree exactly
+    "p82_sequence_packing" ->
+      s"""WITH n AS (
+         |  SELECT doc_id AS id,
+         |         CAST(len(string_split(${norm("text")}, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM n
+         |)
+         |SELECT id, n_tokens, cum_tokens,
+         |       (cum_tokens - n_tokens) // 512 AS bin
+         |FROM c ORDER BY id""".stripMargin,
+
     // composed curation report: lang-id (p19), content-hash split (p39),
     // repetition keep flag (p41), and token counts (p18) recomputed per
     // doc, rolled up by (lang, split) with integer-exact aggregates

@@ -194,6 +194,13 @@ object DocAnalytics {
     }),
     "p43_hash_sample" -> ((s, d) =>
       TextCuration.hashSample(docs(s, d), "doc_id", "text")),
+    // model-ready sequence prep: overlapping context-window chunks
+    // (row-local) and global-cumulative-sum bin packing (distributed
+    // prefix sum — never a single-partition window)
+    "p81_token_chunks" -> ((s, d) =>
+      TextCuration.tokenChunks(docs(s, d), "doc_id", "text")),
+    "p82_sequence_packing" -> ((s, d) =>
+      TextCuration.sequencePacking(docs(s, d), "doc_id", "text")),
     // operator COMPOSITION: the curation report a pipeline would emit —
     // lang-id × split × quality-keep × token budget joined on doc id and
     // rolled up. Aggregates are counts and long sums only, so the

@@ -132,6 +132,75 @@ object TextCuration {
       .orderBy("id")
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * fixed-size windows with overlap — the step that turns curated
+    * documents into model-ready training sequences. Chunk k starts at
+    * token `stride·k` (stride = chunkTokens − overlap), so consecutive
+    * chunks share `overlap` tokens and every token is covered. Row-local
+    * (one posexplode per doc, no shuffle — at 100 TB chunking is a
+    * scan-side transform); the chunk hash is the content fingerprint a
+    * packing/dedup stage downstream keys on. Output: (id, chunk_idx,
+    * start_tok, n_chunk_tokens, chunk_hash). */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+                  chunkTokens: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than the chunk")
+    val stride = chunkTokens - overlap
+    val t = Barrier.once(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
+      "t" -> tokens(col("__t")))
+    Barrier.once(t, Seq("id", "t"), "n" -> size(col("t")).cast("long"))
+      .select(col("id"), col("t"), col("n"),
+        posexplode(expr(s"transform(sequence(0, CAST(ceil(CAST(n AS DOUBLE)/$stride) AS INT) - 1), " +
+          s"k -> slice(t, k*$stride + 1, $chunkTokens))")))
+      .select(col("id"), col("pos").cast("long").as("chunk_idx"),
+        (col("pos") * stride).cast("long").as("start_tok"),
+        size(col("col")).cast("long").as("n_chunk_tokens"),
+        charHash(array_join(col("col"), " ")).as("chunk_hash"))
+      .orderBy("id", "chunk_idx")
+  }
+
+  /** Sequence packing: assign documents (in id order) to fixed-token-
+    * budget bins by GLOBAL cumulative token count — the sample-packing
+    * step that fills training context windows back-to-back. The prefix
+    * sum is computed the scale-honest way, NOT with a global
+    * single-partition window: range-partition by id (contiguous ranges →
+    * the global prefix sum is independent of where the boundaries land),
+    * one tiny per-partition total aggregate (numRanges rows, the same
+    * bounded-collect class as the IVF centroids), then a per-partition
+    * window offset by the preceding partitions' totals — parallelism =
+    * numRanges at every corpus size. Output: (id, n_tokens, cum_tokens,
+    * bin). */
+  def sequencePacking(df: DataFrame, idCol: String, textCol: String,
+                      budgetTokens: Long = 512L,
+                      numRanges: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.select(col(idCol).as("id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartitionByRange(numRanges, col("id"))
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+    n.persist() // two passes: per-partition totals, then the offset window
+    try {
+      val spark = df.sparkSession
+      val totals = n.groupBy("__pid").agg(sum(col("n_tokens")).as("__s"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) =>
+        (pid, acc + s)
+      }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
+      import spark.implicits._
+      val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+      val w = Window.partitionBy("__pid").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      n.join(offDf, "__pid")
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + col("__off"))
+        .select(col("id"), col("n_tokens"), col("cum_tokens"),
+          expr(s"(cum_tokens - n_tokens) div $budgetTokens").as("bin"))
+        .orderBy("id")
+        // the window/orderBy consume the persisted blocks before return;
+        // materialize through a checkpoint so unpersist is safe
+        .localCheckpoint(true)
+    } finally { n.unpersist(false) }
+  }
+
   /** Benchmark-contamination check: for every corpus document, how many
     * of its hashed word `k`-grams appear anywhere in a benchmark
     * (held-out eval) document set. The industry-standard n-gram-overlap
