@@ -143,7 +143,9 @@ object TextCuration {
     * start_tok, n_chunk_tokens, chunk_hash). */
   def tokenChunks(df: DataFrame, idCol: String, textCol: String,
                   chunkTokens: Int = 32, overlap: Int = 8): DataFrame = {
-    require(overlap < chunkTokens, "overlap must be smaller than the chunk")
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need chunkTokens > 0 and 0 <= overlap < chunkTokens — anything else " +
+        "would silently leave tokens uncovered")
     val stride = chunkTokens - overlap
     val t = Barrier.once(
       df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
@@ -163,42 +165,42 @@ object TextCuration {
     * budget bins by GLOBAL cumulative token count — the sample-packing
     * step that fills training context windows back-to-back. The prefix
     * sum is computed the scale-honest way, NOT with a global
-    * single-partition window: range-partition by id (contiguous ranges →
-    * the global prefix sum is independent of where the boundaries land),
-    * one tiny per-partition total aggregate (numRanges rows, the same
-    * bounded-collect class as the IVF centroids), then a per-partition
-    * window offset by the preceding partitions' totals — parallelism =
-    * numRanges at every corpus size. Output: (id, n_tokens, cum_tokens,
+    * single-partition window: documents bucket row-locally into
+    * `numRanges` contiguous id ranges (a pure function of the id given
+    * one tiny min/max aggregate — deterministic and recompute-stable, so
+    * nothing needs persisting or checkpointing), one small per-bucket
+    * total aggregate (≤ numRanges rows, the same bounded-collect class
+    * as the IVF centroids) yields each bucket's offset, and a
+    * per-bucket window adds the running sum — parallelism = numRanges at
+    * every corpus size, and the global result is independent of where
+    * the range boundaries land. Output: (id, n_tokens, cum_tokens,
     * bin). */
   def sequencePacking(df: DataFrame, idCol: String, textCol: String,
                       budgetTokens: Long = 512L,
                       numRanges: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = df.select(col(idCol).as("id"),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"))
-      .repartitionByRange(numRanges, col("id"))
-      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
-    n.persist() // two passes: per-partition totals, then the offset window
-    try {
-      val spark = df.sparkSession
-      val totals = n.groupBy("__pid").agg(sum(col("n_tokens")).as("__s"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) =>
-        (pid, acc + s)
-      }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
-      import spark.implicits._
-      val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
-      val w = Window.partitionBy("__pid").orderBy("id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      n.join(offDf, "__pid")
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + col("__off"))
-        .select(col("id"), col("n_tokens"), col("cum_tokens"),
-          expr(s"(cum_tokens - n_tokens) div $budgetTokens").as("bin"))
-        .orderBy("id")
-        // the window/orderBy consume the persisted blocks before return;
-        // materialize through a checkpoint so unpersist is safe
-        .localCheckpoint(true)
-    } finally { n.unpersist(false) }
+    val n = df.select(col(idCol).cast("long").as("id"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val b = n.agg(min(col("id")), max(col("id"))).head()
+    val (lo, span) =
+      if (b.isNullAt(0)) (0L, 1L) else (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+    val withBucket = n.withColumn("__b",
+      expr(s"((id - $lo) * $numRanges) div $span"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val totals = withBucket.groupBy("__b").agg(sum(col("n_tokens")).as("__s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((0L, 0L)) { case ((_, acc), (bk, s)) =>
+      (bk, acc + s)
+    }.init.zip(totals).map { case ((_, off), (bk, _)) => (bk, off) }
+    val offDf = broadcast(offsets.toSeq.toDF("__b", "__off"))
+    val w = Window.partitionBy("__b").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withBucket.join(offDf, "__b")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + col("__off"))
+      .select(col("id"), col("n_tokens"), col("cum_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $budgetTokens").as("bin"))
+      .orderBy("id")
   }
 
   /** Benchmark-contamination check: for every corpus document, how many
