@@ -77,6 +77,43 @@ class TextCurationSpec extends SparkSpec {
     m(3L).getAs[Double]("dup_bigram_frac") shouldBe 0.0
   }
 
+  "tokenChunks" should "cover every token and overlap consecutive chunks" in {
+    val doc = (1 to 80).map(i => s"w$i").mkString(" ")
+    val rows = TextCuration.tokenChunks(Seq((1L, doc)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+    // stride 24, 80 tokens -> ceil(80/24) = 4 chunks at 0/24/48/72
+    rows.map(_.getAs[Long]("start_tok")).toSeq shouldBe Seq(0L, 24L, 48L, 72L)
+    rows.map(_.getAs[Long]("n_chunk_tokens")).toSeq shouldBe Seq(32L, 32L, 32L, 8L)
+    // coverage: last token of chunk k (start+32) reaches past chunk k+1's
+    // start (24(k+1)) by the 8-token overlap; the final chunk ends at 80
+    rows.init.foreach { r =>
+      r.getAs[Long]("start_tok") + r.getAs[Long]("n_chunk_tokens") should
+        be >= (r.getAs[Long]("chunk_idx") + 1) * 24 + 8
+    }
+    an[IllegalArgumentException] should be thrownBy
+      TextCuration.tokenChunks(Seq((1L, doc)).toDF("doc_id", "text"),
+        "doc_id", "text", chunkTokens = 32, overlap = -8)
+  }
+
+  "sequencePacking" should "produce a strictly increasing global prefix sum and budget-aligned bins" in {
+    val docs = (1L to 100L).map(i => (i, Seq.fill(5 + (i % 7).toInt)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TextCuration.sequencePacking(docs, "doc_id", "text", budgetTokens = 50L)
+      .collect()
+    rows.length shouldBe 100
+    // cum is the exact running sum in id order, independent of partitioning
+    var cum = 0L
+    rows.sortBy(_.getAs[Long]("id")).foreach { r =>
+      cum += r.getAs[Long]("n_tokens")
+      r.getAs[Long]("cum_tokens") shouldBe cum
+      r.getAs[Long]("bin") shouldBe (cum - r.getAs[Long]("n_tokens")) / 50L
+    }
+    // bins are non-decreasing in id order
+    val bins = rows.sortBy(_.getAs[Long]("id")).map(_.getAs[Long]("bin"))
+    bins.zip(bins.tail).foreach { case (a, b) => b should be >= a }
+  }
+
   "contamination" should "flag exactly the corpus docs sharing a 5-gram with the benchmark" in {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corpus = Seq(
