@@ -408,6 +408,20 @@ object OracleSql {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin),
 
+    // the unpivot twin: every (lot, type) combination with its entry
+    // count, zeros from the cross join — the long form of p73's wide rows
+    "p83_vehicle_type_unpivot" -> (ParkingCte + """
+      |, p AS (
+      |  SELECT parkingLotId AS lot, vehicleType AS vt, count(*) AS c
+      |  FROM parking WHERE eventType = 'PARKING_ENTRY' GROUP BY 1, 2
+      |),
+      |lots AS (SELECT DISTINCT parkingLotId AS lot FROM parking),
+      |vts AS (SELECT unnest(['car','motorcycle','suv','truck','van']) AS vehicle_type)
+      |SELECT lots.lot, vts.vehicle_type, COALESCE(p.c, 0) AS n_entries
+      |FROM lots CROSS JOIN vts
+      |LEFT JOIN p ON p.lot = lots.lot AND p.vt = vts.vehicle_type
+      |ORDER BY lots.lot, vts.vehicle_type""".stripMargin),
+
     "p79_grouping_sets" -> (ParkingCte + """
       |SELECT COALESCE(parkingLotId, 'ALL') AS lot,
       |       COALESCE(vehicleType, 'ALL') AS vtype,

@@ -690,6 +690,27 @@ object OracleSqlDocs {
          |b AS (SELECT id, ${hash("nrm")} * 48271 % $P % 100 AS sample_key FROM n)
          |SELECT id, sample_key FROM b WHERE sample_key < 10 ORDER BY id""".stripMargin,
 
+    // Pearson correlation from exact integer moments — the variance
+    // factors convert to double BEFORE multiplying (their integer product
+    // would overflow BIGINT), mirroring the Spark expression order
+    "p84_token_char_corr" ->
+      s"""WITH t AS (
+         |  SELECT CAST(len(string_split(${norm("text")}, ' ')) AS BIGINT) AS x,
+         |         CAST(length(${norm("text")}) AS BIGINT) AS y
+         |  FROM documents
+         |), m AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+         |    CAST(sum(x*y) AS BIGINT) AS sxy
+         |  FROM t
+         |)
+         |SELECT n AS n_docs, sx AS sum_tokens, sy AS sum_chars,
+         |  CAST(n*sxy - sx*sy AS DOUBLE)
+         |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+         |       * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS token_char_corr
+         |FROM m""".stripMargin,
+
     // context-window chunking: stride-24 windows of 32 tokens; DuckDB's
     // inclusive 1-based list slice clamps exactly like Spark's slice()
     "p81_token_chunks" ->

@@ -458,6 +458,44 @@ object ParkingAnalytics {
         col("gid"), col("n_events"))
       .orderBy("lot", "vtype")
 
+  /** UNPIVOT — the inverse reshaping of [[vehicleTypePivot]]: the wide
+    * per-type columns melt back into (lot, vehicle_type, n_entries) long
+    * rows, zeros included. Like the pivot, the value-column list is
+    * explicit — schema is static, no data scan decides it. */
+  def vehicleTypeUnpivot(spark: SparkSession, dir: String): DataFrame =
+    vehicleTypePivot(spark, dir)
+      .unpivot(Array(col("lot")),
+        graft.schema.ParkingModel.VehicleTypes.map(col).toArray,
+        "vehicle_type", "n_entries")
+      .orderBy("lot", "vehicle_type")
+
+  /** Pearson correlation of per-document token vs char counts from EXACT
+    * integer moments: built-in `corr()` accumulates floating sums whose
+    * order shuffle timing decides — unverifiable and subtly
+    * nondeterministic at any scale. Here all six moments are exact
+    * integer sums (map-side partial), and the only floating math is the
+    * closing fixed-order expression; the two variance factors convert to
+    * double BEFORE multiplying (their long product would overflow even
+    * at bench scale — at larger scale the moments themselves graduate to
+    * decimal(38,0) like p68's charge sum). */
+  def tokenCharCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val st = graft.text.TextStats.stats(
+        graft.sources.Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("n_tokens").as("x"), col("n_chars").as("y"))
+    st.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_docs"), col("sx").as("sum_tokens"),
+        col("sy").as("sum_chars"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("token_char_corr"))
+  }
+
   /** RANGE-frame sliding window — the time-based frame the windows family
     * still lacked (p12/p28 use ROWS frames): per lot, the count of events
     * in the trailing hour of VALUE range (3599 seconds preceding through
@@ -670,5 +708,7 @@ object ParkingAnalytics {
     "p73_vehicle_type_pivot" -> (vehicleTypePivot _),
     "p76_trailing_hour_load" -> (trailingHourLoad _),
     "p77_slot_event_sequence" -> (slotEventSequence _),
-    "p79_grouping_sets" -> (groupingSetStats _))
+    "p79_grouping_sets" -> (groupingSetStats _),
+    "p83_vehicle_type_unpivot" -> (vehicleTypeUnpivot _),
+    "p84_token_char_corr" -> (tokenCharCorrelation _))
 }
