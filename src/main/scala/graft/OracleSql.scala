@@ -409,13 +409,16 @@ object OracleSql {
       |ORDER BY event_id""".stripMargin),
 
     // the unpivot twin: every (lot, type) combination with its entry
-    // count, zeros from the cross join — the long form of p73's wide rows
+    // count, zeros from the cross join — the long form of p73's wide rows.
+    // The lots CTE is entry-filtered to MATCH the pivot's input universe
+    // (a lot with zero entry events has no wide row to melt), same as p73
     "p83_vehicle_type_unpivot" -> (ParkingCte + """
       |, p AS (
       |  SELECT parkingLotId AS lot, vehicleType AS vt, count(*) AS c
       |  FROM parking WHERE eventType = 'PARKING_ENTRY' GROUP BY 1, 2
       |),
-      |lots AS (SELECT DISTINCT parkingLotId AS lot FROM parking),
+      |lots AS (SELECT DISTINCT parkingLotId AS lot FROM parking
+      |         WHERE eventType = 'PARKING_ENTRY'),
       |vts AS (SELECT unnest(['car','motorcycle','suv','truck','van']) AS vehicle_type)
       |SELECT lots.lot, vts.vehicle_type, COALESCE(p.c, 0) AS n_entries
       |FROM lots CROSS JOIN vts

@@ -17,9 +17,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // refresh oracle-replay artifacts (p50's trained centroids): deleting
     // up front makes a stale artifact from a previous run fail the oracle
-    // loudly (missing file) instead of silently verifying old state.
-    graft.sources.FsUtil.deleteRecursively(
-      new java.io.File(graft.ops.DocAnalytics.oracleArtifactDir))
+    // loudly (missing file) instead of silently verifying old state. Only
+    // the KNOWN artifact subpaths are deleted — the base dir is
+    // user-configurable (-Dgraft.oracle.dir) and may be a shared root;
+    // recursively clearing it would destroy unrelated content.
+    graft.ops.DocAnalytics.oracleArtifactPaths.foreach(p =>
+      graft.sources.FsUtil.deleteRecursively(new java.io.File(p)))
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

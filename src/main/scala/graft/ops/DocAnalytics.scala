@@ -45,6 +45,12 @@ object DocAnalytics {
     * training. */
   def P50CentroidsPath: String = s"$oracleArtifactDir/p50_centroids"
 
+  /** Every artifact path this pipeline writes under [[oracleArtifactDir]] —
+    * the EXACT set Verify may clear at startup. Kept as an explicit list so
+    * a user-pointed `-Dgraft.oracle.dir` at a shared directory never gets
+    * recursively wiped; only framework-owned entries are touched. */
+  def oracleArtifactPaths: Seq[String] = Seq(P50CentroidsPath)
+
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
   def p50Train(s: SparkSession, d: String): Array[(Long, Array[Float])] =

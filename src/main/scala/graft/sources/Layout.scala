@@ -79,11 +79,16 @@ object Layout {
               targetFileBytes: Long = 128L << 20): Int = {
     val dir = new java.io.File(path)
     val entries = Option(dir.listFiles()).getOrElse(Array.empty)
-    val bytes = entries.filter(_.getName.endsWith(".parquet")).map(_.length()).sum
-    if (bytes == 0 && entries.exists(_.isDirectory))
+    // ANY nested directory disqualifies the layout — a dir mixing
+    // top-level data files with key= partition dirs would otherwise pass a
+    // bytes>0 check and get silently flattened, losing the partitioning
+    if (entries.exists(_.isDirectory))
       throw new IllegalArgumentException(
-        s"compact: $path looks partitioned (nested dirs, no top-level data " +
-          "files) — compact each partition directory instead")
+        s"compact: $path contains nested directories (partitioned or mixed " +
+          "layout) — compact each partition directory instead")
+    val dataFiles = entries.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (dataFiles.isEmpty) return 0 // nothing to compact (and nothing to infer a schema from)
+    val bytes = dataFiles.map(_.length()).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new java.io.File(path + ".compact-tmp")
     val aside = new java.io.File(path + ".compact-old")

@@ -274,8 +274,9 @@ object TextDedup {
       // statistic the algorithm choice reads — the same data-driven
       // adaptivity AQE applies to join strategies, applied to the CC
       // algorithm: a pair graph under the threshold is solved EXACTLY by
-      // one executor-side union-find task (memory 2×edges longs ≤ a few
-      // hundred MB at the 10M default — an explicit, bounded budget);
+      // one executor-side union-find task (a primitive long→long map at
+      // 16 B/slot: ≤ ~20M nodes at the 10M-edge default fit 2^25 slots =
+      // 512 MiB — an explicit, bounded budget; see LongLongMap);
       // above it, the iterative min-label loop below scales to any size.
       // Near-dup graphs are sparse by construction (banding bounds the
       // candidate volume), so at 100 TB most corpora still mine well past
@@ -298,12 +299,16 @@ object TextDedup {
     import spark.implicits._
     val flat = e.toDF("_1", "_2").as[(Long, Long)].coalesce(1)
       .mapPartitions { it =>
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        // primitive open-addressing map (16 B/slot, 0.75 load): the boxed
+        // HashMap[Long,Long] alternative costs ~50-80 B/entry, which at the
+        // 10M-edge threshold (≤ ~20M nodes) is 1.5-2+ GB — past the budget
+        // this path promises. See LongLongMap for the footprint math.
+        val parent = new LongLongMap()
         def find(x: Long): Long = {
           var r = x
-          while (parent(r) != r) r = parent(r)
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
           var c = x
-          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          while (parent.getOrElse(c, c) != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
           r
         }
         it.foreach { case (a, b) =>
