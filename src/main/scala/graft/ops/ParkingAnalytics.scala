@@ -504,19 +504,20 @@ object ParkingAnalytics {
     * needed for determinism. Scale: one shuffle on the lot key; the frame
     * is evaluated by a sliding two-pointer over each partition's sort —
     * O(n) per partition, state bounded by the hour's row count. Like p44,
-    * window parallelism = key cardinality: for a LOW-cardinality key over
-    * a huge history, sub-split the time axis with a one-frame-width
-    * overlap and drop the duplicated boundary rows — the asOfRanged
-    * remedy ([[AsOfJoin.asOfRanged]]) applied to frames. */
-  def trailingHourLoad(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("parkingLotId").orderBy("epoch_s")
-      .rangeBetween(-3599, Window.currentRow)
-    parkingEvents(spark, dir)
-      .select(col("event_id"), col("parkingLotId"),
-        unix_timestamp(col("ts")).as("epoch_s"))
-      .withColumn("events_last_hour", count(lit(1)).over(w))
+    * a plain per-lot window's parallelism = key cardinality, so the frame
+    * runs through [[RangedWindow.trailingCount]]: the time axis sub-splits
+    * into frame-wide-or-larger ranges with the previous range's last hour
+    * duplicated in as frame fillers (dropped after the window) —
+    * numRanges × lots tasks instead of one task per lot, exact by
+    * construction (RangedWindowSpec pins ranged ≡ single-window). */
+  def trailingHourLoad(spark: SparkSession, dir: String): DataFrame =
+    RangedWindow.trailingCount(
+      parkingEvents(spark, dir)
+        .select(col("event_id"), col("parkingLotId"),
+          unix_timestamp(col("ts")).as("epoch_s")),
+      Seq("parkingLotId"), "epoch_s", frame = 3599L, numRanges = 24,
+      out = "events_last_hour")
       .orderBy("event_id")
-  }
 
   /** Navigation window functions (lead / first_value / nth_value) over
     * the per-slot event sequence — the forward-looking complement of
@@ -587,33 +588,28 @@ object ParkingAnalytics {
 
   /** Exact per-lot duration percentiles by DETERMINISTIC rank selection:
     * the value at ascending rank ceil(q·n) (1-based, the lower discrete
-    * quantile) — integer arithmetic end-to-end, so the oracle matches
+    * quantile) — integer comparisons end-to-end, so the oracle matches
     * value-for-value where interpolating percentile implementations could
     * drift in double math.
     *
-    * Scale shape: rank selection over a window, NOT collect_list — no
-    * per-lot in-memory array ever exists. One hash exchange on the lot
-    * feeds both window functions (row_number for ranks, count for n); the
-    * per-lot sort is Spark's external sort, which spills instead of
-    * OOMing however many sessions a lot has, and the row-local rank
-    * filter reduces each lot to ≤3 rows before the final tiny aggregate.
-    * Ties in duration are irrelevant: whatever order equal values take,
-    * the VALUE at a given rank is identical. */
-  def durationPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    val byLot = Window.partitionBy("parkingLotId")
-    val ranked = sessionDurations(spark, dir)
-      .select(col("parkingLotId"), col("duration_min"))
-      .withColumn("rn", row_number().over(byLot.orderBy("duration_min")))
-      .withColumn("n", count(lit(1)).over(byLot))
-    def rk(q: Double) = greatest(lit(1), ceil(lit(q) * col("n"))).cast("int")
-    def pick(q: Double) = max(when(col("rn") === rk(q), col("duration_min")))
-    ranked
-      .filter(col("rn") === rk(0.5) || col("rn") === rk(0.9) || col("rn") === rk(0.99))
+    * Scale shape: BUCKETED rank selection via
+    * [[Percentiles.exactRankSelect]] (the round-7 remedy) — a plain
+    * `row_number() over (partition by lot)` would sort each lot's entire
+    * history in one task (parallelism = 3 lots, p44's scale-killer
+    * class); the bucketed plan ranks only inside per-quantile target
+    * bins, lots × quantiles tasks of ~n/64 rows each. PercentilesSpec
+    * pins bucketed ≡ naive-window on random data; the oracle pins the
+    * values. */
+  def durationPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.exactRankSelect(
+        sessionDurations(spark, dir).select(col("parkingLotId"), col("duration_min")),
+        "parkingLotId", "duration_min", Seq(0.5, 0.9, 0.99))
       .groupBy("parkingLotId")
       .agg(max(col("n")).as("n_sessions"),
-        pick(0.5).as("p50_min"), pick(0.9).as("p90_min"), pick(0.99).as("p99_min"))
+        max(when(col("q") === 0.5, col("duration_min"))).as("p50_min"),
+        max(when(col("q") === 0.9, col("duration_min"))).as("p90_min"),
+        max(when(col("q") === 0.99, col("duration_min"))).as("p99_min"))
       .orderBy("parkingLotId")
-  }
 
   /** Distinct aggregation: per-lot distinct plates/spots beside the plain
     * event count — the distinct-agg family (§2.9 absent list). Spark

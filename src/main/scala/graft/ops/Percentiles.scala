@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-key quantiles by BUCKETED rank selection — the scalable form
+  * of "the value at ascending rank max(1, ceil(q·n))" (1-based, the lower
+  * discrete quantile). A plain `row_number() over (partition by key)` rank
+  * selection sorts each key's ENTIRE history in one task: parallelism =
+  * key cardinality, the same low-cardinality scale-killer class
+  * [[AsOfJoin.asOfRanged]] and [[RangedWindow]] exist for.
+  *
+  * Plan: (1) one tiny per-key min/max aggregate fixes each key's value
+  * range; (2) rows bin row-locally by value — the bin map is MONOTONE, so
+  * equal values share a bin and bin order = value order; (3) the
+  * per-(key, bin) histogram (a keys × buckets table) locates, per
+  * quantile, the single bin containing the global target rank and the
+  * residual in-bin rank; (4) row_number ranks ONLY inside target bins —
+  * partitions of ~n/buckets rows with keys × quantiles-way parallelism.
+  * Exactness: with c values in bins below the target bin, the value at
+  * in-bin ascending rank (r − c) IS the value at global rank r
+  * (monotonicity), and in-bin ties don't matter — any order of equal
+  * values puts the same VALUE at a given rank. Worst case (all of a key's
+  * values equal) collapses to one bin = the plain single sort, never
+  * worse. Values must be non-null numerics.
+  */
+object Percentiles {
+
+  /** One row per (key, quantile): `(key, q, <value col> = the selected
+    * value, n = the key's row count)`. `quantiles` must be in (0, 1]. */
+  def exactRankSelect(df: DataFrame, key: String, value: String,
+                      quantiles: Seq[Double], numBuckets: Int = 64): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    require(quantiles.forall(q => q > 0 && q <= 1), "quantiles must be in (0, 1]")
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    val bounds = df.groupBy(key)
+      .agg(min(value).as("__lo"), max(value).as("__hi"))
+    // monotone value→bin map: floor((v−lo)·B / (hi−lo+1)) ∈ [0, B−1]
+    val binned = df.join(broadcast(bounds), key)
+      .withColumn("__bin", floor(
+        (col(value) - col("__lo")).cast("double") * numBuckets /
+          (col("__hi") - col("__lo") + 1).cast("double")).cast("int"))
+      .select(col(key), col(value), col("__bin"))
+    val wKey = Window.partitionBy(key)
+    val hist = binned.groupBy(col(key), col("__bin"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(wKey.orderBy("__bin")))
+      .withColumn("n", sum("__c").over(wKey))
+    // per (key, quantile): the target rank, its bin, the in-bin residual
+    val targets = hist
+      .select(col(key), col("__bin"), col("__c"), col("__cum"), col("n"),
+        explode(array(quantiles.map(lit): _*)).as("q"))
+      .withColumn("__r", greatest(lit(1), ceil(col("q") * col("n"))).cast("long"))
+      .filter(col("__cum") - col("__c") < col("__r") && col("__r") <= col("__cum"))
+      .select(col(key), col("__bin"), col("q"), col("n"),
+        (col("__r") - (col("__cum") - col("__c"))).as("__rk"))
+    // each (key, q) names exactly one bin, so this window's partitions
+    // hold one bin's rows — the bounded sort the whole plan exists for
+    val wBin = Window.partitionBy(col(key), col("q")).orderBy(value)
+    binned.join(broadcast(targets), Seq(key, "__bin"))
+      .withColumn("__rn", row_number().over(wBin))
+      .filter(col("__rn") === col("__rk"))
+      .select(col(key), col("q"), col(value), col("n"))
+  }
+}
