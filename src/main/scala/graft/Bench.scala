@@ -86,7 +86,21 @@ object Bench {
     val qs = (ok ++ phases).map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errs = failed.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the record to a file: the driver captures stdout with a
+    // bounded tail, which truncated round 7's record mid-map and lost the
+    // p01–p30 timings. The file keeps the full per-query map regardless of
+    // how much console scrollback survives. Best-effort — an unwritable
+    // path must not fail an otherwise-green bench.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_records/last_bench.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not persist record: ${e.getMessage}")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -1,0 +1,60 @@
+package graft.ops
+
+/** Data-adaptive defaults for the engine's partitioning knobs. Round 7's
+  * scale story ended at constants — asOfRanged/trailingCount/
+  * sequencePacking split their axis into a FIXED 24–32 ranges and the IVF
+  * quantizer used a fixed cell count — so a 100× input kept the same
+  * parallelism and per-task volume grew 100×. These derivations make the
+  * knobs a function of the input's row count, riding the tiny bounds
+  * aggregates those operators already run (no extra pass: `count` is one
+  * more partial agg in the same job as `min`/`max`).
+  *
+  * Two classes, deliberately separated:
+  *
+  *  - **Result-invariant knobs** (`numRanges`, `numBuckets`): the operators
+  *    are exact for ANY value (property-tested sub-split ≡ single-window),
+  *    so adapting them is purely a physical-plan choice and is the
+  *    DEFAULT ([[Auto]] sentinel).
+  *  - **Result-AFFECTING knobs** (IVF `nCells`): changing the quantizer
+  *    changes which approximate neighbors are returned, so oracle-pinned
+  *    queries keep their explicit values and [[ivfCells]] is opt-in
+  *    (pass [[Auto]] where the API accepts it).
+  */
+object Adaptive {
+
+  /** Sentinel for "derive from input statistics". */
+  val Auto: Int = 0
+
+  /** Target rows per (key, range) partition for the time/id-axis
+    * sub-splits. ~1M narrow rows is ~100 MB sorted per task — inside a
+    * standard 4 GB executor with comfortable headroom, large enough that
+    * the per-range fixed costs (seed rows, offset join) stay noise. */
+  val RowsPerRange: Long = 1000000L
+
+  /** Floor = keep at least this many ranges so small inputs still spread
+    * across a 32-core executor (the round-7 fixed default); cap bounds
+    * the ranges × keys seed/offset tables (4096 ranges × dozens of keys
+    * is still a tiny driver-side/broadcast frame). */
+  def numRanges(rows: Long, floor: Int = 32, cap: Int = 4096): Int = {
+    require(floor >= 1 && cap >= floor, "need 1 <= floor <= cap")
+    val want = (rows + RowsPerRange - 1) / RowsPerRange
+    math.min(cap.toLong, math.max(floor.toLong, want)).toInt
+  }
+
+  /** IVF quantizer size by the standard `nlist ≈ sqrt(n)` rule: per-query
+    * probe work is nProbe·(n/cells) and the centroid table is cells·dim —
+    * sqrt balances the two as n grows (100× corpus → 10× cells, 10×
+    * per-cell population). Result-affecting: opt-in only. */
+  def ivfCells(rows: Long, floor: Int = 8, cap: Int = 65536): Int = {
+    require(floor >= 1 && cap >= floor, "need 1 <= floor <= cap")
+    val want = math.round(math.sqrt(rows.toDouble))
+    math.min(cap.toLong, math.max(floor.toLong, want)).toInt
+  }
+
+  /** `requested` verbatim, or the derived range count when the caller
+    * left it [[Auto]]. Negative values are a caller bug. */
+  def resolveRanges(requested: Int, rows: Long): Int = {
+    require(requested >= 0, "numRanges must be >= 1, or Adaptive.Auto (0)")
+    if (requested == Auto) numRanges(rows) else requested
+  }
+}

@@ -142,7 +142,18 @@ object TextCuration {
     * packing/dedup stage downstream keys on. Output: (id, chunk_idx,
     * start_tok, n_chunk_tokens, chunk_hash). */
   def tokenChunks(df: DataFrame, idCol: String, textCol: String,
-                  chunkTokens: Int = 32, overlap: Int = 8): DataFrame = {
+                  chunkTokens: Int = 32, overlap: Int = 8): DataFrame =
+    tokenChunksUnordered(df, idCol, textCol, chunkTokens, overlap)
+      .orderBy("id", "chunk_idx")
+
+  /** [[tokenChunks]] without the final presentation sort — the exact same
+    * row-local transform, legal on an UNBOUNDED (streaming) input because
+    * every stage is stateless (project + posexplode): this is the p81
+    * streaming twin, used verbatim by
+    * [[graft.streaming.ChunkStream]]. Batch callers get the sorted
+    * wrapper above; rows here arrive in scan order. */
+  def tokenChunksUnordered(df: DataFrame, idCol: String, textCol: String,
+                           chunkTokens: Int = 32, overlap: Int = 8): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       "need chunkTokens > 0 and 0 <= overlap < chunkTokens — anything else " +
         "would silently leave tokens uncovered")
@@ -158,7 +169,6 @@ object TextCuration {
         (col("pos") * stride).cast("long").as("start_tok"),
         size(col("col")).cast("long").as("n_chunk_tokens"),
         charHash(array_join(col("col"), " ")).as("chunk_hash"))
-      .orderBy("id", "chunk_idx")
   }
 
   /** Sequence packing: assign documents (in id order) to fixed-token-
@@ -173,19 +183,24 @@ object TextCuration {
     * as the IVF centroids) yields each bucket's offset, and a
     * per-bucket window adds the running sum — parallelism = numRanges at
     * every corpus size, and the global result is independent of where
-    * the range boundaries land. Output: (id, n_tokens, cum_tokens,
-    * bin). */
+    * the range boundaries land. `numRanges` defaults to
+    * [[graft.ops.Adaptive.Auto]] — derived from the corpus row count
+    * through the same min/max aggregate, so per-bucket volume (and the
+    * ≤ numRanges-row offsets collect) stays bounded as the corpus grows.
+    * Output: (id, n_tokens, cum_tokens, bin). */
   def sequencePacking(df: DataFrame, idCol: String, textCol: String,
                       budgetTokens: Long = 512L,
-                      numRanges: Int = 32): DataFrame = {
+                      numRanges: Int = graft.ops.Adaptive.Auto): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = df.select(col(idCol).cast("long").as("id"),
       size(tokens(col(textCol))).cast("long").as("n_tokens"))
-    val b = n.agg(min(col("id")), max(col("id"))).head()
+    val b = n.agg(min(col("id")), max(col("id")), count(lit(1))).head()
     val (lo, span) =
       if (b.isNullAt(0)) (0L, 1L) else (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+    val nR = math.min(span,
+      graft.ops.Adaptive.resolveRanges(numRanges, b.getLong(2)).toLong)
     val withBucket = n.withColumn("__b",
-      expr(s"((id - $lo) * $numRanges) div $span"))
+      expr(s"((id - $lo) * $nR) div $span"))
     val spark = df.sparkSession
     import spark.implicits._
     val totals = withBucket.groupBy("__b").agg(sum(col("n_tokens")).as("__s"))

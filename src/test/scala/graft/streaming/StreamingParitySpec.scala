@@ -281,6 +281,73 @@ class StreamingParitySpec extends SparkSpec {
     got.map(t => (t._2, t._3)).toSet shouldBe batch
   }
 
+  "ChunkStream" should "emit exactly the batch tokenChunks rows (p81) across micro-batches" in {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-chunk-json")
+    val lines = docsDf.orderBy("doc_id")
+      .select(to_json(struct(col("doc_id"), col("text"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(math.max(1, lines.length / 5)).zipWithIndex.foreach { case (ls, i) =>
+      val f = dir.resolve(f"chunk-$i%03d.json")
+      Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val got = ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    runStream(ChunkStream.chunks(stream, "doc_id", "text"), "append") { b =>
+      b.collect().foreach(r => got.synchronized {
+        got += ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      })
+    }
+    val batch = graft.text.TextCuration.tokenChunks(docsDf, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.size should be > docsDf.count().toInt // chunking really multiplied rows
+    got.sortBy(t => (t._1, t._2)) shouldBe batch.toSeq
+  }
+
+  "PackingStream" should "match batch sequencePacking per shard (p82) across id-ordered micro-batches" in {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-pack-json")
+    // shard = doc_id % 3; chunks are GLOBALLY id-ordered, so each shard's
+    // documents arrive id-ordered across micro-batches (the stated
+    // contract) while every micro-batch mixes all three shards
+    val lines = docsDf.orderBy("doc_id")
+      .select(to_json(struct(col("doc_id"),
+        pmod(col("doc_id"), lit(3)).as("shard"), col("text"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(math.max(1, lines.length / 5)).zipWithIndex.foreach { case (ls, i) =>
+      val f = dir.resolve(f"chunk-$i%03d.json")
+      Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("shard", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val budget = 128L
+    val got = ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    runStream(PackingStream.packed(stream, "shard", "doc_id", "text", budget).toDF(), "append") { b =>
+      b.collect().foreach(r => got.synchronized {
+        got += ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      })
+    }
+    // batch twin, shard by shard: the streaming packer's per-shard
+    // (cum_tokens, bin) must equal the batch operator run on exactly that
+    // shard's documents
+    val batch = (0L until 3L).flatMap { s =>
+      graft.text.TextCuration.sequencePacking(
+          docsDf.filter(pmod(col("doc_id"), lit(3)) === s), "doc_id", "text", budget)
+        .collect().map(r => (s, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    batch.map(_._5).max should be > 0L // multiple bins really filled
+    got.sortBy(t => (t._1, t._2)) shouldBe batch.sortBy(t => (t._1, t._2))
+  }
+
   "RangeJoin" should "run unchanged as a stream-static join (streaming points side)" in {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
