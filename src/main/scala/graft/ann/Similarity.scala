@@ -84,12 +84,28 @@ object Similarity {
     * the corpus NEVER shuffles: not for assignment (row-local
     * expression), not for search (probes broadcast onto the assigned
     * corpus), not for ranking (the per-partition top-k tournament). Probe
-    * lists scale recall at cost nProbe/nCells of the corpus per query. */
+    * lists scale recall at cost nProbe/nCells of the corpus per query.
+    *
+    * `nCells` is RESULT-affecting (a different quantizer returns
+    * different approximate neighbors), so the adaptive sizing is opt-in,
+    * not the default: pass [[graft.ops.Adaptive.Auto]] to derive
+    * `nlist ≈ sqrt(n)` from the corpus count
+    * ([[graft.ops.Adaptive.ivfCells]]); oracle-pinned queries keep their
+    * explicit values. */
   def knnIvf(emb: DataFrame, idCol: String, vecCol: String,
              queryPred: Column, k: Int = 5, nCells: Int = 8,
              nProbe: Int = 2): DataFrame =
     knnIvfWith(emb, idCol, vecCol, queryPred,
-      lowestIdCentroids(emb, idCol, vecCol, nCells), k, nProbe)
+      lowestIdCentroids(emb, idCol, vecCol, resolveCells(emb, nCells)), k, nProbe)
+
+  /** `nCells` verbatim, or the sqrt-rule size when the caller opted into
+    * [[graft.ops.Adaptive.Auto]] (one columnar count against the corpus,
+    * only on the opt-in path). */
+  private def resolveCells(emb: DataFrame, nCells: Int): Int = {
+    require(nCells >= 0, "nCells must be >= 1, or Adaptive.Auto (0)")
+    if (nCells == graft.ops.Adaptive.Auto) graft.ops.Adaptive.ivfCells(emb.count())
+    else nCells
+  }
 
   /** The `nCells` lowest-id vectors as a coarse quantizer — deterministic
     * so the DuckDB oracle can mirror the choice. */
@@ -166,7 +182,7 @@ object Similarity {
     * carried from the seed vectors purely as stable tiebreak tokens. */
   def trainIvfCentroids(emb: DataFrame, idCol: String, vecCol: String,
                         nCells: Int = 8, iters: Int = 3): Array[(Long, Array[Float])] = {
-    var cents = lowestIdCentroids(emb, idCol, vecCol, nCells)
+    var cents = lowestIdCentroids(emb, idCol, vecCol, resolveCells(emb, nCells))
     val dim = cents.headOption.map(_._2.length).getOrElse(0)
     for (_ <- 0 until iters) {
       val aggs = count(lit(1)).as("n") +:

@@ -69,22 +69,31 @@ object AsOfJoin {
     * earlier range always has strictly earlier axis value, so the seed
     * dominates all older rows and sorts before every in-range left row).
     * The window then partitions by (keys, range): numRanges × keys sorts
-    * of |range| rows instead of key-count sorts of the entire history. */
+    * of |range| rows instead of key-count sorts of the entire history.
+    *
+    * `numRanges` defaults to [[Adaptive.Auto]]: the range count derives
+    * from the left row count (target [[Adaptive.RowsPerRange]] rows per
+    * range, floor 32, cap 4096) via the same bounds aggregate the plan
+    * already runs — per-range volume stays constant as the input grows
+    * instead of the parallelism staying constant. Any exact value can
+    * still be pinned; results are identical for every choice
+    * (property-tested sub-split ≡ single-window). */
   def asOfRanged(left: DataFrame, right: DataFrame, keys: Seq[String],
                  leftTime: String, rightTime: String, payload: Seq[String],
-                 strict: Boolean = false, numRanges: Int = 32,
+                 strict: Boolean = false, numRanges: Int = Adaptive.Auto,
                  axis: Column => Column = identity): DataFrame = {
-    require(numRanges >= 1, "numRanges must be >= 1")
     val bounds = left.agg(
       min(axis(col(leftTime)).cast("double")).as("lo"),
-      max(axis(col(leftTime)).cast("double")).as("hi")).head()
-    if (numRanges == 1 || bounds.isNullAt(0) ||
+      max(axis(col(leftTime)).cast("double")).as("hi"),
+      count(lit(1)).as("n")).head()
+    val nR = Adaptive.resolveRanges(numRanges, bounds.getLong(2))
+    if (nR == 1 || bounds.isNullAt(0) ||
         bounds.getDouble(0) == bounds.getDouble(1))
       return asOf(left, right, keys, leftTime, rightTime, payload, strict)
     val lo = bounds.getDouble(0)
-    val width = (bounds.getDouble(1) - lo) / numRanges
+    val width = (bounds.getDouble(1) - lo) / nR
     def rng(t: Column): Column =
-      least(lit(numRanges - 1), greatest(lit(0),
+      least(lit(nR - 1), greatest(lit(0),
         floor((axis(t).cast("double") - lit(lo)) / lit(width)))).cast("int")
 
     val (l, r) = tagged(left, right, keys, leftTime, rightTime, payload, strict)
@@ -95,8 +104,8 @@ object AsOfJoin {
     // seed (≤ numRanges² tiny rows per key), keep the freshest per target.
     val lastPer = rB.groupBy((keys :+ "__rng").map(col): _*)
       .agg(max_by(struct(col("__t"), col("__p")), col("__t")).as("__m"))
-    val seeds = lastPer.filter(col("__rng") < lit(numRanges - 1))
-      .withColumn("__tgt", explode(sequence(col("__rng") + 1, lit(numRanges - 1))))
+    val seeds = lastPer.filter(col("__rng") < lit(nR - 1))
+      .withColumn("__tgt", explode(sequence(col("__rng") + 1, lit(nR - 1))))
       .groupBy((keys :+ "__tgt").map(col): _*)
       .agg(max_by(col("__m"), col("__rng")).as("__m"))
       .select(keys.map(col) ++ Seq(

@@ -352,8 +352,10 @@ object ParkingAnalytics {
     * Events in a lot's first active hour have no prior snapshot → null.
     * Exercises [[AsOfJoin.asOfRanged]] over the p28 cumulative series:
     * with only 3 lots as keys, the plain as-of window would sort each
-    * lot's entire history in one task; the 24-way time-range sub-split
-    * makes parallelism 24 × lots while returning identical rows
+    * lot's entire history in one task; the adaptive time-range sub-split
+    * ([[Adaptive.numRanges]]: row count / target rows-per-range, floor
+    * 32) makes parallelism ranges × lots AND keeps per-range volume
+    * constant as the table grows, while returning identical rows
     * (range-split ≡ single-window, IntervalJoinPropertySpec). */
   def occupancyAsOf(spark: SparkSession, dir: String): DataFrame = {
     val series = cumulativeSeries(spark, dir)
@@ -363,7 +365,7 @@ object ParkingAnalytics {
       date_format(col("ts"), "yyyy-MM-dd HH").as("hour_bucket_ev"))
     AsOfJoin.asOfRanged(ev, series, Seq("parkingLotId"),
         "hour_bucket_ev", "hour_bucket", Seq("occupancy_running"), strict = true,
-        numRanges = 24, axis = c => to_timestamp(c, "yyyy-MM-dd HH"))
+        axis = c => to_timestamp(c, "yyyy-MM-dd HH"))
       .select(col("event_id"), col("parkingLotId"), col("hour_bucket_ev"),
         col("occupancy_running").as("occ_prev_hour"))
       .orderBy("event_id")
@@ -506,16 +508,17 @@ object ParkingAnalytics {
     * O(n) per partition, state bounded by the hour's row count. Like p44,
     * a plain per-lot window's parallelism = key cardinality, so the frame
     * runs through [[RangedWindow.trailingCount]]: the time axis sub-splits
-    * into frame-wide-or-larger ranges with the previous range's last hour
-    * duplicated in as frame fillers (dropped after the window) —
-    * numRanges × lots tasks instead of one task per lot, exact by
-    * construction (RangedWindowSpec pins ranged ≡ single-window). */
+    * into adaptively many ranges ([[Adaptive.numRanges]] — row count /
+    * target rows-per-range, floor 32) with cross-range exactness from the
+    * prefix-sum sweep — ranges × lots tasks of bounded size instead of
+    * one ever-growing task per lot, exact by construction
+    * (RangedWindowSpec pins ranged ≡ single-window). */
   def trailingHourLoad(spark: SparkSession, dir: String): DataFrame =
     RangedWindow.trailingCount(
       parkingEvents(spark, dir)
         .select(col("event_id"), col("parkingLotId"),
           unix_timestamp(col("ts")).as("epoch_s")),
-      Seq("parkingLotId"), "epoch_s", frame = 3599L, numRanges = 24,
+      Seq("parkingLotId"), "epoch_s", frame = 3599L,
       out = "events_last_hour")
       .orderBy("event_id")
 

