@@ -55,23 +55,26 @@ object ScaleCorpusBench {
 
   /** Synthetic pair graph with controlled component structure: per
     * 100-edge block, edges 1–89 star onto the block hub, 90–98 chain off
-    * the star's rim, and edge 99 links every 10th block to the NEXT
-    * block's hub — components of ~1 000 nodes (10 fused blocks) whose
-    * COUNT grows with n while their diameter stays constant, the shape
-    * of a real near-dup graph (many bounded clusters). The 10M-edge
+    * the star's rim, and edge 99 glues the block's hub to the NEXT
+    * block's hub — except on every 10th block, which ends its run: the
+    * components are ~1 000-node fusions of 10 blocks whose COUNT grows
+    * with n while their diameter stays constant, the shape of a real
+    * near-dup graph (many bounded clusters). The 10M-edge
     * union-find/iterative switch is crossed by the size ladder. */
   def synthEdges(spark: SparkSession, n: Long): DataFrame = {
     val id = col("id")
     val inBlock = pmod(id, lit(100))
     val hub = expr("(id div 100) * 100")
-    val glue = inBlock === 99 && expr("pmod(id div 100, 10)") === 9
+    // run-ending blocks (b % 10 == 9) keep their rim chain edge instead
+    // of gluing forward, so runs of 10 blocks stay separate components
+    val glue = inBlock === 99 && expr("pmod(id div 100, 10)") =!= 9
     spark.range(1L, n + 1).select(
       when(inBlock < 90, hub)
-        .when(!glue, id - 1)
-        .otherwise(id).as("doc_a"),
+        .when(glue, hub)
+        .otherwise(id - 1).as("doc_a"),
       when(inBlock < 90, id)
-        .when(!glue, id)
-        .otherwise(id + 1).as("doc_b"))
+        .when(glue, id + 1)
+        .otherwise(id).as("doc_b"))
   }
 
   def main(args: Array[String]): Unit = {
