@@ -540,5 +540,38 @@ object OracleSql {
       |SELECT date_str,
       |       CAST(SUM(GREATEST(0, entries - exits)) AS DOUBLE) * 2.0 * 24.0
       |         AS daily_revenue
-      |FROM per_lot GROUP BY date_str ORDER BY date_str""".stripMargin))
+      |FROM per_lot GROUP BY date_str ORDER BY date_str""".stripMargin),
+
+    // CDC upsert-merge registry: keep the base/mutation derivations in
+    // lockstep with UserRegistry.baseUsers + ParkingAnalytics.userRegistryMerge
+    "p85_user_registry_merge" -> """WITH base AS (
+      |  SELECT 'P-' || CAST(c_custkey AS VARCHAR) AS u_plate,
+      |         c_name AS username,
+      |         lower(replace(c_name, 'Customer#', 'c')) || '@example.com' AS email,
+      |         (c_custkey % 13 = 0) AS handicapped,
+      |         'upsert' AS op, CAST(-1 AS BIGINT) AS mut_seq,
+      |         CAST(NULL AS BIGINT) AS expires_at
+      |  FROM customer WHERE c_custkey % 7 <> 0
+      |), ups AS (
+      |  SELECT 'P-' || CAST(c_custkey AS VARCHAR), c_name,
+      |         'updated-' || CAST(c_custkey AS VARCHAR) || '@example.com',
+      |         (c_custkey % 13 = 0), 'upsert', CAST(c_custkey AS BIGINT),
+      |         CASE WHEN c_custkey % 17 = 0
+      |              THEN CAST(500 + c_custkey % 1000 AS BIGINT) END
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |), dels AS (
+      |  SELECT 'P-' || CAST(c_custkey AS VARCHAR), NULL, NULL, NULL,
+      |         'delete', CAST(1000000 + c_custkey AS BIGINT), NULL
+      |  FROM customer WHERE c_custkey % 11 = 0
+      |), muts AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM ups UNION ALL SELECT * FROM dels
+      |), latest AS (
+      |  SELECT *, row_number() OVER (PARTITION BY u_plate ORDER BY mut_seq DESC) AS rn
+      |  FROM muts
+      |)
+      |SELECT u_plate, username, email, handicapped, mut_seq AS version
+      |FROM latest
+      |WHERE rn = 1 AND op = 'upsert'
+      |  AND (expires_at IS NULL OR expires_at > 1000)
+      |ORDER BY u_plate""".stripMargin)
 }

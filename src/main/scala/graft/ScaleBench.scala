@@ -37,10 +37,11 @@ object ScaleBench {
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
                 else Seq(1000000L, 10000000L, 100000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // heap: set SPARK_DRIVER_MEM before sbt (build.sbt forks with it) —
+    // spark.driver.memory set HERE would be a no-op in local mode
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.driver.memory", "16g")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -81,10 +81,12 @@ object ScaleCorpusBench {
     val docSizes = if (args.nonEmpty) args.map(_.toLong).toSeq
                    else Seq(5000L, 50000L, 500000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // heap: set SPARK_DRIVER_MEM before sbt (build.sbt forks with it) —
+    // spark.driver.memory set HERE would be a no-op, the local-mode JVM
+    // is already running. The 100×/30M rungs want ≥ 32g.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.driver.memory", "16g")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -669,6 +669,40 @@ object ParkingAnalytics {
       .orderBy("licensePlate")
   }
 
+  /** CDC upsert-merge registry view ([[graft.sources.UserRegistry]]) over
+    * a DETERMINISTIC synthetic mutation log, so the merge semantics —
+    * latest-mutation-per-plate, delete tombstones, temporary-user TTL
+    * expiry (an expired latest mutation hides the plate entirely, exactly
+    * like the reference's `setex` replacing the permanent Redis key) —
+    * are value-exact against the DuckDB oracle. Mutations derive from the
+    * customer dimension: custkey % 5 == 0 upserts a new email (including
+    * % 35 == 0 plates ABSENT from the base — the insert path), % 85 == 0
+    * carries a TTL straddling the fixed "now", % 11 == 0 appends a later
+    * tombstone. Scale: one max_by aggregate keyed by plate (map-side
+    * partials, no window) — the A12 latest-state shape. */
+  def userRegistryMerge(spark: SparkSession, dir: String): DataFrame = {
+    val c = graft.sources.Tables.customer(spark, dir)
+    val plate = concat(lit("P-"), col("c_custkey").cast("string")).as("u_plate")
+    val ups = c.filter(col("c_custkey") % 5 === 0).select(
+      plate, col("c_name").as("username"),
+      concat(lit("updated-"), col("c_custkey").cast("string"),
+        lit("@example.com")).as("email"),
+      (col("c_custkey") % 13 === 0).as("handicapped"),
+      lit("upsert").as("op"), col("c_custkey").cast("long").as("mut_seq"),
+      when(col("c_custkey") % 17 === 0,
+        lit(500L) + col("c_custkey") % 1000).cast("long").as("expires_at"))
+    val dels = c.filter(col("c_custkey") % 11 === 0).select(
+      plate, lit(null).cast("string").as("username"),
+      lit(null).cast("string").as("email"),
+      lit(null).cast("boolean").as("handicapped"),
+      lit("delete").as("op"),
+      (lit(1000000L) + col("c_custkey")).as("mut_seq"),
+      lit(null).cast("long").as("expires_at"))
+    graft.sources.UserRegistry.view(
+      graft.sources.UserRegistry.baseUsers(spark, dir),
+      ups.unionByName(dels), nowEpochS = 1000L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hourly_stats" -> (hourlyStats _),
     "p02_occupancy_by_lot" -> (occupancyByLot _),
@@ -709,5 +743,6 @@ object ParkingAnalytics {
     "p77_slot_event_sequence" -> (slotEventSequence _),
     "p79_grouping_sets" -> (groupingSetStats _),
     "p83_vehicle_type_unpivot" -> (vehicleTypeUnpivot _),
-    "p84_token_char_corr" -> (tokenCharCorrelation _))
+    "p84_token_char_corr" -> (tokenCharCorrelation _),
+    "p85_user_registry_merge" -> (userRegistryMerge _))
 }

@@ -28,18 +28,31 @@ import org.apache.spark.sql.functions._
 object Percentiles {
 
   /** One row per (key, quantile): `(key, q, <value col> = the selected
-    * value, n = the key's row count)`. `quantiles` must be in (0, 1]. */
+    * value, n = the key's row count)`. `quantiles` must be in (0, 1].
+    * `numBuckets` defaults to [[Adaptive.Auto]]: derived from the LARGEST
+    * key's row count (floor 64 — the round-7 fixed default — growing past
+    * [[Adaptive.RowsPerRange]] rows per bucket), so the in-bin sorts stay
+    * bounded as the biggest key grows. Result-invariant for any value
+    * (PercentilesSpec pins bucketed ≡ plain window). */
   def exactRankSelect(df: DataFrame, key: String, value: String,
-                      quantiles: Seq[Double], numBuckets: Int = 64): DataFrame = {
+                      quantiles: Seq[Double],
+                      numBuckets: Int = Adaptive.Auto): DataFrame = {
     require(quantiles.nonEmpty, "need at least one quantile")
     require(quantiles.forall(q => q > 0 && q <= 1), "quantiles must be in (0, 1]")
-    require(numBuckets >= 1, "numBuckets must be >= 1")
+    require(numBuckets >= 0, "numBuckets must be >= 1, or Adaptive.Auto (0)")
     val bounds = df.groupBy(key)
       .agg(min(value).as("__lo"), max(value).as("__hi"))
+    // Auto sizes buckets off the LARGEST key (one tiny extra agg job on
+    // this path only — a keys-sized frame reduced to one long)
+    val nBuckets =
+      if (numBuckets != Adaptive.Auto) numBuckets
+      else Adaptive.numRanges(
+        df.groupBy(key).agg(count(lit(1)).as("__n"))
+          .agg(coalesce(max("__n"), lit(0L))).head().getLong(0), floor = 64)
     // monotone value→bin map: floor((v−lo)·B / (hi−lo+1)) ∈ [0, B−1]
     val binned = df.join(broadcast(bounds), key)
       .withColumn("__bin", floor(
-        (col(value) - col("__lo")).cast("double") * numBuckets /
+        (col(value) - col("__lo")).cast("double") * nBuckets /
           (col("__hi") - col("__lo") + 1).cast("double")).cast("int"))
       .select(col(key), col(value), col("__bin"))
     val wKey = Window.partitionBy(key)

@@ -372,6 +372,13 @@ object TextDedup {
           .localCheckpoint(false)
         val s = Option(next.agg(sum(col("label").cast("decimal(38,0)")))
           .head().getDecimal(0)) // materializes the checkpoint blocks
+        // next is materialized past its inputs now — release the PREVIOUS
+        // round's checkpoint blocks instead of retaining one generation
+        // per round for the loop's whole life (the accumulation OOM'd the
+        // 30M-edge rung of the round-8 scaling ladder in an 8g JVM; a
+        // cluster would shed them by LRU eviction, but holding garbage
+        // until eviction is pressure for nothing at any size)
+        if (labels != null) org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(labels)
         if (s.isEmpty && prevSum.isEmpty ||
             s.zip(prevSum).exists { case (a, b) => a.compareTo(b) == 0 }) {
           // fixpoint: next == labels value-for-value; return the flat frame

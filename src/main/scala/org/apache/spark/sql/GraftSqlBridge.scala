@@ -18,6 +18,21 @@ object GraftSqlBridge {
     * SQL arguments fail at analysis instead of at runtime. */
   type AbstractDT = org.apache.spark.sql.types.AbstractDataType
 
+  /** Release the cached blocks behind a `localCheckpoint`ed Dataset. A
+    * checkpointed round of an iterative loop retains its blocks until the
+    * RDD is garbage-collected; a convergence loop that checkpoints every
+    * round therefore accumulates one generation of blocks PER ROUND —
+    * measured as the driver-JVM OOM on the 30M-edge CC rung of the
+    * round-8 scaling ladder. The checkpoint RDD lives in the Dataset's
+    * `LogicalRDD` (sql.execution — `private[sql]`), hence here. No-op for
+    * non-checkpointed frames. */
+  def releaseCheckpoint(df: Dataset[_]): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Register a function on an already-built session (the extensions hook
     * only runs at session build; `sessionState` is `private[sql]`). */
   def registerFunction(spark: SparkSession,
