@@ -747,6 +747,30 @@ object OracleSqlDocs {
          |       (cum_tokens - n_tokens) // 512 AS bin
          |FROM c ORDER BY id""".stripMargin,
 
+    // systematic PPS sample: k=40 integer thresholds over the token-mass
+    // prefix sum; keep docs whose cumulative interval contains one
+    // (n_hits = multiplicity). Keep k and the step rule in lockstep with
+    // DocAnalytics ("p86_pps_sample") / TextCuration.ppsSample.
+    "p86_pps_sample" ->
+      s"""WITH n AS (
+         |  SELECT doc_id AS id,
+         |         CAST(len(string_split(${norm("text")}, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM n
+         |), s AS (
+         |  SELECT GREATEST(1, CAST(sum(n_tokens) AS BIGINT) // 40) AS step FROM n
+         |)
+         |SELECT id, n_tokens, cum_tokens,
+         |       (cum_tokens // step) - ((cum_tokens - n_tokens) // step) AS n_hits
+         |FROM c, s
+         |WHERE (cum_tokens // step) - ((cum_tokens - n_tokens) // step) > 0
+         |ORDER BY id""".stripMargin,
+
     // composed curation report: lang-id (p19), content-hash split (p39),
     // repetition keep flag (p41), and token counts (p18) recomputed per
     // doc, rolled up by (lang, split) with integer-exact aggregates

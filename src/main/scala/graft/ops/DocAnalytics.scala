@@ -207,6 +207,10 @@ object DocAnalytics {
       TextCuration.tokenChunks(docs(s, d), "doc_id", "text")),
     "p82_sequence_packing" -> ((s, d) =>
       TextCuration.sequencePacking(docs(s, d), "doc_id", "text")),
+    // deterministic importance sampling: systematic PPS over token mass
+    // (integer thresholds on the same distributed prefix sum as p82)
+    "p86_pps_sample" -> ((s, d) =>
+      TextCuration.ppsSample(docs(s, d), "doc_id", "text", k = 40)),
     // operator COMPOSITION: the curation report a pipeline would emit —
     // lang-id × split × quality-keep × token budget joined on doc id and
     // rolled up. Aggregates are counts and long sums only, so the

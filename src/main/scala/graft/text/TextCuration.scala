@@ -218,6 +218,45 @@ object TextCuration {
       .orderBy("id")
   }
 
+  /** Systematic probability-proportional-to-size (PPS) sampling — the
+    * importance-sampling selection step of corpus curation (pick ~k
+    * documents with probability proportional to their token mass),
+    * DETERMINISTIC and integer-exact: documents order by id, their token
+    * counts prefix-sum, and k evenly spaced integer thresholds
+    * (step = total div k) select each document whose cumulative-weight
+    * interval contains a threshold. No RNG, no floating point — the same
+    * run on the same corpus always picks the same docs, and the DuckDB
+    * oracle reproduces the selection value-for-value (float-keyed
+    * weighted sampling à la Efraimidis–Spirakis would hinge on pow/log
+    * ULPs across engines). A document with weight ≥ step spans several
+    * thresholds; `n_hits` is its multiplicity (PPS with replacement).
+    * Systematic sampling's standard caveat applies: if document weight
+    * is PERIODIC along the id order with a period dividing the step, the
+    * thresholds alias to fixed phases — ids should not encode a
+    * weight-correlated cycle (content-hash ids, the engine's norm,
+    * cannot).
+    *
+    * Scale shape: the prefix sum IS [[sequencePacking]]'s distributed
+    * bucket machinery (step doubles as the bin budget: bin =
+    * (cum − w) div step, so selection = `cum div step > bin`, one
+    * row-local comparison on its output) — parallelism numRanges at any
+    * corpus size, plus one tiny total aggregate to fix the step. Output:
+    * (id, n_tokens, cum_tokens, n_hits) for selected docs, by id. */
+  def ppsSample(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 50,
+                numRanges: Int = graft.ops.Adaptive.Auto): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val t = df.select(sum(size(tokens(col(textCol)))).cast("long")).head()
+    val total = if (t.isNullAt(0)) 0L else t.getLong(0) // empty corpus → empty sample
+    val step = math.max(1L, total / k)
+    sequencePacking(df, idCol, textCol, budgetTokens = step, numRanges)
+      .withColumn("n_hits",
+        expr(s"cum_tokens div $step") - col("bin"))
+      .filter(col("n_hits") > 0)
+      .select(col("id"), col("n_tokens"), col("cum_tokens"), col("n_hits"))
+      .orderBy("id")
+  }
+
   /** Benchmark-contamination check: for every corpus document, how many
     * of its hashed word `k`-grams appear anywhere in a benchmark
     * (held-out eval) document set. The industry-standard n-gram-overlap

@@ -348,6 +348,52 @@ class StreamingParitySpec extends SparkSpec {
     got.sortBy(t => (t._1, t._2)) shouldBe batch.sortBy(t => (t._1, t._2))
   }
 
+  "RegistryStream" should "converge to the batch UserRegistry.view across micro-batches" in {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-regmut-json")
+    // chunk 0 seeds the base (mut_seq = −1, exactly the batch view's
+    // union); chunk 1 updates P-1, inserts P-9, grants P-2 a temporary
+    // record that is EXPIRED at now=1000; chunk 2 tombstones P-9 and
+    // re-updates P-1 (latest must win across batch boundaries)
+    val chunks = Seq(
+      Seq(
+        """{"u_plate":"P-1","username":"alice","email":"a@x.io","handicapped":false,"op":"upsert","mut_seq":-1,"expires_at":null}""",
+        """{"u_plate":"P-2","username":"bob","email":"b@x.io","handicapped":true,"op":"upsert","mut_seq":-1,"expires_at":null}"""),
+      Seq(
+        """{"u_plate":"P-1","username":"alice","email":"new@x.io","handicapped":false,"op":"upsert","mut_seq":1,"expires_at":null}""",
+        """{"u_plate":"P-9","username":"carol","email":"c@x.io","handicapped":false,"op":"upsert","mut_seq":2,"expires_at":null}""",
+        """{"u_plate":"P-2","username":"bob","email":"tmp@x.io","handicapped":true,"op":"upsert","mut_seq":3,"expires_at":900}"""),
+      Seq(
+        """{"u_plate":"P-9","username":null,"email":null,"handicapped":null,"op":"delete","mut_seq":4,"expires_at":null}""",
+        """{"u_plate":"P-1","username":"alice","email":"final@x.io","handicapped":false,"op":"upsert","mut_seq":5,"expires_at":null}"""))
+    chunks.zipWithIndex.foreach { case (ls, i) =>
+      val f = dir.resolve(f"chunk-$i%03d.json")
+      Files.write(f, String.join("\n", ls: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = spark.readStream.schema(graft.sources.UserRegistry.mutationSchema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val live = TrieMap.empty[String, (Boolean, Option[String], Long)]
+    runStream(RegistryStream.updates(stream, () => 1000L).toDF(), "update") { b =>
+      b.collect().foreach { r =>
+        live(r.getString(0)) = (r.getBoolean(1),
+          Option(r.getAs[String]("email")), r.getAs[Long]("version"))
+      }
+    }
+    val base = Seq(("P-1", "alice", "a@x.io", false), ("P-2", "bob", "b@x.io", true))
+      .toDF("u_plate", "username", "email", "handicapped")
+    val log = spark.read.schema(graft.sources.UserRegistry.mutationSchema)
+      .json((chunks(1) ++ chunks(2)).toDS)
+    val batch = graft.sources.UserRegistry.view(base, log, nowEpochS = 1000L)
+      .collect().map(r => r.getString(0) -> (r.getString(2), r.getLong(4))).toMap
+    // visible stream rows ≡ the batch merge, invisible ≡ its exclusions
+    live.filter(_._2._1).map { case (k, (_, e, v)) => k -> (e.get, v) }.toMap shouldBe batch
+    live("P-9")._1 shouldBe false // tombstoned in a later batch than its insert
+    live("P-2")._1 shouldBe false // temporary record expired at now
+    batch.keySet shouldBe Set("P-1")
+    batch("P-1") shouldBe ("final@x.io", 5L)
+  }
+
   "RangeJoin" should "run unchanged as a stream-static join (streaming points side)" in {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}

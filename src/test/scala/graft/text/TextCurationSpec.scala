@@ -114,6 +114,33 @@ class TextCurationSpec extends SparkSpec {
     bins.zip(bins.tail).foreach { case (a, b) => b should be >= a }
   }
 
+  "ppsSample" should "hit exactly total-div-step thresholds, weighted by token mass" in {
+    // aperiodic weights 1..40 (hash-mixed — periodic weights would
+    // alias with the systematic step, the documented caveat); ids
+    // deliberately unordered on input
+    def w(i: Long) = (i * i * 2654435761L % 97 % 40 + 1).toInt
+    val docs = (1L to 200L).map(i =>
+      (201L - i, Seq.fill(w(201L - i))("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val k = 10
+    val got = TextCuration.ppsSample(docs, "doc_id", "text", k).collect()
+    val total = (1L to 200L).map(w(_).toLong).sum
+    val step = total / k
+    // systematic PPS: the hit count is exact, not approximate
+    got.map(_.getAs[Long]("n_hits")).sum shouldBe total / step
+    // every selected doc's cumulative interval really contains a threshold
+    got.foreach { r =>
+      val (cum, n) = (r.getAs[Long]("cum_tokens"), r.getAs[Long]("n_tokens"))
+      (cum / step) should be > (cum - n) / step
+    }
+    // PPS bias: the token-mass-weighted pick runs heavier than the corpus
+    val avgSel = got.map(_.getAs[Long]("n_tokens")).sum.toDouble / got.length
+    avgSel should be > total.toDouble / 200
+    // deterministic: a second run selects the identical rows
+    TextCuration.ppsSample(docs, "doc_id", "text", k).collect()
+      .map(_.toSeq) shouldBe got.map(_.toSeq)
+  }
+
   "contamination" should "flag exactly the corpus docs sharing a 5-gram with the benchmark" in {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corpus = Seq(
