@@ -23,6 +23,19 @@ object Verify {
     // recursively clearing it would destroy unrelated content.
     graft.ops.DocAnalytics.oracleArtifactPaths.foreach(p =>
       graft.sources.FsUtil.deleteRecursively(new java.io.File(p)))
+    // ...and anything ELSE under the artifact dir is a LOUD error, not a
+    // silent survivor: an unknown entry is either a stale artifact from a
+    // version whose path fell off oracleArtifactPaths (the silent-stale
+    // failure the wipe used to prevent) or a foreign file the user parked
+    // in the artifact dir (which later artifact writes could clobber).
+    // Refusing cannot destroy anything and keeps the list honest.
+    val leftovers = Option(new java.io.File(graft.ops.DocAnalytics.oracleArtifactDir)
+      .listFiles()).getOrElse(Array.empty).map(_.getName)
+    require(leftovers.isEmpty,
+      s"oracle artifact dir ${graft.ops.DocAnalytics.oracleArtifactDir} contains " +
+        s"entries Verify does not own: ${leftovers.mkString(", ")} — stale artifacts " +
+        "from an older version, or foreign files; clean them or point " +
+        "-Dgraft.oracle.dir at a dedicated directory")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -40,21 +40,44 @@ object Percentiles {
     require(quantiles.nonEmpty, "need at least one quantile")
     require(quantiles.forall(q => q > 0 && q <= 1), "quantiles must be in (0, 1]")
     require(numBuckets >= 0, "numBuckets must be >= 1, or Adaptive.Auto (0)")
-    val bounds = df.groupBy(key)
-      .agg(min(value).as("__lo"), max(value).as("__hi"))
-    // Auto sizes buckets off the LARGEST key (one tiny extra agg job on
-    // this path only — a keys-sized frame reduced to one long)
+    // ONE keys-sized aggregate, COLLECTED (keys are low-cardinality by
+    // this operator's charter): the rows feed the bin map back as a
+    // broadcast local table — so the bounds scan never re-executes — and
+    // the largest key's count feeds the Auto bucket derivation without a
+    // second aggregation job over df.
+    val spark = df.sparkSession
+    val boundRows = df.groupBy(key)
+      .agg(min(value).as("__lo"), max(value).as("__hi"), count(lit(1)).as("__n"))
+      .collect()
     val nBuckets =
       if (numBuckets != Adaptive.Auto) numBuckets
       else Adaptive.numRanges(
-        df.groupBy(key).agg(count(lit(1)).as("__n"))
-          .agg(coalesce(max("__n"), lit(0L))).head().getLong(0), floor = 64)
-    // monotone value→bin map: floor((v−lo)·B / (hi−lo+1)) ∈ [0, B−1]
+        if (boundRows.isEmpty) 0L
+        else boundRows.map(_.getLong(3)).max, floor = 64) // __n is column 3
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val bSchema = StructType(Seq(df.schema(key),
+      StructField("__lo", df.schema(value).dataType),
+      StructField("__hi", df.schema(value).dataType),
+      StructField("__n", LongType)))
+    val bounds = spark.createDataFrame(
+      java.util.Arrays.asList(boundRows: _*), bSchema).drop("__n")
+    // monotone value→bin map: floor((v−lo)·B / (hi−lo+1)) ∈ [0, B−1].
+    // All arithmetic in DOUBLE from the start: computing v−lo or hi−lo+1
+    // in the value's integer type first would overflow on a key whose
+    // range exceeds Long.MaxValue (e.g. raw hash values spanning the full
+    // long range) and silently break monotonicity. The double cast itself
+    // is monotone (ties may share a bin past 2^53 — harmless, bins only
+    // need monotone non-decreasing).
+    // the explicit repartition is the frame BOTH consumers below (the
+    // histogram groupBy and the target-bin join) read through one reused
+    // exchange — df is scanned once for binning, not once per consumer
+    // (the codebase's standard multi-consumer pattern)
     val binned = df.join(broadcast(bounds), key)
-      .withColumn("__bin", floor(
-        (col(value) - col("__lo")).cast("double") * nBuckets /
-          (col("__hi") - col("__lo") + 1).cast("double")).cast("int"))
+      .withColumn("__bin", least(lit(nBuckets - 1), floor(
+        (col(value).cast("double") - col("__lo").cast("double")) * nBuckets /
+          (col("__hi").cast("double") - col("__lo").cast("double") + 1.0))).cast("int"))
       .select(col(key), col(value), col("__bin"))
+      .repartition(col(key), col("__bin"))
     val wKey = Window.partitionBy(key)
     val hist = binned.groupBy(col(key), col("__bin"))
       .agg(count(lit(1)).as("__c"))

@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Trailing RANGE-frame counts that survive BOTH scale bounds a plain
   * `Window.partitionBy(key).orderBy(t).rangeBetween(-f, 0)` carries:
@@ -33,10 +34,21 @@ import org.apache.spark.sql.functions._
   *     semantics are preserved exactly (RangedWindowSpec pins ≡ the
   *     plain window on random data).
   *
+  * NULL semantics match the plain window exactly (round-8 review fix —
+  * the join-based remedy used to drop null-KEY rows and zero null-TIME
+  * rows): null keys group together (the per-range offsets join
+  * null-safely), and null-time rows — one RANGE peer group per key,
+  * sorted first, whose frame is the group itself — bypass the sweep and
+  * take `count(*) over (partition by keys)` of their null-time cohort
+  * directly.
+  *
   * Total work O(n) + two small shuffles (the (keys, range) window, the
   * row-id re-pair); every stage's parallelism is data-sized, none is
-  * key-cardinality-sized. Payloads ride the explode, so project wide
-  * tables to the needed columns first.
+  * key-cardinality-sized. The per-(key, range) count table is COLLECTED
+  * to compute offsets (≤ |keys| × numRanges rows — this operator's
+  * charter is LOW-cardinality keys; at high key cardinality use the
+  * plain window, whose parallelism is already fine). Payloads ride the
+  * explode, so project wide tables to the needed columns first.
   */
 object RangedWindow {
 
@@ -51,13 +63,13 @@ object RangedWindow {
                     frame: Long, numRanges: Int = Adaptive.Auto,
                     out: String = "trailing_count"): DataFrame = {
     require(frame >= 0, "frame must be >= 0")
+    val spark = df.sparkSession
     val t = col(timeCol).cast("long")
-    val b = df.agg(min(t).as("lo"), max(t).as("hi"), count(lit(1)).as("n")).head()
-    if (b.isNullAt(0)) { // empty input: the plain window on nothing
-      val w = Window.partitionBy(keys.map(col): _*).orderBy(t)
-        .rangeBetween(-frame, Window.currentRow)
-      return df.withColumn(out, count(lit(1)).over(w))
-    }
+    val wPlain = Window.partitionBy(keys.map(col): _*).orderBy(t)
+      .rangeBetween(-frame, Window.currentRow)
+    val b = df.agg(min(t).as("lo"), max(t).as("hi"), count(t).as("n")).head()
+    if (b.isNullAt(0)) // empty input or all-null times: the plain window
+      return df.withColumn(out, count(lit(1)).over(wPlain))
     val lo = b.getLong(0)
     val span = b.getLong(1) - lo + 1
     val nRanges = Adaptive.resolveRanges(numRanges, b.getLong(2))
@@ -68,29 +80,53 @@ object RangedWindow {
     def rng(c: Column): Column = least(lit(n - 1), greatest(lit(0),
       floor((c - lit(lo)) / lit(width)))).cast("int")
 
-    // keys × numRanges arrival counts → DENSE per-range offsets (dense so
-    // probe-only (key, range) combos still find their offset)
-    val perRange = df.groupBy(keys.map(col) :+ rng(t).as("__rng"): _*)
-      .agg(count(lit(1)).as("__c"))
-    val offs = perRange.select(keys.map(col): _*).distinct()
-      .withColumn("__rng", explode(sequence(lit(0), lit(n - 1))))
-      .join(perRange, keys :+ "__rng", "left").na.fill(0L, Seq("__c"))
-      .withColumn("__koff", coalesce(
-        sum("__c").over(Window.partitionBy(keys.map(col): _*).orderBy("__rng")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
-      .select(keys.map(col) :+ col("__rng") :+ col("__koff"): _*)
+    // null-time rows are ONE RANGE peer group per key (sorted first; the
+    // frame of a null-ordered row is its peer group): their trailing
+    // count is the cohort size, taken directly — they never enter the
+    // sweep, whose markers assume a non-null position
+    val nullT = df.filter(t.isNull)
+      .withColumn(out, count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+    val main = df.filter(t.isNotNull)
+
+    // keys × ≤numRanges arrival counts, collected; DENSE per-range
+    // offsets (dense so probe-only (key, range) combos still find their
+    // offset) prefix-summed locally — null key values ride the Rows
+    val perRange = main
+      .groupBy(keys.map(col) :+ rng(t).as("__rng"): _*)
+      .agg(count(lit(1)).as("__c")).collect()
+    val offRows: Seq[Row] = perRange
+      .groupBy(r => keys.indices.map(r.get).toList).toSeq
+      .flatMap { case (kv, rows) =>
+        val cnt = rows.map(r => r.getInt(keys.length) -> r.getLong(keys.length + 1)).toMap
+        var acc = 0L
+        (0 until n).map { g =>
+          val off = acc; acc += cnt.getOrElse(g, 0L)
+          // List[Any], NOT Seq(g, off): Scala would unify Int+Long to
+          // Seq[Long] and silently widen g past the IntegerType schema
+          Row.fromSeq(kv ++ List[Any](g, off))
+        }
+      }
+    val offSchema = StructType(
+      keys.map(k => StructField(s"__k_$k", df.schema(k).dataType)) ++
+        Seq(StructField("__orng", IntegerType), StructField("__koff", LongType)))
+    val offs = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offSchema)
 
     // each row → arrival marker (at t) + probe marker (at t − frame − 1);
     // the id is assigned BEFORE the explode so both markers re-pair even
     // if a branch recomputes
-    val tagged = df.withColumn("__rid", monotonically_increasing_id())
+    val tagged = main.withColumn("__rid", monotonically_increasing_id())
       .withColumn("__m", explode(array(lit(1), lit(0))))
       .withColumn("__st", when(col("__m") === 1, t).otherwise(t - lit(frame + 1)))
       .withColumn("__rng", rng(col("__st")))
     val w = Window.partitionBy((keys :+ "__rng").map(col): _*)
       .orderBy(col("__st"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = tagged.join(broadcast(offs), keys :+ "__rng")
+    // null-SAFE key equality: a null-key cohort must find its offsets
+    // exactly like any other key (plain-window GROUP semantics)
+    val joinCond = (keys.map(k => col(k) <=> col(s"__k_$k")) :+
+      (col("__rng") === col("__orng"))).reduce(_ && _)
+    val cum = tagged.join(broadcast(offs), joinCond)
       .withColumn("__cum",
         count(when(col("__m") === 1, lit(1))).over(w) + col("__koff"))
     // re-pair the two markers: trailing = C(t) − C(t − frame − 1). Both
@@ -102,5 +138,6 @@ object RangedWindow {
     cum.groupBy("__rid")
       .agg(restore.head, restore.tail :+ diff: _*)
       .drop("__rid")
+      .unionByName(nullT)
   }
 }

@@ -11,13 +11,17 @@ final case class RegMut(u_plate: String, username: Option[String],
                         op: String, mut_seq: Long, expires_at: Option[Long])
 
 /** One live registry row, emitted every micro-batch a plate's winning
-  * mutation changes. `visible` folds in tombstone/expiry (at emit-time
-  * "now"): a consumer materializing the registry upserts visible rows and
-  * removes invisible ones — exactly how the reference's Redis consumer
-  * treats `set`/`del`/expiry. */
+  * mutation changes. `visible` folds in tombstone/expiry AS OF emit time;
+  * `expires_at` rides along because expiry is a READ-side contract, the
+  * Redis model exactly: a key's TTL lapsing does not push a notification
+  * — readers just stop seeing it. A consumer materializing this stream
+  * upserts visible rows, removes invisible ones, and must itself drop a
+  * held row once `expires_at` passes (no further stream event will fire
+  * for a plate that never mutates again). */
 final case class RegUpdate(u_plate: String, visible: Boolean,
                            username: Option[String], email: Option[String],
-                           handicapped: Option[Boolean], version: Long)
+                           handicapped: Option[Boolean], version: Long,
+                           expires_at: Option[Long])
 
 /** Streaming twin of the batch CDC registry view
   * ([[graft.sources.UserRegistry.view]]) — the same shape as
@@ -47,7 +51,7 @@ object RegistryStream {
           val now = clock()
           val visible = cur.op == "upsert" && cur.expires_at.forall(_ > now)
           RegUpdate(plate, visible, cur.username, cur.email,
-            cur.handicapped, cur.mut_seq)
+            cur.handicapped, cur.mut_seq, cur.expires_at)
       }
   }
 }

@@ -317,7 +317,11 @@ object TextDedup {
           val ra = find(a); val rb = find(b)
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         }
-        parent.keysIterator.map(n => (n, find(n))).toArray.iterator
+        // emit lazily: find() only path-compresses VALUES of existing keys
+        // (safe during keysIterator, see LongLongMap) — materializing
+        // .toArray here would box ~20M (Long, Long) tuples (~1 GB) beside
+        // the primitive map, tripling the budget the map exists to bound
+        parent.keysIterator.map(n => (n, find(n)))
       }
       .toDF("doc_id", "group_id")
       .localCheckpoint(true)

@@ -61,6 +61,37 @@ class RangedWindowSpec extends SparkSpec {
     }
   }
 
+  it should "match the plain window on null keys and null times (round-8 review fix)" in {
+    // null keys form one window GROUP (SQL partitioning treats nulls
+    // equal); null times form one RANGE peer group per key, sorted first,
+    // whose frame is the group itself. The join-based remedy used to drop
+    // the former and zero the latter.
+    val rows: Seq[(String, java.lang.Long, Long)] = Seq(
+      ("k1", 5L, 1L), ("k1", 15L, 2L), ("k1", null, 3L), ("k1", null, 4L),
+      (null, 5L, 5L), (null, 8L, 6L), (null, null, 7L),
+      ("k2", 30L, 8L), (null, 40L, 9L))
+    val df = rows.toDF("key", "t", "id")
+    for (frame <- Seq(0L, 10L, 100L); nr <- Seq(1, 3, 16)) {
+      val exp = canon(naive(df, frame))
+      val got = canon(RangedWindow.trailingCount(
+        df, Seq("key"), "t", frame, numRanges = nr, out = "c"))
+      withClue(s"frame=$frame numRanges=$nr: ") { got shouldBe exp }
+    }
+    // the null-time path really carries its cohort count, not 0
+    val got = RangedWindow.trailingCount(df, Seq("key"), "t", 10L, 4, "c")
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    got(3L) shouldBe 2L // k1's two null-time rows are each other's peers
+    got(7L) shouldBe 1L // null-key null-time singleton
+  }
+
+  it should "return all-null-time input through the plain-window fallback" in {
+    val rows: Seq[(String, java.lang.Long, Long)] =
+      Seq(("k", null, 1L), ("k", null, 2L), ("j", null, 3L))
+    val df = rows.toDF("key", "t", "id")
+    canon(RangedWindow.trailingCount(df, Seq("key"), "t", 5L, 4, "c")) shouldBe
+      canon(naive(df, 5L))
+  }
+
   it should "return zero rows on empty input" in {
     val df = Seq.empty[(String, Long, Long)].toDF("key", "t", "id")
     RangedWindow.trailingCount(df, Seq("key"), "t", 10L, 8, "c")

@@ -365,7 +365,8 @@ class StreamingParitySpec extends SparkSpec {
         """{"u_plate":"P-2","username":"bob","email":"tmp@x.io","handicapped":true,"op":"upsert","mut_seq":3,"expires_at":900}"""),
       Seq(
         """{"u_plate":"P-9","username":null,"email":null,"handicapped":null,"op":"delete","mut_seq":4,"expires_at":null}""",
-        """{"u_plate":"P-1","username":"alice","email":"final@x.io","handicapped":false,"op":"upsert","mut_seq":5,"expires_at":null}"""))
+        """{"u_plate":"P-1","username":"alice","email":"final@x.io","handicapped":false,"op":"upsert","mut_seq":5,"expires_at":null}""",
+        """{"u_plate":"P-3","username":"dora","email":"d@x.io","handicapped":false,"op":"upsert","mut_seq":6,"expires_at":2000}"""))
     chunks.zipWithIndex.foreach { case (ls, i) =>
       val f = dir.resolve(f"chunk-$i%03d.json")
       Files.write(f, String.join("\n", ls: _*).getBytes("UTF-8"))
@@ -373,11 +374,13 @@ class StreamingParitySpec extends SparkSpec {
     }
     val stream = spark.readStream.schema(graft.sources.UserRegistry.mutationSchema)
       .option("maxFilesPerTrigger", 1).json(dir.toString)
-    val live = TrieMap.empty[String, (Boolean, Option[String], Long)]
+    val live = TrieMap.empty[String, (Boolean, Option[String], Long, Option[Long])]
     runStream(RegistryStream.updates(stream, () => 1000L).toDF(), "update") { b =>
       b.collect().foreach { r =>
         live(r.getString(0)) = (r.getBoolean(1),
-          Option(r.getAs[String]("email")), r.getAs[Long]("version"))
+          Option(r.getAs[String]("email")), r.getAs[Long]("version"),
+          if (r.isNullAt(r.fieldIndex("expires_at"))) None
+          else Some(r.getAs[Long]("expires_at")))
       }
     }
     val base = Seq(("P-1", "alice", "a@x.io", false), ("P-2", "bob", "b@x.io", true))
@@ -387,11 +390,16 @@ class StreamingParitySpec extends SparkSpec {
     val batch = graft.sources.UserRegistry.view(base, log, nowEpochS = 1000L)
       .collect().map(r => r.getString(0) -> (r.getString(2), r.getLong(4))).toMap
     // visible stream rows ≡ the batch merge, invisible ≡ its exclusions
-    live.filter(_._2._1).map { case (k, (_, e, v)) => k -> (e.get, v) }.toMap shouldBe batch
+    live.filter(_._2._1).map { case (k, (_, e, v, _)) => k -> (e.get, v) }.toMap shouldBe batch
     live("P-9")._1 shouldBe false // tombstoned in a later batch than its insert
     live("P-2")._1 shouldBe false // temporary record expired at now
-    batch.keySet shouldBe Set("P-1")
+    batch.keySet shouldBe Set("P-1", "P-3")
     batch("P-1") shouldBe ("final@x.io", 5L)
+    // the read-side expiry contract (Redis model): a STILL-VALID temporary
+    // row is emitted visible WITH its deadline, so a consumer holding it
+    // can expire it locally — no stream event will fire when the TTL
+    // lapses for a plate that never mutates again
+    live("P-3") shouldBe ((true, Some("d@x.io"), 6L, Some(2000L)))
   }
 
   "RangeJoin" should "run unchanged as a stream-static join (streaming points side)" in {
