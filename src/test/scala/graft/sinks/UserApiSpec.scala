@@ -102,4 +102,24 @@ class UserApiSpec extends SparkSpec {
       req("GET", s"$root/account/P-9")._2 should include("after@x.io")
     } finally server2.stop(0)
   }
+
+  "UserRegistry.compactInto" should "fold the log into a snapshot that serves the same registry" in {
+    import graft.sources.UserRegistry
+    val logDir = Files.createTempDirectory("graft-complog").toString
+    UserRegistry.appendLog(logDir, Seq(
+      """{"u_plate":"P-1","username":"alice","email":"new@x.io","handicapped":false,"op":"upsert","mut_seq":1,"expires_at":null}""",
+      """{"u_plate":"P-2","username":null,"email":null,"handicapped":null,"op":"delete","mut_seq":2,"expires_at":null}""",
+      """{"u_plate":"P-7","username":"gus","email":"g@x.io","handicapped":true,"op":"upsert","mut_seq":3,"expires_at":500}"""))
+    val log = UserRegistry.readLog(spark, logDir)
+    val out = Files.createTempDirectory("graft-compout").toString + "/snap"
+    UserRegistry.compactInto(base, log, nowEpochS = 1000L, out)
+    // the snapshot over an EMPTY log serves exactly what the live
+    // base+log view served: update applied, tombstone gone, expired gone
+    val emptyLog = UserRegistry.readLog(spark, Files.createTempDirectory("graft-none").toString)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.drop("version").collect().map(_.toSeq).toSet
+    val compacted = rows(UserRegistry.view(spark.read.parquet(out), emptyLog, 1000L))
+    compacted shouldBe rows(UserRegistry.view(base, log, 1000L))
+    compacted.map(_.head) shouldBe Set("P-1") // P-2 deleted, P-7 expired
+  }
 }

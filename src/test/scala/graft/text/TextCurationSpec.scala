@@ -141,6 +141,30 @@ class TextCurationSpec extends SparkSpec {
       .map(_.toSeq) shouldBe got.map(_.toSeq)
   }
 
+  it should "equal a driver-side reference implementation on random corpora" in {
+    val rnd = new scala.util.Random(2026)
+    for (trial <- 1 to 5) {
+      val nDocs = 50 + rnd.nextInt(150)
+      val k = 1 + rnd.nextInt(20)
+      val docs = (1L to nDocs).map(i =>
+        (i, Seq.fill(1 + rnd.nextInt(30))("w" + rnd.nextInt(5)).mkString(" ")))
+      val got = TextCuration.ppsSample(
+          docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      // reference: sequential cumsum + threshold containment
+      val weights = docs.map { case (id, t) => id -> t.split(" ").length.toLong }
+      val total = weights.map(_._2).sum
+      val step = math.max(1L, total / k)
+      var cum = 0L
+      val exp = weights.flatMap { case (id, w) =>
+        val hits = (cum + w) / step - cum / step
+        cum += w
+        if (hits > 0) Some(id -> hits) else None
+      }.toMap
+      withClue(s"trial=$trial nDocs=$nDocs k=$k: ") { got shouldBe exp }
+    }
+  }
+
   "contamination" should "flag exactly the corpus docs sharing a 5-gram with the benchmark" in {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corpus = Seq(
