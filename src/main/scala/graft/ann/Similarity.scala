@@ -161,12 +161,18 @@ object Similarity {
     val cents = lowestIdCentroids(emb, idCol, vecCol, nCells)
     val assigned = emb.select(col(idCol).cast("long").as("vid"),
       cellOf(col(vecCol), cents).as("cell"))
+    // the share denominator is the corpus size — every vector is assigned
+    // to exactly ONE cell (the partition invariant the spec asserts), so
+    // one metadata-cheap count replaces the global window this used to
+    // run (whose empty partition spec tripped WindowExec's no-partition
+    // warning in every Verify/driver log; a constant partition key gets
+    // folded away by the optimizer, so the window had to go entirely)
+    val total = emb.count()
     assigned.groupBy("cell")
       .agg(count(lit(1)).as("n_vectors"),
         min(col("vid")).as("min_vec_id"), max(col("vid")).as("max_vec_id"))
       .withColumn("share", col("n_vectors").cast("double") /
-        sum(col("n_vectors")).over(org.apache.spark.sql.expressions.Window.partitionBy())
-          .cast("double"))
+        lit(total).cast("double"))
       .orderBy("cell")
   }
 
