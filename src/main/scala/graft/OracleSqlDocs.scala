@@ -199,6 +199,51 @@ object OracleSqlDocs {
          |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          |FROM documents GROUP BY 1, 2 ORDER BY text_hash, text_hash2""".stripMargin,
 
+    // span-level dedup twin of TextDedup.spanDedup (k = 8, minCount = 2):
+    // positional window keys are the SAME packed two-fold hashes
+    // (w1 mod P)·P2 + (w2 mod P2) over the charHash token hashes; the
+    // canonical keeper is row_number() = 1 under (id, pos) — the argmin
+    // the Spark side takes as min(struct(id, pos)) — and removal is the
+    // same 1-based-index list_filter coverage test (Spark's lambda index
+    // is 0-based, hence the i-1). array_to_string of an empty list is
+    // NULL in DuckDB where Spark's array_join gives '' — coalesced.
+    "p87_span_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
+         |), thd AS (
+         |  SELECT id, list_transform(t, tok -> ${hash("tok")}) AS th FROM toks
+         |), win AS (
+         |  SELECT id, CASE WHEN len(th) >= 8
+         |    THEN [list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+7]),
+         |            (a, b) -> (a*31 + b) % $P) * 998244353
+         |          + list_reduce(list_prepend(CAST(11 AS BIGINT), th[i:i+7]),
+         |            (a, b) -> (a*37 + b) % 998244353)
+         |          for i in range(1, len(th)-6)]
+         |    ELSE CAST([] AS BIGINT[]) END AS ws
+         |  FROM thd
+         |), ex AS (
+         |  SELECT id, unnest(ws) AS wh, generate_subscripts(ws, 1) - 1 AS pos FROM win
+         |), marked AS (
+         |  SELECT id, pos,
+         |         count(*) OVER (PARTITION BY wh) AS cnt,
+         |         row_number() OVER (PARTITION BY wh ORDER BY id, pos) AS rn
+         |  FROM ex
+         |), st AS (
+         |  SELECT id, list_sort(list(pos)) AS starts
+         |  FROM marked WHERE cnt >= 2 AND rn > 1 GROUP BY id
+         |), cl AS (
+         |  SELECT t.id, len(t.t) AS n_toks, coalesce(len(s.starts), 0) AS n_spans,
+         |         list_filter(t.t, (tok, i) ->
+         |           len(list_filter(coalesce(s.starts, CAST([] AS BIGINT[])),
+         |               w -> w <= i-1 AND i-1 < w+8)) = 0) AS ct
+         |  FROM toks t LEFT JOIN st s USING (id)
+         |)
+         |SELECT id AS doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
+         |       CAST(n_spans AS BIGINT) AS n_dup_spans,
+         |       CAST(n_toks - len(ct) AS BIGINT) AS n_removed,
+         |       coalesce(array_to_string(ct, ' '), '') AS cleaned_text
+         |FROM cl ORDER BY doc_id""".stripMargin,
+
     "p14_minhash_neardup" -> (shingleCtes +
       s""",
          |sigs AS (

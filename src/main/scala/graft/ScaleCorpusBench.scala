@@ -101,11 +101,13 @@ object ScaleCorpusBench {
       val ngramCap = time(mat(TextDedup.ngramJaccardPairs(
         corpus, "doc_id", "text", TextDedup.MaxDf(64))))
       val packing = time(mat(TextCuration.sequencePacking(corpus, "doc_id", "text")))
+      val span = time(mat(TextDedup.spanDedup(corpus, "doc_id", "text")))
       corpus.unpersist(false)
       println(s"""{"op":"exact_dedup","docs":$n,"sec":${f"$exact%.2f"}}""")
       println(s"""{"op":"minhash_neardup","docs":$n,"sec":${f"$minhash%.2f"}}""")
       println(s"""{"op":"ngram_jaccard_df64","docs":$n,"sec":${f"$ngramCap%.2f"}}""")
       println(s"""{"op":"sequence_packing","docs":$n,"sec":${f"$packing%.2f"}}""")
+      println(s"""{"op":"span_dedup","docs":$n,"sec":${f"$span%.2f"}}""")
     }
 
     // CC: 1M / 10M edges take the single-task union-find path (≤ the 10M

@@ -115,6 +115,34 @@ object TextPrims {
     aggregate(slice(sig, bandIdx * rowsPerBand + 1, rowsPerBand),
       lit(7L), (a, v) => (a * 31L + v) % P)
 
+  /** Second modulus for combined window keys: prime < 2^30, coprime to
+    * [[P]], so `w1 * P2 + w2` packs two independent window hashes into one
+    * collision-resistant ~2^60 long (max value ≈ 9.98e17 < 2^63 — no
+    * overflow on either engine). */
+  val P2 = 998244353L
+
+  /** POSITIONAL k-window keys of a token-hash array — [[spanDedup]]'s
+    * index: element i (0-based in the array, so array position = token
+    * position of the window's first token) is the combined two-hash key of
+    * tokens [i, i+k). Unlike [[hashedShinglesFromTokenHashes]] this keeps
+    * every occurrence in order (no distinct): span dedup needs positions
+    * and repeat counts, not set semantics. Two independent polynomial
+    * folds (seed 7/mult 31/mod P and seed 11/mult 37/mod P2) packed as
+    * `w1*P2 + w2`: one ~2^30 hash alone would falsely merge distinct
+    * spans at corpus scale (the [[graft.text.TextDedup.exactDedup]]
+    * birthday-bound argument, at window granularity). Same
+    * CollapseProject contract as the shingle fold: `th` MUST come from a
+    * materialized (Barrier'd) column. */
+  def hashedWindowKeys(th: Column, k: Int): Column =
+    when(size(th) >= k,
+      transform(sequence(lit(1), size(th) - (k - 1)), i => {
+        val w = slice(th, i, lit(k))
+        val w1 = aggregate(w, lit(7L), (a, v) => (a * 31L + v) % P)
+        val w2 = aggregate(w, lit(11L), (a, v) => (a * 37L + v) % P2)
+        w1 * P2 + w2
+      }))
+      .otherwise(array().cast("array<long>"))
+
   /** Stopword list shared by text-stats / quality scoring. */
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")

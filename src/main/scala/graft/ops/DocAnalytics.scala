@@ -113,6 +113,12 @@ object DocAnalytics {
     // oracle.
     "p15b_ngram_jaccard_capped" -> ((s, d) =>
       TextDedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", TextDedup.MaxDf(4))),
+    // SPAN-level dedup (repeated k-token windows removed corpus-wide,
+    // canonical min-(doc,pos) occurrence kept) — the substring-granularity
+    // counterpart of p13: repeated boilerplate inside otherwise-unique
+    // documents is what document-level dedup can't touch.
+    "p87_span_dedup" -> ((s, d) =>
+      TextDedup.spanDedup(docs(s, d), "doc_id", "text")),
     "p16_simhash" -> ((s, d) =>
       TextDedup.simhash(docs(s, d), "doc_id", "text")),
     "p17_simhash_neardup" -> ((s, d) =>

@@ -63,6 +63,83 @@ object TextDedup {
       .orderBy("text_hash", "text_hash2")
   }
 
+  /** SPAN-level exact dedup — the n-gram-window form of suffix-array
+    * substring deduplication (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": repeated spans, not just repeated
+    * documents, drive memorization): every k-token window of the
+    * normalized text is keyed by two packed polynomial hashes
+    * ([[graft.functions.TextPrims.hashedWindowKeys]]); a window key
+    * occurring ≥ `minCount` times across the CORPUS (within-document
+    * repeats included) marks a duplicated span, and every occurrence
+    * EXCEPT the canonical minimum-(doc, position) one is removed from its
+    * document — one copy of every span survives, so no content is lost,
+    * only repetition. Output, one row per input document:
+    * (doc_id, n_tokens, n_dup_spans, n_removed, cleaned_text).
+    *
+    * Scale shape (the reason this is three narrow shuffles at any corpus
+    * size): window occurrences shuffle as (key, id, pos) fixed-width
+    * triples — never text; the occurrence count and the canonical-keeper
+    * argmin ride ONE hash aggregate on the window key with map-side
+    * partials; the removal join's output is LINEAR in duplicated
+    * occurrences (occurrences rejoin their group row — they never pair up,
+    * so there is no df² blow-up to cap, unlike pair mining); and span
+    * removal itself is row-local array math after one per-document
+    * aggregate whose collect_list is bounded by tokens-per-document.
+    * Overlapping duplicated windows merge through position coverage, so a
+    * shared run of m ≥ k tokens costs m−k+1 index rows and removes exactly
+    * its m tokens. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                spanK: Int = 8, minCount: Long = 2L): DataFrame = {
+    val tok = Barrier.once(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("__t")),
+      Seq("id"), "tk" -> tokens(col("__t")))
+    // the window-key fold chain drops `tk` immediately: the cleanup branch
+    // below consumes `tok` BEFORE this chain, so it re-tokenizes (a cheap
+    // second scan) instead of paying the fold — a Barrier'd column cannot
+    // be pruned away, so leaving ws in a shared frame would bill the fold
+    // to every consumer (measured: the shared-frame formulation computed
+    // the fold three times, 103 s vs 56 s cold at the 500k-doc rung).
+    val th = Barrier.once(tok, Seq("id"), "th" -> transform(col("tk"), charHash _))
+    val ws = Barrier.once(th, Seq("id"), "ws" -> hashedWindowKeys(col("th"), spanK))
+    // One occurrence row per window position (pos is 0-based: window i
+    // covers token positions [i, i+k)), partitioned by the window key. The
+    // explicit exchange is the frame's materialization point: the count/
+    // argmin aggregate AND the removal join both need hash(wh)
+    // distribution, so both consumers read ONE computation of the fold +
+    // explode through exchange reuse. The isNotNull filters keep the two
+    // consumers' subtrees canonical-identical — the join side would
+    // otherwise infer them onto its copy alone and split the plans (the
+    // ngramJaccardCounting lesson). wh is never null; a null-id document
+    // (possible under the cast) leaves the index entirely — its windows
+    // neither count toward duplication nor get removed, and the final
+    // left join returns its text untouched — the same "null ids carry no
+    // linkage" contract as duplicateGroups. Map-side partial aggregation is
+    // deliberately NOT sought here: window keys are mostly unique, so
+    // partials reduce ~nothing and the raw occurrence rows shuffle once
+    // either way — this is the shape where a shared exchange WINS (cf. the
+    // percentiles counter-example, where one consumer shuffled tiny
+    // partials and sharing regressed 5.9 s → 33 s).
+    val ex = ws.select(col("id"), posexplode(col("ws"))).toDF("id", "pos", "wh")
+      .filter(col("wh").isNotNull && col("id").isNotNull)
+      .repartition(col("wh"))
+    val grp = ex.groupBy("wh")
+      .agg(count(lit(1)).as("cnt"), min(struct(col("id"), col("pos"))).as("keep"))
+      .filter(col("cnt") >= minCount)
+    val starts = ex.join(grp, Seq("wh"))
+      .filter(col("id") =!= col("keep.id") || col("pos") =!= col("keep.pos"))
+      .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("starts"))
+    val st = coalesce(col("starts"), array().cast("array<int>"))
+    val cleaned = filter(col("tk"),
+      (t, i) => !exists(st, s => s <= i && i < s + spanK))
+    tok.join(starts, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        coalesce(size(col("starts")), lit(0)).cast("long").as("n_dup_spans"),
+        (size(col("tk")) - size(cleaned)).cast("long").as("n_removed"),
+        array_join(cleaned, " ").as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** (id, token-hash array) behind a barrier: the token hashes are computed
     * once per row and every downstream reference reads the stored array
     * (folding windows over a raw `transform(tokens, hash)` expression would

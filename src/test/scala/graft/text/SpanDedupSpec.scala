@@ -1,0 +1,100 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** [[TextDedup.spanDedup]] — hand-built span cases plus an exhaustive pin
+  * against a sequential string-window reference on random corpora (the
+  * reference never hashes, so it also re-derives the semantics the packed
+  * two-hash key is standing in for). */
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 8
+
+  private def run(docs: Seq[(Long, String)], k: Int = K, minCount: Long = 2L) =
+    TextDedup.spanDedup(docs.toDF("doc_id", "text"), "doc_id", "text",
+        spanK = k, minCount = minCount)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("n_removed"), r.getAs[String]("cleaned_text"))))
+      .toMap
+
+  /** Sequential reference: window STRINGS (no hashing), global occurrence
+    * count, canonical min-(doc, pos) keeper, coverage-union removal. */
+  private def reference(docs: Seq[(Long, String)], k: Int, minCount: Int)
+      : Map[Long, (Long, Long, Long, String)] = {
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val toks = docs.map { case (id, t) => id -> norm(t).split(" ", -1).toSeq }
+    val occ = for {
+      (id, tk) <- toks; if tk.length >= k; p <- 0 to tk.length - k
+    } yield (tk.slice(p, p + k).mkString(" "), id, p)
+    val removals = occ.groupBy(_._1).values.filter(_.size >= minCount)
+      .flatMap { os =>
+        val keep = os.map(o => (o._2, o._3)).min
+        os.map(o => (o._2, o._3)).filter(_ != keep)
+      }.toSeq.groupBy(_._1)
+    toks.map { case (id, tk) =>
+      val starts = removals.getOrElse(id, Seq()).map(_._2)
+      val covered = starts.flatMap(s => s until s + k).toSet
+      val cleaned = tk.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      id -> ((tk.length.toLong, starts.length.toLong,
+        (tk.length - cleaned.length).toLong, cleaned.mkString(" ")))
+    }.toMap
+  }
+
+  "spanDedup" should "strip an exact duplicate document down to nothing, keeping the canonical copy" in {
+    val t = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val out = run(Seq(1L -> t, 2L -> t))
+    out(1L) shouldBe ((8L, 0L, 0L, t))
+    out(2L) shouldBe ((8L, 1L, 8L, ""))
+  }
+
+  it should "remove exactly a shared mid-document run, merging overlapping windows" in {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // 10 tokens → 3 dup windows
+    val a = s"left1 left2 $shared right1 right2"
+    val b = s"other1 other2 other3 $shared tail1"
+    val out = run(Seq(1L -> a, 2L -> b))
+    out(1L) shouldBe ((14L, 0L, 0L, a)) // canonical occurrences live in doc 1
+    out(2L) shouldBe ((14L, 3L, 10L, "other1 other2 other3 tail1"))
+  }
+
+  it should "dedupe a repeated span WITHIN one document, keeping the first occurrence" in {
+    val span = (1 to K).map(i => s"x$i").mkString(" ")
+    val out = run(Seq(5L -> s"$span bridge $span"))
+    out(5L) shouldBe ((17L, 1L, 8L, s"$span bridge"))
+  }
+
+  it should "leave documents shorter than the span untouched even when identical" in {
+    val out = run(Seq(1L -> "tiny doc", 2L -> "tiny doc", 3L -> ""))
+    out(1L) shouldBe ((2L, 0L, 0L, "tiny doc"))
+    out(2L) shouldBe ((2L, 0L, 0L, "tiny doc"))
+    out(3L) shouldBe ((1L, 0L, 0L, "")) // "" normalizes to one empty token
+  }
+
+  it should "respect minCount above two" in {
+    val t = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val twice = Seq(1L -> t, 2L -> t)
+    run(twice, minCount = 3L)(2L) shouldBe ((8L, 0L, 0L, t))
+    val thrice = twice :+ (3L -> t)
+    val out = run(thrice, minCount = 3L)
+    out(2L) shouldBe ((8L, 1L, 8L, ""))
+    out(3L) shouldBe ((8L, 1L, 8L, ""))
+  }
+
+  it should "match the sequential reference exactly on random dup-heavy corpora" in {
+    val rnd = new scala.util.Random(2026)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    for (trial <- 1 to 3) {
+      val base = Seq.tabulate(30) { i =>
+        i.toLong -> Seq.fill(rnd.nextInt(26))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      // plant exact duplicates so cross-document spans are guaranteed
+      val docs = base ++ Seq(100L -> base(3)._2, 101L -> base(7)._2)
+      val k = 3
+      withClue(s"trial $trial: ") {
+        run(docs, k = k) shouldBe reference(docs, k, 2)
+      }
+    }
+  }
+}
