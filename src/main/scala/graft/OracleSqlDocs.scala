@@ -244,6 +244,45 @@ object OracleSqlDocs {
          |       coalesce(array_to_string(ct, ' '), '') AS cleaned_text
          |FROM cl ORDER BY doc_id""".stripMargin,
 
+    // bigram-novelty twin of TextStats.bigramNovelty (holdoutMod = 10):
+    // the k=2 instance of the packed two-fold window key, train counts as
+    // a conditional sum (id % 10 <> 0 — ids non-negative, ≡ Spark's
+    // pmod), division CASE-guarded so no-bigram docs score NULL. DuckDB
+    // sums BIGINT into HUGEINT — cast back so schemas match.
+    "p88_bigram_novelty" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
+         |), thd AS (
+         |  SELECT id, list_transform(t, tok -> ${hash("tok")}) AS th FROM toks
+         |), bgd AS (
+         |  SELECT id, CASE WHEN len(th) >= 2
+         |    THEN [list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+1]),
+         |            (a, b) -> (a*31 + b) % $P) * 998244353
+         |          + list_reduce(list_prepend(CAST(11 AS BIGINT), th[i:i+1]),
+         |            (a, b) -> (a*37 + b) % 998244353)
+         |          for i in range(1, len(th))]
+         |    ELSE CAST([] AS BIGINT[]) END AS bg
+         |  FROM thd
+         |), ex AS (
+         |  SELECT id, unnest(bg) AS bg FROM bgd
+         |), c2 AS (
+         |  SELECT bg, CAST(sum(CASE WHEN id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM ex GROUP BY bg
+         |), per AS (
+         |  SELECT ex.id, count(*) AS n_bigrams,
+         |         CAST(sum(CASE WHEN c2.c2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |         CAST(sum(c2.c2) AS BIGINT) AS support_sum
+         |  FROM ex JOIN c2 USING (bg) GROUP BY ex.id
+         |)
+         |SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+         |       coalesce(per.n_oov, 0) AS n_oov,
+         |       coalesce(per.support_sum, 0) AS support_sum,
+         |       CASE WHEN per.n_bigrams IS NOT NULL
+         |            THEN CAST(per.support_sum AS DOUBLE) / per.n_bigrams END AS avg_support,
+         |       CASE WHEN per.n_bigrams IS NOT NULL
+         |            THEN CAST(per.n_oov AS DOUBLE) / per.n_bigrams END AS oov_rate
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.id ORDER BY d.doc_id""".stripMargin,
+
     "p14_minhash_neardup" -> (shingleCtes +
       s""",
          |sigs AS (

@@ -137,6 +137,11 @@ object DocAnalytics {
       TextStats.fingerprint(docs(s, d), "doc_id", "text")),
     "p36_token_counts" -> ((s, d) =>
       TextStats.tokenCounts(docs(s, d), "doc_id", "text")),
+    // statistical LM-style quality signal: score every doc's bigrams
+    // against counts trained on the pmod(id,10)≠0 split (transcendental-
+    // free perplexity stand-in — see the operator's scaladoc)
+    "p88_bigram_novelty" -> ((s, d) =>
+      TextStats.bigramNovelty(docs(s, d), "doc_id", "text")),
     "p21_knn_bruteforce" -> ((s, d) =>
       Similarity.knnBruteForce(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     "p22_knn_lsh" -> ((s, d) =>

@@ -131,4 +131,58 @@ object TextStats {
         expr(s"transform(sequence(1, length($normCol) - 7), i -> substr($normCol, i, 8))"))
         .otherwise(array().cast("array<string>")),
       charHash _)
+
+  /** Statistical novelty scoring against a corpus-trained bigram model —
+    * the CCNet-perplexity archetype (score every document by how typical
+    * its n-grams are of a reference corpus; filter or bucket on the
+    * score), made engine-portable: log-probability needs `ln`, which IEEE
+    * 754 does NOT require correctly rounded (Spark/Java and DuckDB may
+    * differ in the last ulp, failing the value-exact gate), so the score
+    * is the transcendental-free pair (avg bigram training-frequency,
+    * out-of-vocabulary rate) — counts, one sum, one exact division.
+    * Training split: documents with pmod(id, holdoutMod) ≠ 0 (ids are
+    * assumed non-negative; the oracle mirrors with `%`); EVERY document
+    * is scored, so the holdout rows show what unseen text scores.
+    * Output: (doc_id, n_bigrams, n_oov, support_sum, avg_support,
+    * oov_rate) — avg/rate null when a document has no bigrams.
+    *
+    * Scale shape: bigram occurrences shuffle once as fixed-width
+    * (key, id) pairs through ONE explicit exchange that BOTH consumers —
+    * the train-count aggregate and the per-document scoring join — read
+    * via exchange reuse. The train filter is folded into the aggregate as
+    * a conditional sum rather than a WHERE: a filter would push below the
+    * exchange on one branch only and split the canonical plans (the
+    * spanDedup/ngramJaccardCounting lesson). Hot bigrams ("of the" at web
+    * scale) skew the join's probe side; that join is exactly the shape
+    * AQE's skew-join splitting rebalances at runtime. The id branch of
+    * the final left join prunes to a doc_id-only scan — documents with
+    * fewer than two tokens re-enter with zero counts. */
+  def bigramNovelty(df: DataFrame, idCol: String, textCol: String,
+                    holdoutMod: Int = 10): DataFrame = {
+    val th = Barrier.once(tokenFrame(df, idCol, textCol), Seq("id"),
+      "th" -> transform(col("t"), charHash _))
+    // the k=2 instance of the packed two-hash window key (same primitive
+    // as spanDedup's index — one tested fold, two operators)
+    val bg = Barrier.once(th, Seq("id"), "bg" -> hashedWindowKeys(col("th"), 2))
+    val ex = bg.select(col("id").cast("long").as("id"), explode(col("bg")).as("bg"))
+      .filter(col("bg").isNotNull && col("id").isNotNull)
+      .repartition(col("bg"))
+    val c2 = ex.groupBy("bg").agg(
+      sum(when(pmod(col("id"), lit(holdoutMod)) =!= 0, 1L).otherwise(0L)).as("c2"))
+    val perDoc = ex.join(c2, Seq("bg"))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("c2")).as("support_sum"))
+    df.select(col(idCol).cast("long").as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("support_sum"), lit(0L)).as("support_sum"),
+        when(col("n_bigrams").isNotNull,
+          col("support_sum").cast("double") / col("n_bigrams")).as("avg_support"),
+        when(col("n_bigrams").isNotNull,
+          col("n_oov").cast("double") / col("n_bigrams")).as("oov_rate"))
+      .orderBy("doc_id")
+  }
 }
