@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev measurement harness for the ANN family — the one iterative-family
+  * gap in the round-8 scaling ladders ([[ScaleCorpusBench]] covers
+  * dedup/CC/as-of/packing): brute-force vs sign-LSH vs IVF cosine top-k,
+  * timed at 10×/100× of sf0.1's embedding volume, with recall@k against
+  * the exact answer measured at every rung so speed is never quoted
+  * without its quality price.
+  *
+  * Synthetic on purpose (the sf dirs stop at 5 000 vectors): vectors are
+  * the same Knuth-multiplicative lattice the LSH planes use
+  * ([[graft.functions.AnnPrims.plane]]) — deterministic, no RNG state,
+  * any engine can rebuild them. 20 fixed queries (vec_id < 20), k = 5.
+  *
+  * Run: `sbt "runMain graft.ScaleAnnBench"` (or pass vector counts).
+  * One JSON line per (op, size); curves land in bench_records/.
+  */
+object ScaleAnnBench {
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** n deterministic dim-64 float vectors in [-0.5, 0.5). */
+  def synthEmbeddings(spark: SparkSession, n: Long, dim: Int = 64): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), d -> " +
+        s"CAST((pmod(id * $dim + d, 1000000007) * 2654435761 % 1000000007) / 1e9 - 0.5 AS FLOAT))")
+        .as("embedding"))
+
+  private def recall(exact: DataFrame, approx: DataFrame): Double = {
+    val e = exact.select("query_id", "neighbor_id")
+    val hits = e.join(approx.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id")).count()
+    hits.toDouble / e.count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
+                else Seq(10000L, 100000L, 1000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ann.Similarity
+
+    val pred = col("vec_id") < 20
+    for (n <- sizes) {
+      val emb = synthEmbeddings(spark, n).persist()
+      emb.count()
+      var exact: DataFrame = null
+      val tBf = time {
+        exact = Similarity.knnBruteForce(emb, "vec_id", "embedding", pred)
+        exact = exact.persist(); exact.count()
+      }
+      var lsh: DataFrame = null
+      val tLsh = time {
+        lsh = Similarity.knnLsh(emb, "vec_id", "embedding", pred)
+        lsh = lsh.persist(); lsh.count()
+      }
+      var ivf: DataFrame = null
+      val tIvf = time {
+        ivf = Similarity.knnIvf(emb, "vec_id", "embedding", pred,
+          nCells = graft.ops.Adaptive.Auto)
+        ivf = ivf.persist(); ivf.count()
+      }
+      val rLsh = recall(exact, lsh)
+      val rIvf = recall(exact, ivf)
+      println(f"""{"op":"knn_bruteforce","vecs":$n,"sec":$tBf%.2f,"recall":1.0}""")
+      println(f"""{"op":"knn_lsh","vecs":$n,"sec":$tLsh%.2f,"recall":$rLsh%.3f}""")
+      println(f"""{"op":"knn_ivf_auto","vecs":$n,"sec":$tIvf%.2f,"recall":$rIvf%.3f}""")
+      exact.unpersist(false); lsh.unpersist(false); ivf.unpersist(false)
+      emb.unpersist(false)
+    }
+    spark.stop()
+  }
+}
