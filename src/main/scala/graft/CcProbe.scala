@@ -14,12 +14,7 @@ import org.apache.spark.sql.SparkSession
   */
 object CcProbe {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = DevBench.session()
     val n = args.headOption.map(_.toLong).getOrElse(30000000L)
     val edges = ScaleCorpusBench.synthEdges(spark, n).persist()
     edges.count()

@@ -209,7 +209,7 @@ object OracleSqlDocs {
     // NULL in DuckDB where Spark's array_join gives '' — coalesced.
     "p87_span_dedup" ->
       s"""WITH toks AS (
-         |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
+         |  SELECT doc_id AS id, string_split(${norm("coalesce(text, '')")}, ' ') AS t FROM documents
          |), thd AS (
          |  SELECT id, list_transform(t, tok -> ${hash("tok")}) AS th FROM toks
          |), win AS (

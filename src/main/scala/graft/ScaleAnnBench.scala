@@ -20,9 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleAnnBench {
 
-  private def time[A](f: => A): Double = {
-    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-  }
+  import DevBench.time
 
   /** n deterministic dim-64 float vectors in [-0.5, 0.5). */
   def synthEmbeddings(spark: SparkSession, n: Long, dim: Int = 64): DataFrame =
@@ -40,15 +38,8 @@ object ScaleAnnBench {
 
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
-                else Seq(10000L, 100000L, 1000000L)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+                else Seq(5000L, 50000L, 500000L)
+    val spark = DevBench.session()
     import graft.ann.Similarity
 
     val pred = col("vec_id") < 20

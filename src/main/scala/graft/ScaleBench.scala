@@ -20,9 +20,7 @@ import org.apache.spark.sql.functions._
   * (rows per key, value ties) are fully captured by the generator. */
 object ScaleBench {
 
-  private def time[A](f: => A): Double = {
-    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-  }
+  import DevBench.time
 
   /** 3 keys; per-key times tick ~1/s (trailing hour ≈ 1200 rows in
     * frame); values are a deterministic hash mix with heavy low-end ties
@@ -36,16 +34,7 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
                 else Seq(1000000L, 10000000L, 100000000L)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // heap: set SPARK_DRIVER_MEM before sbt (build.sbt forks with it) —
-    // spark.driver.memory set HERE would be a no-op in local mode
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = DevBench.session()
 
     val qs = Seq(0.5, 0.9, 0.99)
     // the naive plans are O(n × frame) in 3 tasks — past this cap they run

@@ -24,12 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCorpusBench {
 
-  private def time[A](f: => A): Double = {
-    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-  }
-
-  private def mat(df: DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
+  import DevBench.{time, mat}
 
   /** Synthetic corpus with sf0.1's shape (≈300-char docs, heavy exact +
     * near duplicate structure): per 10-doc block, docs x0–x6 and x9 are
@@ -80,17 +75,8 @@ object ScaleCorpusBench {
   def main(args: Array[String]): Unit = {
     val docSizes = if (args.nonEmpty) args.map(_.toLong).toSeq
                    else Seq(5000L, 50000L, 500000L)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // heap: set SPARK_DRIVER_MEM before sbt (build.sbt forks with it) —
-    // spark.driver.memory set HERE would be a no-op, the local-mode JVM
-    // is already running. The 100×/30M rungs want ≥ 32g.
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // heap: the 100×/30M rungs want SPARK_DRIVER_MEM ≥ 32g (see DevBench)
+    val spark = DevBench.session()
     import graft.text.{TextCuration, TextDedup}
 
     for (n <- docSizes) {

@@ -90,8 +90,13 @@ object TextDedup {
     * its m tokens. */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
                 spanK: Int = 8, minCount: Long = 2L): DataFrame = {
+    // null text ≡ empty text (one empty token, no windows, returned
+    // untouched) — without the coalesce Spark's array_join(null) would emit
+    // a NULL cleaned_text where the DuckDB twin emits '', breaking the
+    // value-exact contract on null-text rows
     val tok = Barrier.once(
-      df.select(col(idCol).cast("long").as("id"), col(textCol).as("__t")),
+      df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("__t")),
       Seq("id"), "tk" -> tokens(col("__t")))
     // the window-key fold chain drops `tk` immediately: the cleanup branch
     // below consumes `tok` BEFORE this chain, so it re-tokenizes (a cheap

@@ -66,10 +66,12 @@ class SpanDedupSpec extends SparkSpec {
   }
 
   it should "leave documents shorter than the span untouched even when identical" in {
-    val out = run(Seq(1L -> "tiny doc", 2L -> "tiny doc", 3L -> ""))
+    val out = run(Seq(1L -> "tiny doc", 2L -> "tiny doc", 3L -> "",
+      4L -> null.asInstanceOf[String]))
     out(1L) shouldBe ((2L, 0L, 0L, "tiny doc"))
     out(2L) shouldBe ((2L, 0L, 0L, "tiny doc"))
     out(3L) shouldBe ((1L, 0L, 0L, "")) // "" normalizes to one empty token
+    out(4L) shouldBe ((1L, 0L, 0L, "")) // null text ≡ empty text
   }
 
   it should "respect minCount above two" in {
