@@ -80,3 +80,118 @@ object PackingStream {
       }
   }
 }
+
+/** Streaming twin of the p88 bigram novelty scorer
+  * ([[graft.text.TextStats.bigramScore]]): score a document STREAM
+  * against a FROZEN model table — the split a production pipeline
+  * actually runs (train once offline on a reference corpus, score the
+  * ingest stream forever). Scoring is per-document given the model, so
+  * each micro-batch runs the exact batch scorer via `foreachBatch` and
+  * appends its rows; parity with the batch operator is row-exact by
+  * construction and pinned by the replay test. The model is a plain
+  * distributed table — at 100 TB it joins by shuffle or broadcast just
+  * like the batch path, never a driver-side map. */
+object NoveltyScoreStream {
+  def attach(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+             model: org.apache.spark.sql.DataFrame, outDir: String,
+             checkpointDir: String,
+             trigger: org.apache.spark.sql.streaming.Trigger =
+               org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.text.TextStats.bigramScore(batch, idCol, textCol, model)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+}
+
+/** Streaming twin of the p87 span-level dedup
+  * ([[graft.text.TextDedup.spanDedup]]): incremental repeated-window
+  * removal over a document stream. State is the set of window keys seen
+  * so far, kept as a versioned parquet table (the
+  * [[DedupGroupStream]] pattern — a distributed table, not a per-key
+  * state store: the cleanup step needs the batch's removal starts JOINED
+  * back to the batch's documents, which is a per-batch join, not a keyed
+  * emission). Per batch: an occurrence is removed iff its key was seen
+  * in an earlier batch OR it is not the batch's minimum-(id, pos)
+  * occurrence of that key — so the kept copy is always the FIRST-SEEN
+  * occurrence.
+  *
+  * Batch parity (pinned by the replay test): when documents arrive
+  * id-ordered ACROSS micro-batches (any order within one — the
+  * [[PackingStream]]/AsOfStream contract), first-seen ≡ global
+  * minimum-(id, pos), so the cumulative stream output is row-identical
+  * to batch `spanDedup` over all documents seen, with minCount = 2: a
+  * removal happens exactly when a second occurrence exists. Each batch
+  * rewrites the full seen-key table into `stateDir/v<batchId>` and
+  * prunes old versions — at production scale the seen-key table is the
+  * operator's real state (linear in distinct windows) and would live in
+  * a compacted table store; the versioned-rewrite twin keeps the
+  * semantics honest at test scale. */
+object SpanDedupStream {
+  import org.apache.hadoop.fs.Path
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  import graft.text.TextDedup
+
+  private val seenSchema = StructType(Seq(StructField("wh", LongType)))
+
+  /** Latest complete seen-key version under `stateDir`, if any. */
+  def latestState(spark: org.apache.spark.sql.SparkSession,
+                  stateDir: String): Option[DataFrame] = {
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
+      .filter { case (_, path) => fs.exists(new Path(path, "_SUCCESS")) }
+      .sortBy(-_._1).headOption
+      .map { case (_, path) => spark.read.parquet(path.toString) }
+  }
+
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+             outDir: String, stateDir: String, checkpointDir: String,
+             spanK: Int = 8,
+             trigger: Trigger = Trigger.AvailableNow(),
+             retainVersions: Int = 2): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val tok = TextDedup.spanTokenFrame(batch, idCol, textCol)
+        val occ = TextDedup.spanOccurrences(tok, spanK).repartition(col("wh"))
+        val seen = latestState(spark, stateDir).getOrElse(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], seenSchema))
+        // batch keeper per key; an occurrence survives only as the first
+        // occurrence of a never-before-seen key
+        val grp = occ.groupBy("wh")
+          .agg(min(struct(col("id"), col("pos"))).as("keep"))
+        val starts = occ.join(grp, Seq("wh"))
+          .join(seen.select(col("wh"), lit(true).as("__seen")), Seq("wh"), "left")
+          .filter(col("__seen").isNotNull ||
+            col("id") =!= col("keep.id") || col("pos") =!= col("keep.pos"))
+          .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("starts"))
+        TextDedup.spanCleanup(tok, starts, spanK)
+          .write.mode("append").parquet(outDir)
+        seen.select("wh").union(occ.select("wh")).distinct()
+          .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        val root = new Path(stateDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+          .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
+          .sortBy(-_._1)
+          .drop(math.max(1, retainVersions))
+          .foreach { case (_, p) => fs.delete(p, true) }
+      }
+      .start()
+}

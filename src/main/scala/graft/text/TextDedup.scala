@@ -90,49 +90,67 @@ object TextDedup {
     * its m tokens. */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
                 spanK: Int = 8, minCount: Long = 2L): DataFrame = {
-    // null text ≡ empty text (one empty token, no windows, returned
-    // untouched) — without the coalesce Spark's array_join(null) would emit
-    // a NULL cleaned_text where the DuckDB twin emits '', breaking the
-    // value-exact contract on null-text rows
-    val tok = Barrier.once(
-      df.select(col(idCol).cast("long").as("id"),
-        coalesce(col(textCol), lit("")).as("__t")),
-      Seq("id"), "tk" -> tokens(col("__t")))
-    // the window-key fold chain drops `tk` immediately: the cleanup branch
-    // below consumes `tok` BEFORE this chain, so it re-tokenizes (a cheap
-    // second scan) instead of paying the fold — a Barrier'd column cannot
-    // be pruned away, so leaving ws in a shared frame would bill the fold
-    // to every consumer (measured: the shared-frame formulation computed
-    // the fold three times, 103 s vs 56 s cold at the 500k-doc rung).
-    val th = Barrier.once(tok, Seq("id"), "th" -> transform(col("tk"), charHash _))
-    val ws = Barrier.once(th, Seq("id"), "ws" -> hashedWindowKeys(col("th"), spanK))
-    // One occurrence row per window position (pos is 0-based: window i
-    // covers token positions [i, i+k)), partitioned by the window key. The
-    // explicit exchange is the frame's materialization point: the count/
-    // argmin aggregate AND the removal join both need hash(wh)
+    val tok = spanTokenFrame(df, idCol, textCol)
+    // One occurrence row per window position, partitioned by the window
+    // key. The explicit exchange is the frame's materialization point: the
+    // count/argmin aggregate AND the removal join both need hash(wh)
     // distribution, so both consumers read ONE computation of the fold +
-    // explode through exchange reuse. The isNotNull filters keep the two
-    // consumers' subtrees canonical-identical — the join side would
-    // otherwise infer them onto its copy alone and split the plans (the
-    // ngramJaccardCounting lesson). wh is never null; a null-id document
-    // (possible under the cast) leaves the index entirely — its windows
-    // neither count toward duplication nor get removed, and the final
-    // left join returns its text untouched — the same "null ids carry no
-    // linkage" contract as duplicateGroups. Map-side partial aggregation is
-    // deliberately NOT sought here: window keys are mostly unique, so
-    // partials reduce ~nothing and the raw occurrence rows shuffle once
-    // either way — this is the shape where a shared exchange WINS (cf. the
-    // percentiles counter-example, where one consumer shuffled tiny
-    // partials and sharing regressed 5.9 s → 33 s).
-    val ex = ws.select(col("id"), posexplode(col("ws"))).toDF("id", "pos", "wh")
-      .filter(col("wh").isNotNull && col("id").isNotNull)
-      .repartition(col("wh"))
+    // explode through exchange reuse (the occurrence helper's isNotNull
+    // filters keep the two consumers' subtrees canonical-identical — the
+    // join side would otherwise infer them onto its copy alone and split
+    // the plans, the ngramJaccardCounting lesson). Map-side partial
+    // aggregation is deliberately NOT sought here: window keys are mostly
+    // unique, so partials reduce ~nothing and the raw occurrence rows
+    // shuffle once either way — this is the shape where a shared exchange
+    // WINS (cf. the percentiles counter-example, where one consumer
+    // shuffled tiny partials and sharing regressed 5.9 s → 33 s).
+    val ex = spanOccurrences(tok, spanK).repartition(col("wh"))
     val grp = ex.groupBy("wh")
       .agg(count(lit(1)).as("cnt"), min(struct(col("id"), col("pos"))).as("keep"))
       .filter(col("cnt") >= minCount)
     val starts = ex.join(grp, Seq("wh"))
       .filter(col("id") =!= col("keep.id") || col("pos") =!= col("keep.pos"))
       .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("starts"))
+    spanCleanup(tok, starts, spanK)
+  }
+
+  /** (id, tk) token frame for span dedup. Null text ≡ empty text (one
+    * empty token, no windows, returned untouched) — without the coalesce
+    * Spark's array_join(null) would emit a NULL cleaned_text where the
+    * DuckDB twin emits '', breaking the value-exact contract on null-text
+    * rows. */
+  private[graft] def spanTokenFrame(df: DataFrame, idCol: String,
+                                    textCol: String): DataFrame =
+    Barrier.once(
+      df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("__t")),
+      Seq("id"), "tk" -> tokens(col("__t")))
+
+  /** (id, pos, wh) occurrence rows over a [[spanTokenFrame]] — pos is
+    * 0-based, window i covers token positions [i, i+k). The window-key
+    * fold chain drops `tk` immediately: the cleanup branch consumes the
+    * token frame directly, so it re-tokenizes (a cheap second scan)
+    * instead of paying the fold — a Barrier'd column cannot be pruned
+    * away, so leaving ws in a shared frame would bill the fold to every
+    * consumer (measured: the shared-frame formulation computed the fold
+    * three times, 103 s vs 56 s cold at the 500k-doc rung). wh is never
+    * null; a null-id document (possible under the cast) leaves the index
+    * entirely — its windows neither count toward duplication nor get
+    * removed — the same "null ids carry no linkage" contract as
+    * duplicateGroups. */
+  private[graft] def spanOccurrences(tok: DataFrame, spanK: Int): DataFrame = {
+    val th = Barrier.once(tok, Seq("id"), "th" -> transform(col("tk"), charHash _))
+    val ws = Barrier.once(th, Seq("id"), "ws" -> hashedWindowKeys(col("th"), spanK))
+    ws.select(col("id"), posexplode(col("ws"))).toDF("id", "pos", "wh")
+      .filter(col("wh").isNotNull && col("id").isNotNull)
+  }
+
+  /** Remove the token positions covered by `starts` (per-id sorted
+    * removal-window start lists) from a [[spanTokenFrame]] — row-local
+    * array math after the left join; documents with no removals pass
+    * through untouched. */
+  private[graft] def spanCleanup(tok: DataFrame, starts: DataFrame,
+                                 spanK: Int): DataFrame = {
     val st = coalesce(col("starts"), array().cast("array<int>"))
     val cleaned = filter(col("tk"),
       (t, i) => !exists(st, s => s <= i && i < s + spanK))

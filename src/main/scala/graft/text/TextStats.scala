@@ -159,17 +159,35 @@ object TextStats {
     * fewer than two tokens re-enter with zero counts. */
   def bigramNovelty(df: DataFrame, idCol: String, textCol: String,
                     holdoutMod: Int = 10): DataFrame = {
-    val th = Barrier.once(tokenFrame(df, idCol, textCol), Seq("id"),
-      "th" -> transform(col("t"), charHash _))
-    // the k=2 instance of the packed two-hash window key (same primitive
-    // as spanDedup's index — one tested fold, two operators)
-    val bg = Barrier.once(th, Seq("id"), "bg" -> hashedWindowKeys(col("th"), 2))
-    val ex = bg.select(col("id").cast("long").as("id"), explode(col("bg")).as("bg"))
-      .filter(col("bg").isNotNull && col("id").isNotNull)
-      .repartition(col("bg"))
+    val ex = bigramOccurrences(df, idCol, textCol).repartition(col("bg"))
     val c2 = ex.groupBy("bg").agg(
       sum(when(pmod(col("id"), lit(holdoutMod)) =!= 0, 1L).otherwise(0L)).as("c2"))
-    val perDoc = ex.join(c2, Seq("bg"))
+    scoreFrame(df, idCol, ex, c2)
+  }
+
+  /** (id, bg) bigram-key occurrence rows — the k=2 instance of the packed
+    * two-hash window key (same primitive as spanDedup's index — one tested
+    * fold, two operators). Null ids/texts carry nothing, as in the dedup
+    * family. */
+  private def bigramOccurrences(df: DataFrame, idCol: String,
+                                textCol: String): DataFrame = {
+    val th = Barrier.once(tokenFrame(df, idCol, textCol), Seq("id"),
+      "th" -> transform(col("t"), charHash _))
+    val bg = Barrier.once(th, Seq("id"), "bg" -> hashedWindowKeys(col("th"), 2))
+    bg.select(col("id").cast("long").as("id"), explode(col("bg")).as("bg"))
+      .filter(col("bg").isNotNull && col("id").isNotNull)
+  }
+
+  /** The scoring join + per-document rollup shared by the fused query and
+    * the model/score split. `ex` must be the occurrence rows of exactly
+    * the documents in `df`; `c2` is (bg, c2) with a row per occurring
+    * key (0 = never seen in training). The join is LEFT so a score-side
+    * bigram the model never saw (possible in the split API, impossible in
+    * the fused query) counts as OOV rather than dropping. */
+  private def scoreFrame(df: DataFrame, idCol: String,
+                         ex: DataFrame, c2: DataFrame): DataFrame = {
+    val perDoc = ex.join(c2, Seq("bg"), "left")
+      .select(col("id"), coalesce(col("c2"), lit(0L)).as("c2"))
       .groupBy("id").agg(
         count(lit(1)).as("n_bigrams"),
         sum(when(col("c2") === 0L, 1L).otherwise(0L)).as("n_oov"),
@@ -185,4 +203,20 @@ object TextStats {
           col("n_oov").cast("double") / col("n_bigrams")).as("oov_rate"))
       .orderBy("doc_id")
   }
+
+  /** The bigram model as a standalone table: occurrence counts over ALL
+    * of `df` (the caller picks the training corpus — the train/score
+    * split a production pipeline runs: train once offline against a
+    * reference corpus, score any number of corpora or stream batches
+    * against the frozen table). `bigramNovelty` ≡
+    * `bigramScore(df, …, bigramModel(trainSplit))` — spec-pinned. */
+  def bigramModel(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramOccurrences(df, idCol, textCol)
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+
+  /** Score `df` against a frozen [[bigramModel]] table. Bigrams absent
+    * from the model count as OOV with zero support. */
+  def bigramScore(df: DataFrame, idCol: String, textCol: String,
+                  model: DataFrame): DataFrame =
+    scoreFrame(df, idCol, bigramOccurrences(df, idCol, textCol), model)
 }

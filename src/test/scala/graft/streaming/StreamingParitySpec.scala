@@ -445,4 +445,66 @@ class StreamingParitySpec extends SparkSpec {
     val batch = ParkingAnalytics.violations(spark, sfDir).collect().map(_.toSeq)
     got.sortBy(_.head.asInstanceOf[Long]) shouldBe batch.toSeq.sortBy(_.head.asInstanceOf[Long])
   }
+
+  /** id-ordered JSON-lines doc files (5 of them, increasing mtimes) so a
+    * maxFilesPerTrigger=1 file stream replays the documents table
+    * id-ordered across ≥5 micro-batches — the cross-batch ordering
+    * contract of the span-dedup twin. */
+  private def dumpDocsAsJson(): String = {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-docs-json")
+    val lines = docsDf.orderBy("doc_id")
+      .select(to_json(struct(col("doc_id"), col("text"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(math.max(1, lines.length / 5)).zipWithIndex.foreach { case (ls, i) =>
+      val f = dir.resolve(f"docs-$i%03d.json")
+      Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    dir.toString
+  }
+
+  private def docStream(dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)
+  }
+
+  "NoveltyScoreStream" should "score a doc stream against a frozen model exactly like batch bigramScore (p88)" in {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val model = graft.text.TextStats
+      .bigramModel(docsDf.filter(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text")
+      .persist()
+    val outDir = Files.createTempDirectory("graft-novelty-out").toString
+    val ckpt = Files.createTempDirectory("graft-novelty-ckpt").toString
+    val q = NoveltyScoreStream.attach(
+      docStream(dumpDocsAsJson()), "doc_id", "text", model, outDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = graft.text.TextStats.bigramScore(docsDf, "doc_id", "text", model)
+      .collect().map(_.toSeq)
+    model.unpersist(false)
+    got.length shouldBe docsDf.count().toInt
+    got shouldBe batch.toSeq
+  }
+
+  "SpanDedupStream" should "accumulate exactly the batch spanDedup output across id-ordered micro-batches (p87)" in {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val outDir = Files.createTempDirectory("graft-span-out").toString
+    val stateDir = Files.createTempDirectory("graft-span-state").toString
+    val ckpt = Files.createTempDirectory("graft-span-ckpt").toString
+    val q = SpanDedupStream.attach(
+      docStream(dumpDocsAsJson()), "doc_id", "text", outDir, stateDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = graft.text.TextDedup.spanDedup(docsDf, "doc_id", "text")
+      .collect().map(_.toSeq)
+    batch.exists(_(3).asInstanceOf[Long] > 0L) shouldBe true // dups really removed
+    got shouldBe batch.toSeq
+  }
 }

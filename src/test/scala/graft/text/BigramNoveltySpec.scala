@@ -8,6 +8,7 @@ import graft.SparkSpec
   * bigram key stands in for). */
 class BigramNoveltySpec extends SparkSpec {
   import spark.implicits._
+  import org.apache.spark.sql.functions.{col, lit, pmod}
 
   private def run(docs: Seq[(Long, String)], mod: Int = 10) =
     TextStats.bigramNovelty(docs.toDF("doc_id", "text"), "doc_id", "text",
@@ -64,6 +65,17 @@ class BigramNoveltySpec extends SparkSpec {
     val out = run(Seq(10L -> "p q r", 20L -> "p q r"))
     out(10L) shouldBe ((2L, 2L, 0L, Some(0.0), Some(1.0)))
     out(20L) shouldBe ((2L, 2L, 0L, Some(0.0), Some(1.0)))
+  }
+
+  it should "equal bigramScore against a bigramModel of the train split (the split API pin)" in {
+    val docs = Seq(1L -> "a b c a b", 2L -> "b c d", 10L -> "a b x y",
+      20L -> "q r s", 3L -> "").toDF("doc_id", "text")
+    val fused = TextStats.bigramNovelty(docs, "doc_id", "text").collect().map(_.toSeq)
+    val model = TextStats.bigramModel(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text")
+    val split = TextStats.bigramScore(docs, "doc_id", "text", model)
+      .collect().map(_.toSeq)
+    split shouldBe fused
   }
 
   it should "match the sequential reference exactly on random corpora" in {
