@@ -84,6 +84,28 @@ class SpanDedupSpec extends SparkSpec {
     out(3L) shouldBe ((8L, 1L, 8L, ""))
   }
 
+  it should "share ONE window-key exchange between the count aggregate and the removal join (plan lock)" in {
+    // the scale-critical shape: the occurrence index (fold + explode) must
+    // be computed once and read by both consumers through exchange reuse,
+    // and only the fold branch + the cleanup branch may scan the source —
+    // 2 scans, 1 ReusedExchange. AQE applies the same reuse at runtime via
+    // its stage cache (same canonicalization); asserting on the non-AQE
+    // static plan keeps the lock deterministic. If an edit reintroduces a
+    // consumer-splitting inferred filter (the ngramJaccardCounting trap),
+    // this fails loudly.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val docs = s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextDedup.spanDedup(docs, "doc_id", "text")
+      .queryExecution.executedPlan
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(nodes)
+    val all = nodes(plan)
+    all.count(_.isInstanceOf[FileSourceScanExec]) shouldBe 2
+    all.count(_.isInstanceOf[ReusedExchangeExec]) shouldBe 1
+  }
+
   it should "match the sequential reference exactly on random dup-heavy corpora" in {
     val rnd = new scala.util.Random(2026)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
