@@ -373,6 +373,43 @@ object OracleSqlDocs {
          |SELECT id AS doc_id, MIN(lab) AS group_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
 
+    // best-of-group representative: p37's recursive closure joined with
+    // the p18 quality formula; the keeper is row_number() = 1 under
+    // (quality DESC, doc_id) — the twin of Spark's
+    // max(struct(quality, -doc_id, doc_id)) argmax. simhashCandCtes
+    // already defines the token CTE the quality formula needs.
+    "p89_group_representative" -> (simhashCandCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+         |pairs AS (SELECT da, db FROM cand WHERE bit_count(xor(sa, sb)) <= 1),
+         |gnodes AS (SELECT da AS id FROM pairs UNION SELECT db AS id FROM pairs),
+         |edges AS (SELECT da AS a, db AS b FROM pairs
+         |          UNION ALL SELECT db AS a, da AS b FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS lab FROM gnodes
+         |  UNION
+         |  SELECT e.b AS id, r.lab AS lab FROM reach r JOIN edges e ON e.a = r.id
+         |),
+         |comp AS (SELECT id AS doc_id, MIN(lab) AS group_id FROM reach GROUP BY id),
+         |q AS (
+         |  SELECT id,
+         |    least(CAST(1.0 AS DOUBLE), CAST(len(t) AS DOUBLE) / CAST(200.0 AS DOUBLE))
+         |      * (CAST(1.0 AS DOUBLE)
+         |         - CAST(len(list_filter(t, x -> x IN $stopList)) AS DOUBLE) / len(t))
+         |      AS quality_score
+         |  FROM toks
+         |),
+         |ranked AS (
+         |  SELECT c.group_id, c.doc_id, q.quality_score,
+         |         row_number() OVER (PARTITION BY c.group_id
+         |                            ORDER BY q.quality_score DESC, c.doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY c.group_id) AS group_size
+         |  FROM comp c JOIN q ON c.doc_id = q.id
+         |)
+         |SELECT group_id, doc_id AS rep_id, quality_score AS rep_quality,
+         |       CAST(group_size AS BIGINT) AS group_size,
+         |       CAST(group_size - 1 AS BIGINT) AS n_discarded
+         |FROM ranked WHERE rn = 1 ORDER BY group_id""".stripMargin),
+
     "p18_text_stats" ->
       s"""WITH toks AS (
          |  SELECT doc_id AS id, ${norm("text")} AS norm,

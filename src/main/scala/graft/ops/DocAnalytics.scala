@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+import org.apache.spark.sql.functions.{col, count, lit, max, struct, sum, when}
 import graft.sources.Tables
 import graft.text.{TextCuration, TextDedup, TextStats}
 import graft.ann.Similarity
@@ -355,6 +355,29 @@ object DocAnalytics {
         .filter(col("doc_id") =!= col("group_id")).select("doc_id")
       ds.select("doc_id").join(dupMembers, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
+    }),
+    // the keep-list's smarter sibling: per duplicate group, keep the
+    // HIGHEST-QUALITY member (ties → min doc_id), not the min-id one —
+    // what a production dedup pipeline actually ships. Groups from the
+    // p37 composition, quality from the p18 formula, representative via
+    // one max(struct) aggregate (argmax rides the group shuffle the
+    // composition already pays; groups are small, no window sort).
+    "p89_group_representative" -> ((s, d) => {
+      val ds = docs(s, d)
+      val groups = TextDedup.duplicateGroups(
+        TextDedup.simhashNearDup(ds, "doc_id", "text"), "doc_a", "doc_b")
+      val q = TextStats.stats(ds, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("quality_score"))
+      groups.join(q, Seq("doc_id"))
+        .groupBy("group_id")
+        .agg(count(lit(1)).as("group_size"),
+          max(struct(col("quality_score"), (-col("doc_id")).as("neg"),
+            col("doc_id"))).as("best"))
+        .select(col("group_id"), col("best.doc_id").as("rep_id"),
+          col("best.quality_score").as("rep_quality"),
+          col("group_size"),
+          (col("group_size") - 1).as("n_discarded"))
+        .orderBy("group_id")
     }),
     // multimodal: stats and dedup computed from the REAL binary column;
     // the oracle recomputes from the generating formula — a mismatch at

@@ -67,6 +67,34 @@ class TextDedupSpec extends SparkSpec {
     loose shouldBe exact
   }
 
+  "p89 group representative" should "keep the highest-quality member of each dup group, ties to min id" in {
+    // drive the REGISTERED composition and re-derive the expected argmax
+    // sequentially from the same groups + quality outputs — this pins the
+    // max(struct) keeper logic; the quality formula itself is pinned by
+    // p18's oracle.
+    val d = "/root/testdata/sf0.001"
+    val ds = graft.sources.Tables.documents(spark, d)
+    val got = graft.ops.DocAnalytics.queries("p89_group_representative")(spark, d)
+      .collect()
+      .map(r => r.getAs[Long]("group_id") ->
+        ((r.getAs[Long]("rep_id"), r.getAs[Double]("rep_quality"),
+          r.getAs[Long]("group_size"), r.getAs[Long]("n_discarded"))))
+      .toMap
+    val groups = TextDedup.duplicateGroups(
+        TextDedup.simhashNearDup(ds, "doc_id", "text"), "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val quality = TextStats.stats(ds, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("quality_score")).toMap
+    val expected = groups.groupBy(_._2).map { case (gid, members) =>
+      val ids = members.map(_._1)
+      val best = ids.maxBy(id => (quality(id), -id))
+      gid -> ((best, quality(best), ids.length.toLong, ids.length.toLong - 1))
+    }
+    expected.nonEmpty shouldBe true
+    expected.exists(_._2._4 > 0) shouldBe true // real multi-member groups
+    got shouldBe expected
+  }
+
   // threshold 0 forces the distributed loop — the small fixtures below
   // would otherwise take the single-task union-find path
   private val Iterative = 0L
