@@ -244,6 +244,46 @@ object OracleSqlDocs {
          |       coalesce(array_to_string(ct, ' '), '') AS cleaned_text
          |FROM cl ORDER BY doc_id""".stripMargin,
 
+    // span-scrub twin of TextDedup.spanScrub (k = 8, bench = doc_id < 25,
+    // corpus = doc_id >= 25): the p87 window fold and coverage cleanup
+    // with removal marked by membership in the benchmark's distinct
+    // window-key set instead of a count/keeper.
+    "p90_span_scrub" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, string_split(${norm("coalesce(text, '')")}, ' ') AS t
+         |  FROM documents
+         |), thd AS (
+         |  SELECT id, list_transform(t, tok -> ${hash("tok")}) AS th FROM toks
+         |), win AS (
+         |  SELECT id, CASE WHEN len(th) >= 8
+         |    THEN [list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+7]),
+         |            (a, b) -> (a*31 + b) % $P) * 998244353
+         |          + list_reduce(list_prepend(CAST(11 AS BIGINT), th[i:i+7]),
+         |            (a, b) -> (a*37 + b) % 998244353)
+         |          for i in range(1, len(th)-6)]
+         |    ELSE CAST([] AS BIGINT[]) END AS ws
+         |  FROM thd
+         |), ex AS (
+         |  SELECT id, unnest(ws) AS wh, generate_subscripts(ws, 1) - 1 AS pos
+         |  FROM win WHERE id >= 25
+         |), bench AS (
+         |  SELECT DISTINCT unnest(ws) AS wh FROM win WHERE id < 25
+         |), st AS (
+         |  SELECT id, list_sort(list(pos)) AS starts
+         |  FROM ex JOIN bench USING (wh) GROUP BY id
+         |), cl AS (
+         |  SELECT t.id, len(t.t) AS n_toks, coalesce(len(s.starts), 0) AS n_spans,
+         |         list_filter(t.t, (tok, i) ->
+         |           len(list_filter(coalesce(s.starts, CAST([] AS BIGINT[])),
+         |               w -> w <= i-1 AND i-1 < w+8)) = 0) AS ct
+         |  FROM toks t LEFT JOIN st s USING (id) WHERE t.id >= 25
+         |)
+         |SELECT id AS doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
+         |       CAST(n_spans AS BIGINT) AS n_contaminated_spans,
+         |       CAST(n_toks - len(ct) AS BIGINT) AS n_removed,
+         |       coalesce(array_to_string(ct, ' '), '') AS cleaned_text
+         |FROM cl ORDER BY doc_id""".stripMargin,
+
     // bigram-novelty twin of TextStats.bigramNovelty (holdoutMod = 10):
     // the k=2 instance of the packed two-fold window key, train counts as
     // a conditional sum (id % 10 <> 0 — ids non-negative, ≡ Spark's

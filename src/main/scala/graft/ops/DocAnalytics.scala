@@ -209,6 +209,15 @@ object DocAnalytics {
         all.filter(col("doc_id") >= 25), all.filter(col("doc_id") < 25),
         "doc_id", "text")
     }),
+    // p42's scrubbing counterpart: REMOVE the contaminated spans (doc_id
+    // < 25 again stands in as the held-out benchmark) instead of flagging
+    // the documents that carry them
+    "p90_span_scrub" -> ((s, d) => {
+      val all = docs(s, d)
+      TextDedup.spanScrub(
+        all.filter(col("doc_id") >= 25), all.filter(col("doc_id") < 25),
+        "doc_id", "text")
+    }),
     "p43_hash_sample" -> ((s, d) =>
       TextCuration.hashSample(docs(s, d), "doc_id", "text")),
     // model-ready sequence prep: overlapping context-window chunks

@@ -114,6 +114,35 @@ object TextDedup {
     spanCleanup(tok, starts, spanK)
   }
 
+  /** Span-level DECONTAMINATION — the scrubbing counterpart of the p42
+    * detector: every k-token window of `df` whose key also occurs
+    * anywhere in `benchmark` is removed from the document (coverage-union
+    * of overlapping windows, like [[spanDedup]] — a shared run of
+    * m ≥ k tokens disappears in full). Where p42 FLAGS documents
+    * overlapping the held-out set, this ships the cleaned corpus — the
+    * form a training pipeline actually writes. Output:
+    * (doc_id, n_tokens, n_contaminated_spans, n_removed, cleaned_text).
+    *
+    * Scale shape: reuses the spanDedup machinery — occurrence rows are
+    * fixed-width triples; the benchmark side reduces to DISTINCT window
+    * keys (one small aggregate — benchmarks are tiny next to the corpus,
+    * so the contamination join broadcasts, the p42 pattern); cleanup is
+    * row-local. No corpus-side aggregate at all: unlike dedup there is
+    * no count or keeper to compute, so the corpus shuffles NOTHING when
+    * the benchmark side broadcasts. */
+  def spanScrub(df: DataFrame, benchmark: DataFrame,
+                idCol: String, textCol: String, spanK: Int = 8): DataFrame = {
+    val tok = spanTokenFrame(df, idCol, textCol)
+    val benchKeys = spanOccurrences(
+        spanTokenFrame(benchmark, idCol, textCol), spanK)
+      .select("wh").distinct()
+    val starts = spanOccurrences(tok, spanK)
+      .join(benchKeys, Seq("wh"))
+      .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("starts"))
+    spanCleanup(tok, starts, spanK)
+      .withColumnRenamed("n_dup_spans", "n_contaminated_spans")
+  }
+
   /** (id, tk) token frame for span dedup. Null text ≡ empty text (one
     * empty token, no windows, returned untouched) — without the coalesce
     * Spark's array_join(null) would emit a NULL cleaned_text where the

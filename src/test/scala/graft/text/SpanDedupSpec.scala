@@ -84,7 +84,26 @@ class SpanDedupSpec extends SparkSpec {
     out(3L) shouldBe ((8L, 1L, 8L, ""))
   }
 
-  it should "share ONE window-key exchange between the count aggregate and the removal join (plan lock)" in {
+  "spanScrub" should "remove exactly the benchmark-overlapping spans from the corpus" in {
+    import spark.implicits.localSeqToDatasetHolder
+    val bench = Seq(100L -> (1 to 10).map(i => s"b$i").mkString(" "))
+      .toDF("doc_id", "text") // 10 tokens → 3 distinct 8-token windows
+    val contaminated = s"intro1 intro2 ${(1 to 10).map(i => s"b$i").mkString(" ")} outro1"
+    val clean = "c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    val out = TextDedup.spanScrub(
+        Seq(1L -> contaminated, 2L -> clean).toDF("doc_id", "text"),
+        bench, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_contaminated_spans"),
+          r.getAs[Long]("n_removed"), r.getAs[String]("cleaned_text"))))
+      .toMap
+    out(1L) shouldBe ((13L, 3L, 10L, "intro1 intro2 outro1"))
+    out(2L) shouldBe ((9L, 0L, 0L, clean)) // no benchmark window, untouched
+    out.contains(100L) shouldBe false // benchmark rows are not output
+  }
+
+  "spanDedup's plan" should "share ONE window-key exchange between the count aggregate and the removal join (plan lock)" in {
     // the scale-critical shape: the occurrence index (fold + explode) must
     // be computed once and read by both consumers through exchange reuse,
     // and only the fold branch + the cleanup branch may scan the source —
