@@ -102,9 +102,14 @@ object NoveltyScoreStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // one OVERWRITTEN partition per batch id: a replayed batch (failure
+        // between the write and the checkpoint commit) rewrites its own
+        // partition instead of appending duplicates — foreachBatch's
+        // exactly-once contract. Readers discover `batch` as a partition
+        // column and drop it.
         graft.text.TextStats.bigramScore(batch, idCol, textCol, model)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
 }
@@ -141,19 +146,35 @@ object SpanDedupStream {
 
   private val seenSchema = StructType(Seq(StructField("wh", LongType)))
 
-  /** Latest complete seen-key version under `stateDir`, if any. */
-  def latestState(spark: org.apache.spark.sql.SparkSession,
-                  stateDir: String): Option[DataFrame] = {
+  /** COMPLETE (_SUCCESS-marked) state versions under `stateDir`, newest
+    * first — the one listing both the reader and the pruner use, so an
+    * incomplete directory from a failed write can neither be read nor
+    * count toward the retention quota. */
+  private def versions(spark: org.apache.spark.sql.SparkSession,
+                       stateDir: String): Seq[(Long, Path)] = {
     val p = new Path(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
+    if (!fs.exists(p)) return Seq.empty
     fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
       .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
       .filter { case (_, path) => fs.exists(new Path(path, "_SUCCESS")) }
-      .sortBy(-_._1).headOption
-      .map { case (_, path) => spark.read.parquet(path.toString) }
+      .sortBy(-_._1)
   }
+
+  /** Latest complete seen-key version under `stateDir`, restricted to
+    * versions BELOW `beforeBatch` when given: a replayed batch (failure
+    * after the state write, before the checkpoint commit) must read its
+    * PREDECESSOR's state, not the version its own failed attempt wrote —
+    * reading v<batchId> would mark the whole batch as already-seen and
+    * scrub every span, then fail the overwrite of a path being read. */
+  def latestState(spark: org.apache.spark.sql.SparkSession,
+                  stateDir: String,
+                  beforeBatch: Option[Long] = None): Option[DataFrame] =
+    versions(spark, stateDir)
+      .filter { case (v, _) => beforeBatch.forall(v < _) }
+      .headOption
+      .map { case (_, path) => spark.read.parquet(path.toString) }
 
   def attach(docs: DataFrame, idCol: String, textCol: String,
              outDir: String, stateDir: String, checkpointDir: String,
@@ -167,31 +188,48 @@ object SpanDedupStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val tok = TextDedup.spanTokenFrame(batch, idCol, textCol)
-        val occ = TextDedup.spanOccurrences(tok, spanK).repartition(col("wh"))
-        val seen = latestState(spark, stateDir).getOrElse(
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], seenSchema))
-        // batch keeper per key; an occurrence survives only as the first
-        // occurrence of a never-before-seen key
-        val grp = occ.groupBy("wh")
-          .agg(min(struct(col("id"), col("pos"))).as("keep"))
-        val starts = occ.join(grp, Seq("wh"))
-          .join(seen.select(col("wh"), lit(true).as("__seen")), Seq("wh"), "left")
-          .filter(col("__seen").isNotNull ||
-            col("id") =!= col("keep.id") || col("pos") =!= col("keep.pos"))
-          .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("starts"))
-        TextDedup.spanCleanup(tok, starts, spanK)
-          .write.mode("append").parquet(outDir)
-        seen.select("wh").union(occ.select("wh")).distinct()
-          .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        // persisted for the batch scope: the cleaned-output write AND the
+        // state write both consume the occurrence rows — without the
+        // persist the second action re-runs the whole tokenize/hash/
+        // explode fold (the recompute the batch operator's shared
+        // exchange exists to avoid)
+        val occ = TextDedup.spanOccurrences(tok, spanK)
+          .repartition(col("wh")).persist()
+        try {
+          val seen = latestState(spark, stateDir, Some(batchId)).getOrElse(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], seenSchema))
+          // batch keeper per key; an occurrence survives only as the first
+          // occurrence of a never-before-seen key
+          val grp = occ.groupBy("wh")
+            .agg(min(struct(col("id"), col("pos"))).as("keep"))
+          val starts = occ.join(grp, Seq("wh"))
+            .join(seen.select(col("wh"), lit(true).as("__seen")), Seq("wh"), "left")
+            .filter(col("__seen").isNotNull ||
+              col("id") =!= col("keep.id") || col("pos") =!= col("keep.pos"))
+            .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("starts"))
+          // one OVERWRITTEN partition per batch id — a replayed batch
+          // rewrites its own partition instead of appending duplicates;
+          // readers discover `batch` as a partition column and drop it
+          TextDedup.spanCleanup(tok, starts, spanK)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          seen.select("wh").union(occ.select("wh")).distinct()
+            .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        } finally occ.unpersist(false)
         val root = new Path(stateDir)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // keep the newest retainVersions COMPLETE versions — never fewer
+        // than 2: a replay of batch N must still find v<N after vN was
+        // written (the checkpoint commit is invisible from here), so the
+        // predecessor may only be pruned once a LATER batch succeeds.
+        // Everything else goes, incomplete leftovers included (they never
+        // count toward the quota).
+        val keep = versions(spark, stateDir).map(_._2.getName)
+          .take(math.max(2, retainVersions)).toSet
         fs.listStatus(root).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
-          .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
-          .sortBy(-_._1)
-          .drop(math.max(1, retainVersions))
-          .foreach { case (_, p) => fs.delete(p, true) }
+          .filter(s => !keep.contains(s.getPath.getName))
+          .foreach(s => fs.delete(s.getPath, true))
       }
       .start()
 }

@@ -482,7 +482,7 @@ class StreamingParitySpec extends SparkSpec {
       docStream(dumpDocsAsJson()), "doc_id", "text", model, outDir, ckpt)
     q.awaitTermination(180000)
     assert(!q.isActive, "stream did not terminate")
-    val got = spark.read.parquet(outDir).collect()
+    val got = spark.read.parquet(outDir).drop("batch").collect()
       .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
     val batch = graft.text.TextStats.bigramScore(docsDf, "doc_id", "text", model)
       .collect().map(_.toSeq)
@@ -500,7 +500,7 @@ class StreamingParitySpec extends SparkSpec {
       docStream(dumpDocsAsJson()), "doc_id", "text", outDir, stateDir, ckpt)
     q.awaitTermination(180000)
     assert(!q.isActive, "stream did not terminate")
-    val got = spark.read.parquet(outDir).collect()
+    val got = spark.read.parquet(outDir).drop("batch").collect()
       .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
     val batch = graft.text.TextDedup.spanDedup(docsDf, "doc_id", "text")
       .collect().map(_.toSeq)
