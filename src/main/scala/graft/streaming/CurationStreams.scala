@@ -233,3 +233,31 @@ object SpanDedupStream {
       }
       .start()
 }
+
+/** Streaming twin of the p90 span-level decontamination scrub
+  * ([[graft.text.TextDedup.spanScrub]]): scrub a document STREAM against
+  * a FROZEN benchmark — stateless given the benchmark (no cross-batch
+  * memory: contamination is membership in a fixed key set, not
+  * first-seen), so each micro-batch runs the exact batch operator via
+  * `foreachBatch`, writing one overwritten batch=<id> partition (replay
+  * rewrites, never duplicates — readers drop the partition column).
+  * Parity with batch spanScrub is row-exact by construction and pinned
+  * by the replay test. */
+object SpanScrubStream {
+  def attach(docs: org.apache.spark.sql.DataFrame,
+             benchmark: org.apache.spark.sql.DataFrame,
+             idCol: String, textCol: String, outDir: String,
+             checkpointDir: String, spanK: Int = 8,
+             trigger: org.apache.spark.sql.streaming.Trigger =
+               org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.text.TextDedup.spanScrub(batch, benchmark, idCol, textCol, spanK)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+}

@@ -491,6 +491,34 @@ class StreamingParitySpec extends SparkSpec {
     got shouldBe batch.toSeq
   }
 
+  "SpanScrubStream" should "scrub a doc stream against a frozen benchmark exactly like batch spanScrub (p90)" in {
+    val all = graft.sources.Tables.documents(spark, sfDir)
+    val bench = all.filter(col("doc_id") < 25).persist()
+    val corpus = all.filter(col("doc_id") >= 25)
+    val dir = Files.createTempDirectory("graft-scrub-json")
+    val lines = corpus.orderBy("doc_id")
+      .select(to_json(struct(col("doc_id"), col("text"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(math.max(1, lines.length / 5)).zipWithIndex.foreach { case (ls, i) =>
+      val f = dir.resolve(f"docs-$i%03d.json")
+      Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val outDir = Files.createTempDirectory("graft-scrub-out").toString
+    val ckpt = Files.createTempDirectory("graft-scrub-ckpt").toString
+    val q = SpanScrubStream.attach(
+      docStream(dir.toString), bench, "doc_id", "text", outDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).drop("batch").collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = graft.text.TextDedup.spanScrub(corpus, bench, "doc_id", "text")
+      .collect().map(_.toSeq)
+    bench.unpersist(false)
+    batch.exists(_(3).asInstanceOf[Long] > 0L) shouldBe true // real contamination scrubbed
+    got shouldBe batch.toSeq
+  }
+
   "SpanDedupStream" should "accumulate exactly the batch spanDedup output across id-ordered micro-batches (p87)" in {
     val docsDf = graft.sources.Tables.documents(spark, sfDir)
     val outDir = Files.createTempDirectory("graft-span-out").toString
