@@ -117,14 +117,13 @@ object NoveltyScoreStream {
 /** Streaming twin of the p87 span-level dedup
   * ([[graft.text.TextDedup.spanDedup]]): incremental repeated-window
   * removal over a document stream. State is the set of window keys seen
-  * so far, kept as a versioned parquet table (the
-  * [[DedupGroupStream]] pattern — a distributed table, not a per-key
-  * state store: the cleanup step needs the batch's removal starts JOINED
-  * back to the batch's documents, which is a per-batch join, not a keyed
-  * emission). Per batch: an occurrence is removed iff its key was seen
-  * in an earlier batch OR it is not the batch's minimum-(id, pos)
-  * occurrence of that key — so the kept copy is always the FIRST-SEEN
-  * occurrence.
+  * so far, kept as a [[VersionedState]] parquet table (a distributed
+  * table, not a per-key state store: the cleanup step needs the batch's
+  * removal starts JOINED back to the batch's documents, which is a
+  * per-batch join, not a keyed emission). Per batch: an occurrence is
+  * removed iff its key was seen in an earlier batch OR it is not the
+  * batch's minimum-(id, pos) occurrence of that key — so the kept copy
+  * is always the FIRST-SEEN occurrence.
   *
   * Batch parity (pinned by the replay test): when documents arrive
   * id-ordered ACROSS micro-batches (any order within one — the
@@ -132,13 +131,12 @@ object NoveltyScoreStream {
   * minimum-(id, pos), so the cumulative stream output is row-identical
   * to batch `spanDedup` over all documents seen, with minCount = 2: a
   * removal happens exactly when a second occurrence exists. Each batch
-  * rewrites the full seen-key table into `stateDir/v<batchId>` and
-  * prunes old versions — at production scale the seen-key table is the
-  * operator's real state (linear in distinct windows) and would live in
-  * a compacted table store; the versioned-rewrite twin keeps the
-  * semantics honest at test scale. */
+  * appends only its NOVEL keys as a `stateDir/d<batchId>` delta — state
+  * writes track batch novelty, not corpus history, so a long-running
+  * stream's per-batch cost stays proportional to its ingest — with a
+  * full compact folded in every `compactEvery` batches and superseded
+  * windows pruned (see [[VersionedState]] for the replay contract). */
 object SpanDedupStream {
-  import org.apache.hadoop.fs.Path
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -146,41 +144,23 @@ object SpanDedupStream {
 
   private val seenSchema = StructType(Seq(StructField("wh", LongType)))
 
-  /** COMPLETE (_SUCCESS-marked) state versions under `stateDir`, newest
-    * first — the one listing both the reader and the pruner use, so an
-    * incomplete directory from a failed write can neither be read nor
-    * count toward the retention quota. */
-  private def versions(spark: org.apache.spark.sql.SparkSession,
-                       stateDir: String): Seq[(Long, Path)] = {
-    val p = new Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Seq.empty
-    fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
-      .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
-      .filter { case (_, path) => fs.exists(new Path(path, "_SUCCESS")) }
-      .sortBy(-_._1)
-  }
-
-  /** Latest complete seen-key version under `stateDir`, restricted to
-    * versions BELOW `beforeBatch` when given: a replayed batch (failure
-    * after the state write, before the checkpoint commit) must read its
-    * PREDECESSOR's state, not the version its own failed attempt wrote —
-    * reading v<batchId> would mark the whole batch as already-seen and
-    * scrub every span, then fail the overwrite of a path being read. */
+  /** The complete seen-key set under `stateDir` (union of the newest
+    * compact and the deltas above it), restricted to versions BELOW
+    * `beforeBatch` when given: a replayed batch (failure after the state
+    * write, before the checkpoint commit) must read its PREDECESSOR's
+    * state, not the delta its own failed attempt wrote — including its
+    * own delta would mark the whole batch as already-seen and scrub
+    * every span, then record an EMPTY novelty delta over the real one. */
   def latestState(spark: org.apache.spark.sql.SparkSession,
                   stateDir: String,
                   beforeBatch: Option[Long] = None): Option[DataFrame] =
-    versions(spark, stateDir)
-      .filter { case (v, _) => beforeBatch.forall(v < _) }
-      .headOption
-      .map { case (_, path) => spark.read.parquet(path.toString) }
+    VersionedState.readSet(spark, stateDir, beforeBatch)
 
   def attach(docs: DataFrame, idCol: String, textCol: String,
              outDir: String, stateDir: String, checkpointDir: String,
              spanK: Int = 8,
              trigger: Trigger = Trigger.AvailableNow(),
-             retainVersions: Int = 2): StreamingQuery =
+             compactEvery: Int = 8): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -213,23 +193,16 @@ object SpanDedupStream {
           // readers discover `batch` as a partition column and drop it
           TextDedup.spanCleanup(tok, starts, spanK)
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-          seen.select("wh").union(occ.select("wh")).distinct()
-            .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+          // state write: the batch's NOVEL keys only — deltas are disjoint
+          // from everything before them by construction, so the reader's
+          // union needs no dedup
+          val novel = grp.select("wh").join(seen, Seq("wh"), "left_anti")
+          if (VersionedState.shouldCompact(spark, stateDir, batchId, compactEvery))
+            VersionedState.write(seen.union(novel), stateDir, batchId, compact = true)
+          else
+            VersionedState.write(novel, stateDir, batchId, compact = false)
         } finally occ.unpersist(false)
-        val root = new Path(stateDir)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // keep the newest retainVersions COMPLETE versions — never fewer
-        // than 2: a replay of batch N must still find v<N after vN was
-        // written (the checkpoint commit is invisible from here), so the
-        // predecessor may only be pruned once a LATER batch succeeds.
-        // Everything else goes, incomplete leftovers included (they never
-        // count toward the quota).
-        val keep = versions(spark, stateDir).map(_._2.getName)
-          .take(math.max(2, retainVersions)).toSet
-        fs.listStatus(root).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
-          .filter(s => !keep.contains(s.getPath.getName))
-          .foreach(s => fs.delete(s.getPath, true))
+        VersionedState.prune(spark, stateDir, batchId)
       }
       .start()
 }

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -31,43 +30,38 @@ import graft.text.TextDedup
   * executors), which no per-key `flatMapGroupsWithState` partitioning can
   * express — while the assignment table itself can be arbitrarily large,
   * so it belongs in a distributed table, not in a collected driver map.
-  * State is a versioned parquet table under `stateDir` (one `v<batchId>`
-  * directory per completed batch; the latest complete version is
-  * re-resolved by listing, so a batch replayed after a crash overwrites
-  * its own version idempotently — pair sets are union semantics, and
-  * re-merging already-merged edges is a no-op).
+  * State lives in a [[VersionedState]] table under `stateDir`: each batch
+  * appends a DELTA holding only the labels it added or changed, so
+  * per-batch state writes are O(batch novelty) — a batch that glues two
+  * old components rewrites the relabeled members, never the whole
+  * assignment — with a full compact folded in every `compactEvery`
+  * batches to bound the read fan-in. Reads are restricted BELOW the
+  * current batch id: a replayed batch must diff against its
+  * PREDECESSOR's assignment (diffing against its own failed delta would
+  * compute an empty delta and lose the batch's relabels when it
+  * overwrites), and the overwrite of its own directory is then
+  * idempotent.
   */
 object DedupGroupStream {
 
   private val pairSchema = StructType(Seq(
     StructField("doc_a", LongType), StructField("doc_b", LongType)))
+  private val assignSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("group_id", LongType)))
 
-  /** Latest complete state version under `stateDir`, if any. */
+  /** The current complete (doc_id, group_id) assignment under
+    * `stateDir`, if any — newest write per doc_id wins across the
+    * compact-plus-deltas chain. */
   def latestState(spark: org.apache.spark.sql.SparkSession,
-                  stateDir: String): Option[DataFrame] = {
-    val p = new Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val versions = fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
-      .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
-      .filter { case (_, path) => fs.exists(new Path(path, "_SUCCESS")) }
-    versions.sortBy(-_._1).headOption.map { case (_, path) =>
-      spark.read.parquet(path.toString)
-    }
-  }
+                  stateDir: String): Option[DataFrame] =
+    VersionedState.readKeyed(spark, stateDir, "doc_id")
 
   /** Attach the incremental-components sink to a stream of (aCol, bCol)
-    * pair rows and start it. Each micro-batch refreshes
-    * `stateDir/v<batchId>` with the full current (doc_id, group_id)
-    * assignment, then prunes versions older than the newest
-    * `retainVersions` (keeping a few for readers mid-scan of the previous
-    * version and for post-mortem diffing — without pruning the state dir
-    * grows by one full assignment copy per micro-batch forever). */
+    * pair rows and start it. */
   def attach(pairStream: DataFrame, aCol: String, bCol: String,
              stateDir: String, checkpointDir: String,
              trigger: Trigger = Trigger.AvailableNow(),
-             retainVersions: Int = 2): StreamingQuery =
+             compactEvery: Int = 8): StreamingQuery =
     pairStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -76,22 +70,29 @@ object DedupGroupStream {
         val spark = batch.sparkSession
         val fresh = batch.select(
           col(aCol).cast("long").as("doc_a"), col(bCol).cast("long").as("doc_b"))
-        val stars = latestState(spark, stateDir) match {
-          case Some(st) => st.select(col("doc_id").as("doc_a"), col("group_id").as("doc_b"))
-          case None => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairSchema)
-        }
-        val merged = TextDedup.duplicateGroups(
-          stars.union(fresh), "doc_a", "doc_b")
-        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-        val root = new Path(stateDir)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.listStatus(root).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
-          .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
-          .sortBy(-_._1)
-          .drop(math.max(1, retainVersions))
-          .foreach { case (_, p) => fs.delete(p, true) }
+        // persisted for the batch scope: the star edges AND the changed-row
+        // diff both consume the reconstructed assignment, and the CC loop
+        // inside duplicateGroups may evaluate its input more than once
+        val prev = VersionedState.readKeyed(spark, stateDir, "doc_id", Some(batchId))
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], assignSchema))
+          .persist()
+        try {
+          val stars = prev.select(
+            col("doc_id").as("doc_a"), col("group_id").as("doc_b"))
+          val merged = TextDedup.duplicateGroups(
+            stars.union(fresh), "doc_a", "doc_b")
+          if (VersionedState.shouldCompact(spark, stateDir, batchId, compactEvery))
+            VersionedState.write(merged, stateDir, batchId, compact = true)
+          else {
+            val changed = merged
+              .join(prev.withColumnRenamed("group_id", "__old"), Seq("doc_id"), "left")
+              .filter(col("__old").isNull || col("__old") =!= col("group_id"))
+              .select("doc_id", "group_id")
+            VersionedState.write(changed, stateDir, batchId, compact = false)
+          }
+        } finally prev.unpersist(false)
+        VersionedState.prune(spark, stateDir, batchId)
       }
       .start()
 }

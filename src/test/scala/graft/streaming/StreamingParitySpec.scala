@@ -199,11 +199,17 @@ class StreamingParitySpec extends SparkSpec {
     // the interesting shape really happened: both cross-batch merges landed
     got(5L) shouldBe 1L   // {1,2}+{3,4} fused in batch 2, extended in batch 3
     got(21L) shouldBe 10L // {10,11}+{20,21} fused in batch 3
-    // retention pruned old versions: 3 batches ran, default keeps 2
+    // incremental state: batch 0 anchors a compact, later batches append
+    // DELTAS holding only the labels they added or changed
     val versions = new java.io.File(stateDir).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).sorted
-    versions.length shouldBe 2
-    versions.last shouldBe "v2"
+      .filter(_.isDirectory).map(_.getName).sorted
+    versions shouldBe Array("c0", "d1", "d2")
+    // batch 2 glued {10,11}+{20,21} (relabeling 20,21) and added 5 to
+    // group 1 — its delta is exactly those 3 rows, NOT the 9-row
+    // assignment: per-batch state writes track batch novelty
+    val d2 = spark.read.parquet(s"$stateDir/d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    d2 shouldBe Map(5L -> 1L, 20L -> 10L, 21L -> 10L)
   }
 
   "AsOfStream" should "emit exactly the batch asOf rows across time-ordered micro-batches" in {
@@ -534,5 +540,21 @@ class StreamingParitySpec extends SparkSpec {
       .collect().map(_.toSeq)
     batch.exists(_(3).asInstanceOf[Long] > 0L) shouldBe true // dups really removed
     got shouldBe batch.toSeq
+    // incremental state: one anchoring compact then per-batch novelty
+    // deltas; the deltas are pairwise disjoint and their union with the
+    // compact is exactly the corpus's distinct key set — so per-batch
+    // state writes sum to |distinct keys|, instead of the
+    // sum-of-prefixes a full rewrite per batch would cost
+    val dirs = new java.io.File(stateDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    dirs.head shouldBe "c0"
+    all(dirs.tail) should startWith("d")
+    val stateRows = dirs.map(d =>
+      spark.read.parquet(s"$stateDir/$d").count()).sum
+    val distinctKeys = graft.text.TextDedup
+      .spanOccurrences(graft.text.TextDedup.spanTokenFrame(docsDf, "doc_id", "text"), 8)
+      .select("wh").distinct().count()
+    stateRows shouldBe distinctKeys
+    SpanDedupStream.latestState(spark, stateDir).get.count() shouldBe distinctKeys
   }
 }
