@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{SpanDedupStream, VersionedState}
+
+/** Dev measurement for the round-9 incremental streaming state: streams a
+  * synthetic corpus with a CONTROLLED novelty rate through
+  * [[graft.streaming.SpanDedupStream]] and reports, per micro-batch, the
+  * rows the state layer actually wrote (the delta / compact) next to what
+  * the round-8 full-rewrite design would have written (the cumulative
+  * seen-key table). The claim under test: per-batch state-write volume
+  * tracks BATCH NOVELTY, not corpus history — on a long-running stream
+  * the full-rewrite cost grows linearly with lifetime while the delta
+  * cost stays flat at the ingest rate.
+  *
+  * Corpus: `batches` json chunks of `docsPerBatch` docs each, built from
+  * [[ScaleCorpusBench.synthCorpus]]'s duplicate structure (10% exact +
+  * 10% near dups), so every batch contributes a near-identical number of
+  * novel span keys — the flat-ingest steady state.
+  *
+  * Run: `sbt "runMain graft.StreamStateBench [batches] [docsPerBatch]"`.
+  * One JSON line per batch; curves land in bench_records/.
+  */
+object StreamStateBench {
+
+  def main(args: Array[String]): Unit = {
+    val batches = args.headOption.map(_.toInt).getOrElse(12)
+    val docsPerBatch = args.lift(1).map(_.toInt).getOrElse(2000)
+    val spark = DevBench.session()
+
+    // one id-ordered json file per future micro-batch (the
+    // PackingStream/AsOfStream ordering contract)
+    val corpus = ScaleCorpusBench
+      .synthCorpus(spark, batches.toLong * docsPerBatch)
+    val srcDir = Files.createTempDirectory("graft-ssb-src")
+    val lines = corpus.orderBy("doc_id")
+      .select(to_json(struct(col("doc_id"), col("text"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(docsPerBatch).zipWithIndex.foreach { case (ls, i) =>
+      val f = srcDir.resolve(f"docs-$i%04d.json")
+      Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(srcDir.toString)
+
+    val outDir = Files.createTempDirectory("graft-ssb-out").toString
+    val stateDir = Files.createTempDirectory("graft-ssb-state").toString
+    val ckpt = Files.createTempDirectory("graft-ssb-ckpt").toString
+    // compactEvery above the batch count: every post-anchor batch writes
+    // a pure novelty delta, so the state dir IS the measurement
+    val t0 = System.nanoTime()
+    val q = SpanDedupStream.attach(stream, "doc_id", "text", outDir,
+      stateDir, ckpt, compactEvery = batches + 1)
+    q.awaitTermination(1800000)
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    // read the surviving versions: per batch, rows written (the delta)
+    // vs the cumulative table a full rewrite would have written
+    val vs = VersionedState.versions(spark, stateDir).sortBy(_.id)
+    var cumulative = 0L
+    vs.foreach { v =>
+      val rows = spark.read.parquet(v.path.toString).count()
+      cumulative += rows
+      val kind = if (v.compact) "compact" else "delta"
+      println(s"""{"op":"span_dedup_stream_state","batch":${v.id},""" +
+        s""""kind":"$kind","rows_written":$rows,""" +
+        s""""full_rewrite_rows":$cumulative}""")
+    }
+    println(s"""{"op":"span_dedup_stream","batches":$batches,""" +
+      s""""docs_per_batch":$docsPerBatch,"wall_sec":${f"$wall%.2f"}}""")
+    spark.stop()
+  }
+}
