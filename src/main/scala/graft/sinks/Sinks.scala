@@ -114,6 +114,61 @@ object Resp {
   def tsAdd(series: String, ts: Long, value: Double): Seq[String] =
     Seq("TS.ADD", series, ts.toString, value.toString)
   def tsCreate(series: String): Seq[String] = Seq("TS.CREATE", series, "RETENTION", "0")
+
+  /** A decoded RESP2 reply. Bulk(None) is the nil bulk string ($-1) a GET
+    * of a missing key returns; Arr holds SCAN/MGET results. */
+  sealed trait Reply
+  final case class Simple(s: String) extends Reply
+  final case class Err(msg: String) extends Reply
+  final case class Num(n: Long) extends Reply
+  final case class Bulk(value: Option[String]) extends Reply
+  final case class Arr(items: Seq[Reply]) extends Reply
+
+  private def readLine(in: java.io.InputStream): String = {
+    val sb = new StringBuilder
+    var prev = -1
+    while (true) {
+      val b = in.read()
+      if (b < 0) throw new RuntimeException("redis connection closed mid-reply")
+      if (prev == '\r' && b == '\n') return sb.dropRight(1).toString
+      sb.append(b.toChar)
+      prev = b
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def readExact(in: java.io.InputStream, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) throw new RuntimeException("redis connection closed mid-bulk")
+      off += r
+    }
+    buf
+  }
+
+  /** Read one complete RESP2 reply (recursing into arrays) — the decoder
+    * side of [[encode]], covering every type SCAN/GET/MGET/SET/JSON.SET
+    * can answer. */
+  def readReply(in: java.io.InputStream): Reply = readLine(in) match {
+    case l if l.startsWith("+") => Simple(l.drop(1))
+    case l if l.startsWith("-") => Err(l.drop(1))
+    case l if l.startsWith(":") => Num(l.drop(1).toLong)
+    case l if l.startsWith("$") =>
+      val n = l.drop(1).toInt
+      if (n < 0) Bulk(None)
+      else {
+        val b = readExact(in, n)
+        readExact(in, 2) // trailing CRLF
+        Bulk(Some(new String(b, StandardCharsets.UTF_8)))
+      }
+    case l if l.startsWith("*") =>
+      val n = l.drop(1).toInt
+      if (n < 0) Arr(Seq.empty)
+      else Arr(Seq.fill(n)(readReply(in)))
+    case l => throw new RuntimeException(s"unparseable RESP reply line: $l")
+  }
 }
 
 /** Redis JSON.SET sink over a raw socket (reference MainHourly.scala:
@@ -121,8 +176,9 @@ object Resp {
   * `foreachPartition`. Each put reads its FULL reply line synchronously —
   * never `available()`-drains — so replies stay aligned with commands,
   * error replies are always seen, and EOF is an error, not a silent
-  * success. Untested in the sandbox (no Redis) — the encoder and
-  * key/value shaping are covered by the file/in-memory twins. */
+  * success. Covered end-to-end against a loopback RESP server
+  * (RedisRegistrySpec's round trip); the key/value shaping also by the
+  * file/in-memory twins. */
 final class RedisKeyValueSink(host: String, port: Int = 6379) extends KeyValueSink {
   @transient private var socket: Socket = _
   @transient private var out: OutputStream = _
