@@ -57,4 +57,26 @@ object Adaptive {
     require(requested >= 0, "numRanges must be >= 1, or Adaptive.Auto (0)")
     if (requested == Auto) numRanges(rows) else requested
   }
+
+  /** Ceiling on the driver-side tables the low-cardinality-key operators
+    * ([[Percentiles.exactRankSelect]], [[RangedWindow.trailingCount]])
+    * collect — their charter is "keys fit on the driver", and this makes
+    * a charter violation a clear error instead of a driver OOM. 100k
+    * rows of (key, bounds) is a few MB; a key column that exceeds it is
+    * high-cardinality and belongs on the plain distributed window. */
+  val MaxCollectedKeys: Int = 100000
+
+  /** Collect `df` asserting it stays within [[MaxCollectedKeys]] rows:
+    * fetches at most cap + 1 rows (the limit bounds driver memory even
+    * when the input is unbounded) and fails with the operator's named
+    * alternative when the cap is hit. */
+  def boundedCollect(df: org.apache.spark.sql.DataFrame, what: String,
+                     alternative: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(MaxCollectedKeys + 1).collect()
+    if (rows.length > MaxCollectedKeys) throw new IllegalArgumentException(
+      s"$what exceeds $MaxCollectedKeys entries — this operator's charter " +
+        s"is low-cardinality keys (its per-key tables are driver-collected " +
+        s"and broadcast). For high-cardinality keys use $alternative.")
+    rows
+  }
 }

@@ -41,14 +41,19 @@ object Percentiles {
     require(quantiles.forall(q => q > 0 && q <= 1), "quantiles must be in (0, 1]")
     require(numBuckets >= 0, "numBuckets must be >= 1, or Adaptive.Auto (0)")
     // ONE keys-sized aggregate, COLLECTED (keys are low-cardinality by
-    // this operator's charter): the rows feed the bin map back as a
-    // broadcast local table — so the bounds scan never re-executes — and
-    // the largest key's count feeds the Auto bucket derivation without a
-    // second aggregation job over df.
+    // this operator's charter, and the guarded collect fetches at most
+    // cap + 1 rows, so a charter violation is a clear error, never a
+    // driver OOM): the rows feed the bin map back as a broadcast local
+    // table — so the bounds scan never re-executes — and the largest
+    // key's count feeds the Auto bucket derivation without a second
+    // aggregation job over df.
     val spark = df.sparkSession
-    val boundRows = df.groupBy(key)
-      .agg(min(value).as("__lo"), max(value).as("__hi"), count(lit(1)).as("__n"))
-      .collect()
+    val boundRows = Adaptive.boundedCollect(
+      df.groupBy(key)
+        .agg(min(value).as("__lo"), max(value).as("__hi"), count(lit(1)).as("__n")),
+      s"exactRankSelect key cardinality (column '$key')",
+      "the plain window form: row_number() over (partition by key order " +
+        "by value) against rank ceil(q*n), or approx percentile_approx")
     val nBuckets =
       if (numBuckets != Adaptive.Auto) numBuckets
       else Adaptive.numRanges(

@@ -88,12 +88,17 @@ object RangedWindow {
       .withColumn(out, count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
     val main = df.filter(t.isNotNull)
 
-    // keys × ≤numRanges arrival counts, collected; DENSE per-range
-    // offsets (dense so probe-only (key, range) combos still find their
-    // offset) prefix-summed locally — null key values ride the Rows
-    val perRange = main
-      .groupBy(keys.map(col) :+ rng(t).as("__rng"): _*)
-      .agg(count(lit(1)).as("__c")).collect()
+    // keys × ≤numRanges arrival counts, collected (guarded: fetches at
+    // most cap + 1 rows, so a high-cardinality key errors instead of
+    // OOMing the driver); DENSE per-range offsets (dense so probe-only
+    // (key, range) combos still find their offset) prefix-summed
+    // locally — null key values ride the Rows
+    val perRange = Adaptive.boundedCollect(
+      main.groupBy(keys.map(col) :+ rng(t).as("__rng"): _*)
+        .agg(count(lit(1)).as("__c")),
+      s"trailingCount keys x ranges cardinality (${keys.mkString(", ")} x $n)",
+      "the plain range window: count(*) over (partition by keys order by " +
+        "time range between -frame and current row)")
     val offRows: Seq[Row] = perRange
       .groupBy(r => keys.indices.map(r.get).toList).toSeq
       .flatMap { case (kv, rows) =>

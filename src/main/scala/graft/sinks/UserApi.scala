@@ -34,20 +34,57 @@ object UserApi {
     StructField("email", StringType),
     StructField("handicapped", BooleanType)))
 
+  /** One mut_seq counter per log directory per JVM, guarded by an
+    * exclusive cross-process file lock: mut_seq is the registry's total
+    * order, so a logDir has exactly ONE writer — two servers in one JVM
+    * share the counter (a same-process restart continues it), and a
+    * second PROCESS fails fast at start instead of silently minting
+    * colliding sequence numbers whose merge winner would be arbitrary.
+    * The lock channel is held for the JVM's lifetime (the OS releases it
+    * on exit, crash included). */
+  private val writers =
+    scala.collection.concurrent.TrieMap.empty[String, AtomicLong]
+
+  private def ownSequence(spark: SparkSession, logDir: String): AtomicLong = {
+    val canonical = java.nio.file.Paths.get(logDir)
+      .toAbsolutePath.normalize.toString
+    writers.getOrElseUpdate(canonical, {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(canonical))
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(canonical, ".writer.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      // tryLock: null when another PROCESS holds it, throws when another
+      // channel in THIS JVM does (a writer opened outside this registry)
+      val lock = try ch.tryLock() catch {
+        case _: java.nio.channels.OverlappingFileLockException => null
+      }
+      if (lock == null) {
+        ch.close()
+        throw new IllegalStateException(
+          s"log dir $canonical is owned by another writer — a registry " +
+            "log has a single writer (mut_seq is its total order)")
+      }
+      new AtomicLong(
+        UserRegistry.readLog(spark, canonical)
+          .agg(org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.max("mut_seq"),
+            org.apache.spark.sql.functions.lit(0L)))
+          .head().getLong(0) + 1)
+    })
+  }
+
   /** Start the CRUD server over `base` with mutations logged to
     * `logDir`. `clock` supplies "now" in epoch seconds (injectable for
     * tests); `mut_seq` continues from the largest already in the log, so
-    * a restarted server keeps the total order. */
+    * a restarted server keeps the total order. A logDir is single-writer
+    * (see [[ownSequence]]): starting against a dir owned by another
+    * process throws. */
   def start(spark: SparkSession, base: DataFrame, logDir: String,
             port: Int = 0, maxLimit: Int = 10000,
             bindAddress: String = "127.0.0.1",
             clock: () => Long = () => System.currentTimeMillis() / 1000): HttpServer = {
-    val seq = new AtomicLong(
-      UserRegistry.readLog(spark, logDir)
-        .agg(org.apache.spark.sql.functions.coalesce(
-          org.apache.spark.sql.functions.max("mut_seq"),
-          org.apache.spark.sql.functions.lit(0L)))
-        .head().getLong(0) + 1)
+    val seq = ownSequence(spark, logDir)
     def registry: DataFrame =
       UserRegistry.view(base, UserRegistry.readLog(spark, logDir), clock())
 
@@ -99,6 +136,14 @@ object UserApi {
           (parseUsers(body), ttl) match {
             case (_, Some(None)) =>
               respond(ex, 400, s"""{"error":"ttl must be an integer"}""")
+            case (_, Some(_)) if sub != "tmp" =>
+              // honoring it silently on a PERMANENT create would be a
+              // surprise either way — reject instead of dropping it
+              respond(ex, 400, s"""{"error":"ttl only applies to POST /account/tmp"}""")
+            case (_, Some(Some(t))) if t <= 0 =>
+              // a non-positive ttl creates an already-expired user that
+              // immediately 404s — a caller bug, not a valid request
+              respond(ex, 400, s"""{"error":"ttl must be > 0 seconds"}""")
             case (Left(err), _) =>
               respond(ex, 400, s"""{"error":${jsonStr(err)}}""")
             case (Right(users), _) if sub == "" && users.length != 1 =>

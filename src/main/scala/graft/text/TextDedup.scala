@@ -72,8 +72,14 @@ object TextDedup {
     * occurring ≥ `minCount` times across the CORPUS (within-document
     * repeats included) marks a duplicated span, and every occurrence
     * EXCEPT the canonical minimum-(doc, position) one is removed from its
-    * document — one copy of every span survives, so no content is lost,
-    * only repetition. Output, one row per input document:
+    * document. Each WINDOW keeps its canonical occurrence, but removal is
+    * a coverage-union over positions, so when DISTINCT duplicated windows
+    * overlap, a keeper occurrence's tokens can still fall inside another
+    * window's removal span — cross-overlap cases may erase every textual
+    * copy of a run (the oracle and the suffix-array literature's
+    * remove-all-but-first variants share this property; callers needing a
+    * hard no-content-loss guarantee should re-inject the keeper from the
+    * occurrence index). Output, one row per input document:
     * (doc_id, n_tokens, n_dup_spans, n_removed, cleaned_text).
     *
     * Scale shape (the reason this is three narrow shuffles at any corpus
@@ -133,9 +139,13 @@ object TextDedup {
   def spanScrub(df: DataFrame, benchmark: DataFrame,
                 idCol: String, textCol: String, spanK: Int = 8): DataFrame = {
     val tok = spanTokenFrame(df, idCol, textCol)
-    val benchKeys = spanOccurrences(
+    // explicit broadcast, not a size-estimate gamble: the no-corpus-
+    // shuffle property above must hold even when the benchmark's distinct
+    // keys exceed autoBroadcastJoinThreshold's estimate — one column of
+    // longs broadcasts fine far past the 10 MB default
+    val benchKeys = broadcast(spanOccurrences(
         spanTokenFrame(benchmark, idCol, textCol), spanK)
-      .select("wh").distinct()
+      .select("wh").distinct())
     val starts = spanOccurrences(tok, spanK)
       .join(benchKeys, Seq("wh"))
       .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("starts"))

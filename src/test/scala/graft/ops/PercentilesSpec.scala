@@ -59,4 +59,17 @@ class PercentilesSpec extends SparkSpec {
     val df = Seq.empty[(String, Long)].toDF("k", "v")
     Percentiles.exactRankSelect(df, "k", "v", Qs).count() shouldBe 0L
   }
+
+  it should "fail loudly (not OOM) on a high-cardinality key column" in {
+    // the charter is low-cardinality keys; the guard fetches at most
+    // cap + 1 bound rows, so this errors in bounded memory naming the
+    // plain-window alternative instead of collecting 150k rows silently
+    val big = spark.range(150000L)
+      .select(col("id").as("k"), col("id").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Percentiles.exactRankSelect(big, "k", "v", Seq(0.5))
+    }
+    e.getMessage should include("low-cardinality")
+    e.getMessage should include("row_number()")
+  }
 }

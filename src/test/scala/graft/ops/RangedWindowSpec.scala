@@ -107,4 +107,16 @@ class RangedWindowSpec extends SparkSpec {
     assert(planStr.contains("__rng"), "window should partition by (keys, __rng)")
     canon(ranged) shouldBe canon(naive(df, 60L))
   }
+
+  it should "fail loudly (not OOM) on a high-cardinality key column" in {
+    // keys x ranges must fit the driver; the guard fetches at most
+    // cap + 1 offset rows and errors naming the plain range window
+    val big = spark.range(150000L).select(
+      col("id").as("key"), col("id").as("t"), col("id").as("id"))
+    val e = intercept[IllegalArgumentException] {
+      RangedWindow.trailingCount(big, Seq("key"), "t", 10L, 1, "c")
+    }
+    e.getMessage should include("low-cardinality")
+    e.getMessage should include("range between")
+  }
 }

@@ -87,6 +87,15 @@ class UserApiSpec extends SparkSpec {
         """{"u_plate":"P-a","username":"a","email":"a","handicapped":false}
           |{"u_plate":"P-b","username":"b","email":"b","handicapped":false}""".stripMargin))
         ._1 shouldBe 400
+      // non-positive ttl would create an already-expired (instant-404)
+      // user; ttl on a PERMANENT create would be silently dropped — both
+      // are caller bugs and both reject
+      val tmpUser = """{"u_plate":"P-x","username":"x","email":"x","handicapped":false}"""
+      req("POST", s"$root/account/tmp?ttl=0", Some(tmpUser))._1 shouldBe 400
+      req("POST", s"$root/account/tmp?ttl=-5", Some(tmpUser))._1 shouldBe 400
+      req("POST", s"$root/account?ttl=50", Some(tmpUser))._1 shouldBe 400
+      req("POST", s"$root/account/bulk?ttl=50", Some(tmpUser))._1 shouldBe 400
+      req("GET", s"$root/account/P-x")._1 shouldBe 404 // none of those landed
     } finally server.stop(0)
 
     // durability: a NEW server over the same log dir sees the same state
@@ -101,6 +110,22 @@ class UserApiSpec extends SparkSpec {
         ._1 shouldBe 201
       req("GET", s"$root/account/P-9")._2 should include("after@x.io")
     } finally server2.stop(0)
+  }
+
+  it should "refuse to start over a log dir another writer owns" in {
+    // a foreign writer (here: a raw channel lock standing in for another
+    // process) owns the dir — starting a server against it must fail
+    // fast, not mint colliding mut_seq values
+    val logDir = Files.createTempDirectory("graft-lockedlog")
+    val ch = java.nio.channels.FileChannel.open(
+      logDir.resolve(".writer.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      an[IllegalStateException] should be thrownBy
+        UserApi.start(spark, base, logDir.toString)
+    } finally { lock.release(); ch.close() }
   }
 
   "UserRegistry.compactInto" should "fold the log into a snapshot that serves the same registry" in {
