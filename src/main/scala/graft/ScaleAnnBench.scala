@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   * without its quality price.
   *
   * Synthetic on purpose (the sf dirs stop at 5 000 vectors): vectors are
-  * the same Knuth-multiplicative lattice the LSH planes use
-  * ([[graft.functions.AnnPrims.plane]]) — deterministic, no RNG state,
-  * any engine can rebuild them. 20 fixed queries (vec_id < 20), k = 5.
+  * Murmur3-hashed per (id, coordinate) — deterministic, no RNG state, and
+  * deliberately NOT the Knuth lattice [[graft.functions.AnnPrims.plane]]
+  * uses: the round-8 generator shared the planes' lattice, which
+  * correlated corpus and planes so badly that every rung hit ≤23 sign
+  * buckets and reported recall 1.000 — a degenerate testbed for exactly
+  * the occupancy/recall questions this harness exists to answer.
+  * 20 fixed queries (vec_id < 20), k = 5.
   *
   * Run: `sbt "runMain graft.ScaleAnnBench"` (or pass vector counts).
   * One JSON line per (op, size); curves land in bench_records/.
@@ -26,7 +30,7 @@ object ScaleAnnBench {
   def synthEmbeddings(spark: SparkSession, n: Long, dim: Int = 64): DataFrame =
     spark.range(n).select(col("id").as("vec_id"),
       expr(s"transform(sequence(0, ${dim - 1}), d -> " +
-        s"CAST((pmod(id * $dim + d, 1000000007) * 2654435761 % 1000000007) / 1e9 - 0.5 AS FLOAT))")
+        s"CAST(pmod(hash(id, d), 1000003) / 1000003.0 - 0.5 AS FLOAT))")
         .as("embedding"))
 
   private def recall(exact: DataFrame, approx: DataFrame): Double = {
@@ -64,8 +68,20 @@ object ScaleAnnBench {
       }
       val rLsh = recall(exact, lsh)
       val rIvf = recall(exact, ivf)
+      // adaptive-plane bucket occupancy: with lshPlanes(n) the expected
+      // members per bucket must stay ~flat across rungs (a fixed plane
+      // count would grow it linearly — the round-8 parameter bound)
+      val planes = graft.ops.Adaptive.lshPlanes(n)
+      val occ = emb.select(graft.functions.AnnPrims
+          .signBucket(col("embedding"), 0, planes).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("c"))
+        .agg(max("c").as("mx"), avg("c").as("av"), count(lit(1)).as("nb"))
+        .head()
       println(f"""{"op":"knn_bruteforce","vecs":$n,"sec":$tBf%.2f,"recall":1.0}""")
       println(f"""{"op":"knn_lsh","vecs":$n,"sec":$tLsh%.2f,"recall":$rLsh%.3f}""")
+      println(f"""{"op":"lsh_occupancy","vecs":$n,"planes":$planes,""" +
+        f""""buckets_hit":${occ.getLong(2)},"max_bucket":${occ.getLong(0)},""" +
+        f""""avg_bucket":${occ.getDouble(1)}%.1f}""")
       println(f"""{"op":"knn_ivf_auto","vecs":$n,"sec":$tIvf%.2f,"recall":$rIvf%.3f}""")
       exact.unpersist(false); lsh.unpersist(false); ivf.unpersist(false)
       emb.unpersist(false)

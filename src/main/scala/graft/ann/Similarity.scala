@@ -55,16 +55,24 @@ object Similarity {
   /** Approximate cosine top-k: compare only vectors in the same
     * random-hyperplane sign bucket (2^nPlanes buckets). Queries whose
     * bucket holds fewer than k neighbors return fewer rows — the standard
-    * IVF/LSH recall trade. */
+    * IVF/LSH recall trade. `nPlanes` defaults to
+    * [[graft.ops.Adaptive.Auto]]: derived from the corpus count so bucket
+    * occupancy (and with it the candidate join's volume) stays bounded as
+    * the corpus grows, instead of growing linearly under a fixed plane
+    * count. The derivation's floor IS the historical 8 below ~16k
+    * vectors, so the oracle-pinned p22/p58 results are unchanged at test
+    * scale; explicit values behave as before. */
   def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
-             queryPred: Column, k: Int = 5, nPlanes: Int = 8,
+             queryPred: Column, k: Int = 5,
+             nPlanes: Int = graft.ops.Adaptive.Auto,
              dim: Int = 64): DataFrame = {
+    val planes = resolvePlanes(emb, nPlanes)
     val bucketed = emb.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("ne"),
-      signBucket(col(vecCol), 0, nPlanes, dim).as("bucket"))
+      signBucket(col(vecCol), 0, planes, dim).as("bucket"))
     val q = emb.filter(queryPred).select(
       col(idCol).as("query_id"), col(vecCol).as("qe"),
-      signBucket(col(vecCol), 0, nPlanes, dim).as("bucket"))
+      signBucket(col(vecCol), 0, planes, dim).as("bucket"))
     val cands = bucketed.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("sim"))
@@ -105,6 +113,14 @@ object Similarity {
     require(nCells >= 0, "nCells must be >= 1, or Adaptive.Auto (0)")
     if (nCells == graft.ops.Adaptive.Auto) graft.ops.Adaptive.ivfCells(emb.count())
     else nCells
+  }
+
+  /** `nPlanes` verbatim, or the bucket-occupancy derivation on the
+    * default [[graft.ops.Adaptive.Auto]] path (one columnar count). */
+  private def resolvePlanes(emb: DataFrame, nPlanes: Int): Int = {
+    require(nPlanes >= 0, "nPlanes must be >= 1, or Adaptive.Auto (0)")
+    if (nPlanes == graft.ops.Adaptive.Auto) graft.ops.Adaptive.lshPlanes(emb.count())
+    else nPlanes
   }
 
   /** The `nCells` lowest-id vectors as a coarse quantizer — deterministic

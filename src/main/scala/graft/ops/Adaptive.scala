@@ -51,6 +51,28 @@ object Adaptive {
     math.min(cap.toLong, math.max(floor.toLong, want)).toInt
   }
 
+  /** Expected members per sign-LSH bucket the plane derivation targets:
+    * small enough that a bucket's candidate scan is trivial, large enough
+    * that k=5 neighbors plausibly share it. */
+  val LshBucketRows: Long = 64L
+
+  /** Sign-LSH plane count by bucket occupancy: 2^planes buckets hold
+    * ~[[LshBucketRows]] expected members each, so per-bucket candidate
+    * work stays bounded as the corpus grows (a FIXED plane count lets
+    * occupancy — and the candidate join — grow linearly with n, the
+    * round-8 noted parameter bound). Floor 8 is the historical constant:
+    * every corpus below ~16k vectors derives exactly it, keeping the
+    * oracle-pinned p22/p58 rows stable at test scale; the cap bounds the
+    * per-row hashing work (and past 2^20 buckets even 100M vectors sit
+    * at ~100 per bucket). Result-affecting past the floor, like
+    * [[ivfCells]] — the recall trade is pinned by p58's oracle row. */
+  def lshPlanes(rows: Long, floor: Int = 8, cap: Int = 20): Int = {
+    require(floor >= 1 && cap >= floor, "need 1 <= floor <= cap")
+    val want = math.ceil(
+      math.log(math.max(1.0, rows.toDouble / LshBucketRows)) / math.log(2.0)).toLong
+    math.min(cap.toLong, math.max(floor.toLong, want)).toInt
+  }
+
   /** `requested` verbatim, or the derived range count when the caller
     * left it [[Auto]]. Negative values are a caller bug. */
   def resolveRanges(requested: Int, rows: Long): Int = {

@@ -74,4 +74,23 @@ class AdaptiveWiringSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(2), Option(r.get(3)))).sortBy(t => (t._1, t._2))
     gotSample shouldBe plain
   }
+
+  "lshPlanes" should "hold the historical 8 at test scale and bound bucket occupancy past it" in {
+    // the floor IS the round-7/8 constant: every sf dir's embedding
+    // count (500–2000) derives exactly 8, so p22/p58's oracle-pinned
+    // rows are unchanged by the adaptive default
+    Adaptive.lshPlanes(500L) shouldBe 8
+    Adaptive.lshPlanes(2000L) shouldBe 8
+    Adaptive.lshPlanes(16000L) shouldBe 8
+    // past the floor: expected occupancy n / 2^planes stays within
+    // [LshBucketRows/2, LshBucketRows] until the cap
+    for (n <- Seq(100000L, 1000000L, 50000000L)) {
+      val p = Adaptive.lshPlanes(n)
+      val expOcc = n.toDouble / (1L << p)
+      assert(expOcc <= Adaptive.LshBucketRows.toDouble,
+        s"n=$n planes=$p occ=$expOcc")
+      assert(expOcc > Adaptive.LshBucketRows / 2.0, s"n=$n planes=$p occ=$expOcc")
+    }
+    Adaptive.lshPlanes(1000000000L) shouldBe 20 // capped
+  }
 }
