@@ -48,6 +48,31 @@ object ScaleCorpusBench {
         " ").as("text"))
   }
 
+  /** Web-shaped twin of [[synthCorpus]]: same duplicate structure and
+    * lengths, but tokens drawn ZIPFIAN from a 50 000-word vocabulary
+    * (rank = floor(V^u) for uniform u — P(rank) ∝ 1/rank, the standard
+    * log-uniform inverse-CDF) instead of uniformly from 5 000. Real text
+    * is Zipfian; the uniform corpus inflates mid-frequency n-gram df
+    * (every token equally common → every trigram moderately common),
+    * making df-capped operators look pessimistic and the cap's effect
+    * unrealistic. The ladder runs BOTH so the 100× numbers bracket real
+    * data (round-8 verdict item 7). */
+  def synthCorpusZipf(spark: SparkSession, n: Long,
+                      vocab: Int = 50000): DataFrame = {
+    val seed = when(pmod(col("id"), lit(10)).isin(7, 8),
+      expr("(id div 10) * 10")).otherwise(col("id")).cast("long")
+    val perturb = pmod(col("id"), lit(10)) === 8
+    spark.range(n).select(col("id").as("doc_id"),
+        seed.as("__s"), perturb.as("__p"))
+      .select(col("doc_id"), array_join(expr(
+        // uniform u ∈ (0,1) from the token's hash; rank = floor(V^u)
+        "transform(sequence(0, 49 + pmod(hash(__s), 100)), k -> " +
+          s"concat('z', CAST(CAST(pow($vocab.0, " +
+          "(pmod(hash(__s * 1000003L + k), 1000000) + 0.5) / 1000000.0) AS BIGINT) AS STRING)) || " +
+          "IF(__p AND k % 17 = 3, concat('x', CAST(pmod(hash(doc_id * 31L + k), 99989) AS STRING)), ''))"),
+        " ").as("text"))
+  }
+
   /** Synthetic pair graph with controlled component structure: per
     * 100-edge block, edges 1–89 star onto the block hub, 90–98 chain off
     * the star's rim, and edge 99 glues the block's hub to the NEXT
@@ -80,20 +105,51 @@ object ScaleCorpusBench {
     import graft.text.{TextCuration, TextDedup}
 
     for (n <- docSizes) {
-      val corpus = synthCorpus(spark, n).persist()
-      corpus.count()
-      val exact = time(mat(TextDedup.exactDedup(corpus, "doc_id", "text")))
-      val minhash = time(mat(TextDedup.minhashNearDup(corpus, "doc_id", "text")))
-      val ngramCap = time(mat(TextDedup.ngramJaccardPairs(
-        corpus, "doc_id", "text", TextDedup.MaxDf(64))))
-      val packing = time(mat(TextCuration.sequencePacking(corpus, "doc_id", "text")))
-      val span = time(mat(TextDedup.spanDedup(corpus, "doc_id", "text")))
-      corpus.unpersist(false)
-      println(s"""{"op":"exact_dedup","docs":$n,"sec":${f"$exact%.2f"}}""")
-      println(s"""{"op":"minhash_neardup","docs":$n,"sec":${f"$minhash%.2f"}}""")
-      println(s"""{"op":"ngram_jaccard_df64","docs":$n,"sec":${f"$ngramCap%.2f"}}""")
-      println(s"""{"op":"sequence_packing","docs":$n,"sec":${f"$packing%.2f"}}""")
-      println(s"""{"op":"span_dedup","docs":$n,"sec":${f"$span%.2f"}}""")
+      for ((cname, gen) <- Seq(
+          "uniform5k" -> synthCorpus(spark, n),
+          "zipf50k" -> synthCorpusZipf(spark, n))) {
+        val corpus = gen.persist()
+        corpus.count()
+        def report(op: String, sec: Double): Unit = println(
+          s"""{"op":"$op","corpus":"$cname","docs":$n,"sec":${f"$sec%.2f"}}""")
+        report("exact_dedup",
+          time(mat(TextDedup.exactDedup(corpus, "doc_id", "text"))))
+        report("minhash_neardup",
+          time(mat(TextDedup.minhashNearDup(corpus, "doc_id", "text"))))
+        report("ngram_jaccard_df64", time(mat(TextDedup.ngramJaccardPairs(
+          corpus, "doc_id", "text", TextDedup.MaxDf(64)))))
+        report("sequence_packing",
+          time(mat(TextCuration.sequencePacking(corpus, "doc_id", "text"))))
+        report("span_dedup",
+          time(mat(TextDedup.spanDedup(corpus, "doc_id", "text"))))
+        // round-9 additions (r8 verdict item 6): the p88/p89/p90 family.
+        // span scrub: benchmark = every 20th doc (~5%), the held-out-set
+        // shape; novelty: the fused p88 query (train split inside)
+        report("span_scrub", time(mat(TextDedup.spanScrub(
+          corpus, corpus.filter(pmod(col("doc_id"), lit(20)) === 0),
+          "doc_id", "text"))))
+        report("bigram_novelty",
+          time(mat(graft.text.TextStats.bigramNovelty(corpus, "doc_id", "text"))))
+        // representative (p89): time the NEW stage — the argmax riding
+        // the group shuffle — over precomputed groups/quality, so the
+        // figure isn't dominated by the already-laddered simhash+CC
+        val groups = TextDedup.duplicateGroups(
+          TextDedup.simhashNearDup(corpus, "doc_id", "text"),
+          "doc_a", "doc_b").persist()
+        val quality = graft.text.TextStats.stats(corpus, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("quality_score")).persist()
+        groups.count(); quality.count()
+        report("group_representative", time(mat(
+          groups.join(quality, Seq("doc_id"))
+            .groupBy("group_id")
+            .agg(count(lit(1)).as("group_size"),
+              max(struct(col("quality_score"), (-col("doc_id")).as("neg"),
+                col("doc_id"))).as("best"))
+            .select(col("group_id"), col("best.doc_id").as("rep_id"),
+              col("group_size")))))
+        groups.unpersist(false); quality.unpersist(false)
+        corpus.unpersist(false)
+      }
     }
 
     // CC: 1M / 10M edges take the single-task union-find path (≤ the 10M
