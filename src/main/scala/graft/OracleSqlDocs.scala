@@ -160,10 +160,13 @@ object OracleSqlDocs {
        |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
        |), th AS (SELECT id, list_transform(t, tok -> ${hash("tok")}) AS h FROM toks),
        |sigs AS (SELECT id, $simhashExpr AS sig FROM th),
-       |bands AS (
+       |bands0 AS (
        |  SELECT id, sig, r.band AS band, (sig >> (r.band*15)) % 32768 AS bucket
        |  FROM sigs, range(0, 2) r(band)
        |),
+       |bsize AS (SELECT band, bucket FROM bands0 GROUP BY band, bucket
+       |          HAVING count(*) <= ${graft.text.TextDedup.DefaultMaxBucket}),
+       |bands AS (SELECT bands0.* FROM bands0 JOIN bsize USING (band, bucket)),
        |cand AS (
        |  SELECT DISTINCT a.id AS da, a.sig AS sa, b.id AS db, b.sig AS sb
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
@@ -331,12 +334,15 @@ object OracleSqlDocs {
          |      (((j*2+1)*2654435761 % $P) * x + ((j*40503+17) % $P)) % $P))) AS sig
          |  FROM shn
          |),
-         |bands AS (
+         |bands0 AS (
          |  SELECT id, r.band AS band,
          |    list_reduce(list_prepend(CAST(7 AS BIGINT), sig[r.band*4+1 : r.band*4+4]),
          |                (a, v) -> (a*31 + v) % $P) AS bucket
          |  FROM sigs, range(0, 8) r(band)
          |),
+         |bsize AS (SELECT band, bucket FROM bands0 GROUP BY band, bucket
+         |          HAVING count(*) <= ${graft.text.TextDedup.DefaultMaxBucket}),
+         |bands AS (SELECT bands0.* FROM bands0 JOIN bsize USING (band, bucket)),
          |cand AS (
          |  SELECT DISTINCT a.id AS da, b.id AS db
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id

@@ -229,15 +229,30 @@ object TextDedup {
       .filter(size(col("sh")) > 0)
       .repartition(col("id"))
 
+  /** Band buckets holding more than this many documents are skipped by
+    * the banded pair miners ([[minhashNearDup]], [[simhashNearDup]]).
+    * A bucket of m members contributes m² candidate pairs INSIDE ONE
+    * TASK (the join key is the bucket), so one hot bucket serializes the
+    * whole job — the round-9 Zipfian ladder caught minhash 30+ minutes
+    * single-core at the 50k rung because one common low-hash shingle won
+    * the argmin for thousands of documents. A 1000-member bucket under a
+    * 0.8-similarity target is ~all false positives (members share one
+    * common feature, not 80% of them), so skipping trades ~nothing for
+    * the m² bound; the DuckDB twins mirror the cap with this constant,
+    * so parity holds wherever it bites. */
+  val DefaultMaxBucket: Int = 1000
+
   /** Near-duplicate pairs via MinHash + LSH banding, verified with the exact
     * Jaccard on the shingle sets. `numHashes` minhashes in `bands` bands:
     * documents colliding in ≥1 band become candidates; candidates below
     * `minJaccard` are discarded by the exact check, so the only
-    * approximation is possible false negatives from banding.
-    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b. */
+    * approximation is possible false negatives from banding (including
+    * members of buckets above `maxBucket`, skipped — see
+    * [[DefaultMaxBucket]]). Output: (doc_a, doc_b, jaccard), doc_a < doc_b. */
   def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                     minJaccard: Double = 0.8): DataFrame = {
+                     minJaccard: Double = 0.8,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val r = numHashes / bands
     val docs = shingleFrame(df, idCol, textCol, shingleK)
     // banded (id, band, bucket) only — 3 small columns; the shingle sets
@@ -254,7 +269,14 @@ object TextDedup {
           struct(lit(bi).as("band"), bandSig(col("sig"), bi, r).as("bucket"))): _*))
           .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val candidates = bandsDf.as("a").join(bandsDf.as("b"), Seq("band", "bucket"))
+    // hot-bucket cap: the size aggregate has map-side partials (no skew),
+    // and the join against the surviving bucket list drops a hot bucket's
+    // m rows BEFORE they can meet as m² pairs in one task
+    val eligible = bandsDf.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__m")).filter(col("__m") <= maxBucket)
+      .select("band", "bucket")
+    val capped = bandsDf.join(eligible, Seq("band", "bucket"))
+    val candidates = capped.as("a").join(capped.as("b"), Seq("band", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
@@ -555,9 +577,14 @@ object TextDedup {
     * with ≤1 differing bit shares at least one half, so recall is exact at
     * the default threshold; wider thresholds trade recall for candidate
     * volume — the standard banded-SimHash trade).
+    * Buckets above `maxBucket` members are skipped ([[DefaultMaxBucket]]
+    * — m² probe work lands in one task; a hot 15-bit bucket means m
+    * near-identical signatures, which the exact-dedup pass upstream of
+    * any near-dup mining already collapses).
     * Output: (doc_a, doc_b, hamming). */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 1): DataFrame = {
+                     maxHamming: Int = 1,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // sig behind a barrier: it feeds both band expressions and rides to
     // the hamming check, and must be computed once per row. The repartition
     // materializes the 16-byte (id, sig) layer as one shuffle stage both
@@ -566,11 +593,17 @@ object TextDedup {
     val sigs = Barrier.once(tokenHashFrame(df, idCol, textCol), Seq("id"),
       "sig" -> simhashSig(col("th"), SimhashBits))
       .repartition(col("id"))
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded0 = sigs.select(col("id"), col("sig"),
       explode(array((0 until 2).map(bi =>
         struct(lit(bi).as("band"), (shiftright(col("sig"), bi * 15) % 32768L).as("bucket"))): _*))
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // hot-bucket cap (the minhashNearDup pattern): partial-agg sizes, then
+    // drop hot buckets' rows before they meet as m² probe pairs
+    val eligible = banded0.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__m")).filter(col("__m") <= maxBucket)
+      .select("band", "bucket")
+    val banded = banded0.join(eligible, Seq("band", "bucket"))
     val a = banded.select(col("band"), col("bucket"), col("id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
