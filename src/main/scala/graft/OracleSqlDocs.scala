@@ -177,12 +177,15 @@ object OracleSqlDocs {
     * component closure so the two cannot drift apart. */
   private val embPairCtes: String =
     s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-       |bk AS (
+       |bk0 AS (
        |  SELECT vec_id, e, 0 AS tbl, ${bucket("e", 0, 4)} AS bucket FROM v
        |  UNION ALL SELECT vec_id, e, 1, ${bucket("e", 4, 4)} FROM v
        |  UNION ALL SELECT vec_id, e, 2, ${bucket("e", 8, 4)} FROM v
        |  UNION ALL SELECT vec_id, e, 3, ${bucket("e", 12, 4)} FROM v
        |),
+       |bksize AS (SELECT tbl, bucket FROM bk0 GROUP BY tbl, bucket
+       |           HAVING count(*) <= ${graft.text.TextDedup.DefaultMaxBucket}),
+       |bk AS (SELECT bk0.* FROM bk0 JOIN bksize USING (tbl, bucket)),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
        |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id

@@ -241,14 +241,33 @@ object Similarity {
     * embeddings never shuffle at all. Nothing is persisted. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    minSim: Double = 0.4, tables: Int = 4,
-                   planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
+                   planesPerTable: Int = graft.ops.Adaptive.Auto,
+                   dim: Int = 64,
+                   maxBucket: Int = graft.text.TextDedup.DefaultMaxBucket)
+      : DataFrame = {
+    // planes per table default-derive from the corpus count (floor 4 =
+    // the historical constant, unchanged below ~1k vectors, so the
+    // oracle-pinned p23/p59 rows are stable at test scale): with a FIXED
+    // 4-plane (16-bucket) table, every bucket is hot by construction at
+    // ≥1M vectors. The bucket cap is the banded-miner hot-bucket bound
+    // (see TextDedup.DefaultMaxBucket) — embedding clusters make hot
+    // sign-buckets on real data, and the OR-construction across tables
+    // keeps recall where one table's bucket is skipped.
+    val ppt =
+      if (planesPerTable == graft.ops.Adaptive.Auto)
+        graft.ops.Adaptive.lshPlanes(emb.count(), floor = 4, cap = 20)
+      else planesPerTable
     val v = emb.select(col(idCol).as("id"), col(vecCol).as("e"))
-    val banded = emb.select(col(idCol).as("id"),
+    val banded0 = emb.select(col(idCol).as("id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
-          signBucket(col(vecCol), t * planesPerTable, planesPerTable, dim).as("bucket"))): _*))
+          signBucket(col(vecCol), t * ppt, ppt, dim).as("bucket"))): _*))
         .as("bb"))
       .select(col("id"), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+    val eligible = banded0.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("__m")).filter(col("__m") <= maxBucket)
+      .select("tbl", "bucket")
+    val banded = banded0.join(eligible, Seq("tbl", "bucket"))
     val pairs = banded.as("a").join(banded.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
