@@ -33,6 +33,40 @@ class ScaleCorpusSynthSpec extends SparkSpec {
     c.unpersist()
   }
 
+  "synthCorpusZipf" should "be Zipf-shaped with the same duplicate structure, and the capped miner must still find its near-dups" in {
+    val c = ScaleCorpusBench.synthCorpusZipf(spark, 1000L).cache()
+    c.count() shouldBe 1000L
+    c.agg(countDistinct(col("text"))).head().getLong(0) shouldBe 900L
+    // Zipf shape: the single most frequent token carries a constant
+    // FRACTION of all tokens (≈ 1/ln V ≈ 9% at V = 50k) — the property
+    // that creates hot shingles; a uniform vocabulary gives ~0.02%
+    val tok = c.select(explode(split(col("text"), " ")).as("t"))
+      .filter(org.apache.spark.sql.functions.length(col("t")) > 0)
+    val total = tok.count().toDouble
+    val topShare = tok.groupBy("t").count()
+      .orderBy(col("count").desc).limit(1).head().getLong(1) / total
+    topShare should be > 0.05
+    // the hot-bucket cap must not cost the miner its real pairs on the
+    // Zipf corpus. Exact copies (x0, x7) share every band bucket and
+    // sit at jaccard 1.0 — all 100 must be found; the (x0, x8) near
+    // dups sit near shingle-jaccard ~0.7 (every 17th token replaced
+    // corrupts 3 shingles each), where 8-band x 4-row banding's
+    // theoretical recall is 1 - (1 - J^4)^8 ~ 0.89 - mine at a 0.5
+    // threshold and require the found fraction within that theory's
+    // reach (>= 0.75 leaves room for repeated-token shingle-set
+    // shrinkage pushing J below 0.7; measured 0.83 on this corpus)
+    val pairs = graft.text.TextDedup
+      .minhashNearDup(c, "doc_id", "text", minJaccard = 0.5).cache()
+    pairs.filter(col("doc_b") - col("doc_a") === 7 &&
+      pmod(col("doc_a"), lit(10)) === 0 && col("jaccard") === 1.0)
+      .count() shouldBe 100L
+    val near = pairs.filter(col("doc_b") - col("doc_a") === 8 &&
+      pmod(col("doc_a"), lit(10)) === 0).count()
+    near.toDouble / 100.0 should be >= 0.75
+    pairs.unpersist()
+    c.unpersist()
+  }
+
   "synthEdges" should "produce ~1000-node components whose count scales with n" in {
     val groups = graft.text.TextDedup.duplicateGroups(
       ScaleCorpusBench.synthEdges(spark, 100000L), "doc_a", "doc_b")
