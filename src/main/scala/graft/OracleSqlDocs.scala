@@ -172,6 +172,39 @@ object OracleSqlDocs {
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
        |)""".stripMargin
 
+  /** The p14 MinHash-LSH chain, parameterized by the band-bucket cap so
+    * the default-cap (p14) and cap-biting (p91) rows share one body and
+    * cannot drift. */
+  private def minhashSql(maxBucket: Int): String = shingleCtes +
+    s""",
+       |sigs AS (
+       |  SELECT id, sh, list_transform(range(0, 32), j ->
+       |    list_min(list_transform(sh, x ->
+       |      (((j*2+1)*2654435761 % $P) * x + ((j*40503+17) % $P)) % $P))) AS sig
+       |  FROM shn
+       |),
+       |bands0 AS (
+       |  SELECT id, r.band AS band,
+       |    list_reduce(list_prepend(CAST(7 AS BIGINT), sig[r.band*4+1 : r.band*4+4]),
+       |                (a, v) -> (a*31 + v) % $P) AS bucket
+       |  FROM sigs, range(0, 8) r(band)
+       |),
+       |bsize AS (SELECT band, bucket FROM bands0 GROUP BY band, bucket
+       |          HAVING count(*) <= $maxBucket),
+       |bands AS (SELECT bands0.* FROM bands0 JOIN bsize USING (band, bucket)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS da, b.id AS db
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+       |),
+       |ver AS (
+       |  SELECT da, db, len(list_intersect(x.sh, y.sh)) AS i,
+       |         len(x.sh) AS na, len(y.sh) AS nb
+       |  FROM cand JOIN shn x ON da = x.id JOIN shn y ON db = y.id
+       |)
+       |SELECT da AS doc_a, db AS doc_b, CAST(i AS DOUBLE)/(na + nb - i) AS jaccard
+       |FROM ver WHERE CAST(i AS DOUBLE)/(na + nb - i) >= CAST(0.8 AS DOUBLE)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** The p23 multi-table-LSH embedding near-dup chain up to `sims`
     * (candidate pairs with exact cosine) — shared by p23 and the p59
     * component closure so the two cannot drift apart. */
@@ -329,35 +362,12 @@ object OracleSqlDocs {
          |            THEN CAST(per.n_oov AS DOUBLE) / per.n_bigrams END AS oov_rate
          |FROM documents d LEFT JOIN per ON d.doc_id = per.id ORDER BY d.doc_id""".stripMargin,
 
-    "p14_minhash_neardup" -> (shingleCtes +
-      s""",
-         |sigs AS (
-         |  SELECT id, sh, list_transform(range(0, 32), j ->
-         |    list_min(list_transform(sh, x ->
-         |      (((j*2+1)*2654435761 % $P) * x + ((j*40503+17) % $P)) % $P))) AS sig
-         |  FROM shn
-         |),
-         |bands0 AS (
-         |  SELECT id, r.band AS band,
-         |    list_reduce(list_prepend(CAST(7 AS BIGINT), sig[r.band*4+1 : r.band*4+4]),
-         |                (a, v) -> (a*31 + v) % $P) AS bucket
-         |  FROM sigs, range(0, 8) r(band)
-         |),
-         |bsize AS (SELECT band, bucket FROM bands0 GROUP BY band, bucket
-         |          HAVING count(*) <= ${graft.text.TextDedup.DefaultMaxBucket}),
-         |bands AS (SELECT bands0.* FROM bands0 JOIN bsize USING (band, bucket)),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS da, b.id AS db
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-         |),
-         |ver AS (
-         |  SELECT da, db, len(list_intersect(x.sh, y.sh)) AS i,
-         |         len(x.sh) AS na, len(y.sh) AS nb
-         |  FROM cand JOIN shn x ON da = x.id JOIN shn y ON db = y.id
-         |)
-         |SELECT da AS doc_a, db AS doc_b, CAST(i AS DOUBLE)/(na + nb - i) AS jaccard
-         |FROM ver WHERE CAST(i AS DOUBLE)/(na + nb - i) >= CAST(0.8 AS DOUBLE)
-         |ORDER BY doc_a, doc_b""".stripMargin),
+    "p14_minhash_neardup" -> minhashSql(graft.text.TextDedup.DefaultMaxBucket),
+    // the cap-BITING configuration: at sf0.01 the largest band buckets
+    // hold 3 documents, so maxBucket = 2 really drops buckets on both
+    // engines — this row pins the cap's semantics themselves, not just
+    // the cap-never-bites case p14 exercises
+    "p91_minhash_capped" -> minhashSql(2),
 
     "p15_ngram_jaccard" -> (shingleCtes +
       s""",

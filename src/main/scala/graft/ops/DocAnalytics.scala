@@ -104,6 +104,10 @@ object DocAnalytics {
       TextDedup.exactDedup(docs(s, d), "doc_id", "text")),
     "p14_minhash_neardup" -> ((s, d) =>
       TextDedup.minhashNearDup(docs(s, d), "doc_id", "text")),
+    // the cap-biting twin of p14 (maxBucket = 2 < the corpus's largest
+    // band bucket): oracle-pins the hot-bucket skip semantics themselves
+    "p91_minhash_capped" -> ((s, d) =>
+      TextDedup.minhashNearDup(docs(s, d), "doc_id", "text", maxBucket = 2)),
     // exact mode (cap 0) — explicitly opted into; small corpora only
     "p15_ngram_jaccard" -> ((s, d) =>
       TextDedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", TextDedup.MaxDf(0))),
