@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{SpanDedupStream, VersionedState}
+import graft.streaming.{DedupGroupStream, SpanDedupStream, VersionedState}
 
 /** Dev measurement for the round-9 incremental streaming state: streams a
   * synthetic corpus with a CONTROLLED novelty rate through
@@ -78,6 +78,53 @@ object StreamStateBench {
     }
     println(s"""{"op":"span_dedup_stream","batches":$batches,""" +
       s""""docs_per_batch":$docsPerBatch,"wall_sec":${f"$wall%.2f"}}""")
+
+    // the second twin: DedupGroupStream over an edge stream with flat
+    // novelty ([[ScaleCorpusBench.synthEdges]] sliced into id-ordered
+    // chunks — each batch's edges mostly attach NEW nodes, the steady
+    // state of a near-dup pair stream). Delta rows = labels the batch
+    // added or changed; a full rewrite would write the whole cumulative
+    // assignment every batch.
+    val edgesPerBatch = docsPerBatch * 10
+    val allEdges = ScaleCorpusBench
+      .synthEdges(spark, batches.toLong * edgesPerBatch)
+    val eDir = Files.createTempDirectory("graft-ssb-esrc")
+    val eLines = allEdges
+      .orderBy("doc_a", "doc_b")
+      .select(to_json(struct(col("doc_a"), col("doc_b"))).as("l"))
+      .collect().map(_.getString(0))
+    eLines.grouped(edgesPerBatch).zipWithIndex.foreach { case (ls, i) =>
+      val f = eDir.resolve(f"edges-$i%04d.json")
+      Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val eSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("doc_b",
+        org.apache.spark.sql.types.LongType)))
+    val eStream = spark.readStream.schema(eSchema)
+      .option("maxFilesPerTrigger", 1).json(eDir.toString)
+    val eState = Files.createTempDirectory("graft-ssb-estate").toString
+    val eCkpt = Files.createTempDirectory("graft-ssb-eckpt").toString
+    val t1 = System.nanoTime()
+    val eq = DedupGroupStream.attach(eStream, "doc_a", "doc_b",
+      eState, eCkpt, compactEvery = batches + 1)
+    eq.awaitTermination(1800000)
+    val eWall = (System.nanoTime() - t1) / 1e9
+    val evs = VersionedState.versions(spark, eState).sortBy(_.id)
+    evs.foreach { v =>
+      val rows = spark.read.parquet(v.path.toString).count()
+      // what a full rewrite would write at this batch: the assignment
+      // size = distinct doc_ids across the chain up to and including v
+      val full = VersionedState
+        .readKeyed(spark, eState, "doc_id", Some(v.id + 1)).get.count()
+      val kind = if (v.compact) "compact" else "delta"
+      println(s"""{"op":"dedup_group_stream_state","batch":${v.id},""" +
+        s""""kind":"$kind","rows_written":$rows,"full_rewrite_rows":$full}""")
+    }
+    println(s"""{"op":"dedup_group_stream","batches":$batches,""" +
+      s""""edges_per_batch":$edgesPerBatch,"wall_sec":${f"$eWall%.2f"}}""")
     spark.stop()
   }
 }
