@@ -241,16 +241,19 @@ object Similarity {
     * embeddings never shuffle at all. Nothing is persisted. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    minSim: Double = 0.4, tables: Int = 4,
-                   planesPerTable: Int = graft.ops.Adaptive.Auto,
-                   dim: Int = 64,
+                   planesPerTable: Int = 4, dim: Int = 64,
                    maxBucket: Int = graft.text.TextDedup.DefaultMaxBucket)
       : DataFrame = {
-    // planes per table default-derive from the corpus count (floor 4 =
-    // the historical constant, unchanged below ~1k vectors, so the
-    // oracle-pinned p23/p59 rows are stable at test scale): with a FIXED
-    // 4-plane (16-bucket) table, every bucket is hot by construction at
-    // ≥1M vectors. The bucket cap is the banded-miner hot-bucket bound
-    // (see TextDedup.DefaultMaxBucket) — embedding clusters make hot
+    // planes per table is RESULT-AFFECTING (a different quantization
+    // returns different candidate pairs), so — like knnIvf's nCells and
+    // per the Adaptive doctrine — the occupancy derivation is OPT-IN
+    // (pass Adaptive.Auto), not the default: a first attempt at making
+    // Auto the default diverged from the 4-plane oracle twin at sf0.1
+    // (2000 vectors derive 5 planes). With a fixed 4-plane (16-bucket)
+    // table every bucket is hot by construction at ≥1M vectors — at that
+    // scale pass Auto (and accept the recall shift) or raise tables.
+    // The bucket cap is the banded-miner hot-bucket bound (see
+    // TextDedup.DefaultMaxBucket) — embedding clusters make hot
     // sign-buckets on real data, and the OR-construction across tables
     // keeps recall where one table's bucket is skipped.
     val ppt =
