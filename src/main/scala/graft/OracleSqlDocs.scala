@@ -562,6 +562,33 @@ object OracleSqlDocs {
          |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, sim
          |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin,
 
+    // p22's OR-construction twin: per-table buckets unioned, candidate
+    // pairs deduped across tables, then the same exact-cosine top-5
+    "p92_knn_lsh_multi" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |bk AS (
+         |  SELECT vec_id, e, 0 AS tbl, ${bucket("e", 0, 8)} AS bucket FROM v
+         |  UNION ALL SELECT vec_id, e, 1, ${bucket("e", 8, 8)} FROM v
+         |  UNION ALL SELECT vec_id, e, 2, ${bucket("e", 16, 8)} FROM v
+         |  UNION ALL SELECT vec_id, e, 3, ${bucket("e", 24, 8)} FROM v
+         |),
+         |q AS (SELECT vec_id AS query_id, tbl, bucket FROM bk WHERE vec_id < 20),
+         |cand AS (
+         |  SELECT DISTINCT query_id, b.vec_id AS neighbor_id
+         |  FROM q JOIN bk b USING (tbl, bucket) WHERE b.vec_id <> query_id
+         |),
+         |sims AS (
+         |  SELECT query_id, neighbor_id, ${cos("x.e", "y.e")} AS sim
+         |  FROM cand JOIN v x ON query_id = x.vec_id JOIN v y ON neighbor_id = y.vec_id
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM sims
+         |)
+         |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, sim
+         |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin,
+
     // corpus vocabulary: term + document frequency per whitespace token of
     // the normalized text, top 50 under the strict (tf DESC, token) order
     "p61_vocab_top" ->

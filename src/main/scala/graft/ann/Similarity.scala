@@ -123,6 +123,45 @@ object Similarity {
     else nPlanes
   }
 
+  /** Multi-table sign-LSH top-k — the OR-construction that recovers
+    * recall over [[knnLsh]]'s single table: a neighbor is a candidate
+    * when it shares a bucket with the query in AT LEAST ONE of `tables`
+    * independent plane sets (table t uses planes
+    * [t·planesPerTable, (t+1)·planesPerTable), so table 0 is exactly the
+    * single-table operator's view), and single-table false negatives
+    * fade as miss^tables for tables× banding work plus one candidate
+    * dedup.
+    *
+    * Scale shape: the banded frame carries (id, tbl, bucket) only; the
+    * query side broadcasts, so the bucket match is a BroadcastHashJoin
+    * probed in the corpus's own scan partitioning — a hot bucket streams
+    * through many tasks instead of shuffling into one (which is why this
+    * needs no maxBucket cap: per-bucket cost is members × queries-in-
+    * bucket, never members²). Vectors rejoin only for the deduped
+    * candidates; ranking is the k-bounded heap, never a sort. */
+  def knnLshMulti(emb: DataFrame, idCol: String, vecCol: String,
+                  queryPred: Column, k: Int = 5, tables: Int = 4,
+                  planesPerTable: Int = 8, dim: Int = 64): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("e"))
+    val banded = emb.select(col(idCol).as("id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          signBucket(col(vecCol), t * planesPerTable, planesPerTable, dim).as("bucket"))): _*))
+        .as("bb"))
+      .select(col("id"), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+    val qb = banded.join(emb.filter(queryPred).select(col(idCol).as("id")), Seq("id"))
+      .select(col("id").as("query_id"), col("tbl"), col("bucket"))
+    val pairs = banded.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"))
+      .distinct()
+    val cands = pairs
+      .join(v.select(col("id").as("query_id"), col("e").as("qe")), Seq("query_id"))
+      .join(v.select(col("id").as("neighbor_id"), col("e").as("ne")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("sim"))
+    topK(cands, k)
+  }
+
   /** The `nCells` lowest-id vectors as a coarse quantizer — deterministic
     * so the DuckDB oracle can mirror the choice. */
   def lowestIdCentroids(emb: DataFrame, idCol: String, vecCol: String,

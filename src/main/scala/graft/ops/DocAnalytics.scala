@@ -150,6 +150,10 @@ object DocAnalytics {
       Similarity.knnBruteForce(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     "p22_knn_lsh" -> ((s, d) =>
       Similarity.knnLsh(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
+    // the OR-construction recall recovery over p22's single table:
+    // candidates from ANY of 4 independent 8-plane tables
+    "p92_knn_lsh_multi" -> ((s, d) =>
+      Similarity.knnLshMulti(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     "p38_knn_ivf" -> ((s, d) =>
       Similarity.knnIvf(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     // trained-quantizer IVF. The trainer is pinned by SimilaritySpec's

@@ -80,6 +80,12 @@ class SimilaritySpec extends SparkSpec {
     info(f"recall@5: ivf-kmeans(nProbe=2/8) $ivfRecall%.3f vs sign-lsh(8 planes) $lshRecall%.3f")
     ivfRecall should be >= lshRecall
     ivfRecall should be >= 0.6
+    // the OR-construction: 4 independent tables must strictly beat one
+    // table's recall (single-table false negatives fade as miss^tables)
+    val multiRecall = recallOf(neighbors(
+      Similarity.knnLshMulti(corpus, "vec_id", "embedding", pred)), truth)
+    info(f"recall@5: lsh-multi(4x8 planes) $multiRecall%.3f vs single $lshRecall%.3f")
+    multiRecall should be > lshRecall
   }
 
   "cellProfile" should "partition the corpus exactly once and account every vector" in {
