@@ -210,6 +210,21 @@ class StreamingParitySpec extends SparkSpec {
     val d2 = spark.read.parquet(s"$stateDir/d2")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     d2 shouldBe Map(5L -> 1L, 20L -> 10L, 21L -> 10L)
+
+    // same pairs with compactEvery = 1: the mid-stream compact (c2 folds
+    // c0 + d1 + batch 2's merge) must resolve to the identical assignment
+    val stateDir2 = Files.createTempDirectory("graft-ccstate2").toString
+    val ckpt2 = Files.createTempDirectory("graft-ccckpt2").toString
+    val q2 = DedupGroupStream.attach(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(dir.toString),
+      "doc_a", "doc_b", stateDir2, ckpt2, compactEvery = 1)
+    q2.awaitTermination(180000)
+    assert(!q2.isActive, "compacting pair stream did not terminate")
+    new java.io.File(stateDir2).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted shouldBe Array("c0", "c2", "d1")
+    DedupGroupStream.latestState(spark, stateDir2).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe batch
   }
 
   "AsOfStream" should "emit exactly the batch asOf rows across time-ordered micro-batches" in {
@@ -555,6 +570,48 @@ class StreamingParitySpec extends SparkSpec {
       .spanOccurrences(graft.text.TextDedup.spanTokenFrame(docsDf, "doc_id", "text"), 8)
       .select("wh").distinct().count()
     stateRows shouldBe distinctKeys
+    SpanDedupStream.latestState(spark, stateDir).get.count() shouldBe distinctKeys
+  }
+
+  it should "hold batch parity when compaction and pruning fire mid-stream" in {
+    // compactEvery = 1 over a 7-batch replay forces the full
+    // delta→compact→prune machinery to run LIVE (the default 8 never
+    // compacts over the standard 5-file replay): the chain alternates
+    // c0, d1, c2, d3, c4, d5, c6 and the prune at batch 5 — the first
+    // with THREE compacts below it — deletes the c0 window
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val dir7 = Files.createTempDirectory("graft-spanc-json")
+    val lines7 = docsDf.orderBy("doc_id")
+      .select(to_json(struct(col("doc_id"), col("text"))).as("l"))
+      .collect().map(_.getString(0))
+    lines7.grouped(math.max(1, math.ceil(lines7.length / 7.0).toInt))
+      .zipWithIndex.foreach { case (ls, i) =>
+        val f = dir7.resolve(f"docs-$i%03d.json")
+        Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
+        f.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+    val outDir = Files.createTempDirectory("graft-spanc-out").toString
+    val stateDir = Files.createTempDirectory("graft-spanc-state").toString
+    val ckpt = Files.createTempDirectory("graft-spanc-ckpt").toString
+    val q = SpanDedupStream.attach(
+      docStream(dir7.toString), "doc_id", "text", outDir, stateDir, ckpt,
+      compactEvery = 1)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).drop("batch").collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = graft.text.TextDedup.spanDedup(docsDf, "doc_id", "text")
+      .collect().map(_.toSeq)
+    got shouldBe batch.toSeq
+    // compaction really fired and pruning really deleted the old window
+    val dirs = new java.io.File(stateDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    dirs.count(_.startsWith("c")) should be >= 2 // c0 + at least one fold
+    dirs should not contain "c0"                 // oldest window pruned
+    // the surviving chain still resolves to the full distinct key set
+    val distinctKeys = graft.text.TextDedup
+      .spanOccurrences(graft.text.TextDedup.spanTokenFrame(docsDf, "doc_id", "text"), 8)
+      .select("wh").distinct().count()
     SpanDedupStream.latestState(spark, stateDir).get.count() shouldBe distinctKeys
   }
 }
