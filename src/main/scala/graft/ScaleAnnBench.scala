@@ -57,7 +57,8 @@ object ScaleAnnBench {
       }
       var lsh: DataFrame = null
       val tLsh = time {
-        lsh = Similarity.knnLsh(emb, "vec_id", "embedding", pred)
+        lsh = Similarity.knnLsh(emb, "vec_id", "embedding", pred,
+          nPlanes = graft.ops.Adaptive.Auto)
         lsh = lsh.persist(); lsh.count()
       }
       var ivf: DataFrame = null

@@ -26,6 +26,19 @@ import graft.streaming.{DedupGroupStream, SpanDedupStream, VersionedState}
   */
 object StreamStateBench {
 
+  /** Fail loudly on timeout — a bench that proceeds past a still-running
+    * stream would read a partially-written state dir and report
+    * misleading per-batch rows. */
+  private def awaitOrAbort(q: org.apache.spark.sql.streaming.StreamingQuery,
+                           what: String, timeoutMs: Long = 1800000L): Unit = {
+    val finished = q.awaitTermination(timeoutMs)
+    if (!finished || q.isActive) {
+      q.stop()
+      sys.error(s"$what did not terminate within ${timeoutMs / 1000}s — " +
+        "aborting instead of reading a partially-written state dir")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val batches = args.headOption.map(_.toInt).getOrElse(12)
     val docsPerBatch = args.lift(1).map(_.toInt).getOrElse(2000)
@@ -61,7 +74,7 @@ object StreamStateBench {
     val t0 = System.nanoTime()
     val q = SpanDedupStream.attach(stream, "doc_id", "text", outDir,
       stateDir, ckpt, compactEvery = batches + 1)
-    q.awaitTermination(1800000)
+    awaitOrAbort(q, "SpanDedupStream bench query")
     val wall = (System.nanoTime() - t0) / 1e9
 
     // read the surviving versions: per batch, rows written (the delta)
@@ -110,7 +123,7 @@ object StreamStateBench {
     val t1 = System.nanoTime()
     val eq = DedupGroupStream.attach(eStream, "doc_a", "doc_b",
       eState, eCkpt, compactEvery = batches + 1)
-    eq.awaitTermination(1800000)
+    awaitOrAbort(eq, "DedupGroupStream bench query")
     val eWall = (System.nanoTime() - t1) / 1e9
     val evs = VersionedState.versions(spark, eState).sortBy(_.id)
     evs.foreach { v =>

@@ -55,16 +55,21 @@ object Similarity {
   /** Approximate cosine top-k: compare only vectors in the same
     * random-hyperplane sign bucket (2^nPlanes buckets). Queries whose
     * bucket holds fewer than k neighbors return fewer rows — the standard
-    * IVF/LSH recall trade. `nPlanes` defaults to
-    * [[graft.ops.Adaptive.Auto]]: derived from the corpus count so bucket
-    * occupancy (and with it the candidate join's volume) stays bounded as
-    * the corpus grows, instead of growing linearly under a fixed plane
-    * count. The derivation's floor IS the historical 8 below ~16k
-    * vectors, so the oracle-pinned p22/p58 results are unchanged at test
-    * scale; explicit values behave as before. */
+    * IVF/LSH recall trade. `nPlanes` is RESULT-affecting (a different
+    * bucketing returns different approximate neighbors), so — per the
+    * Adaptive doctrine shared with [[knnIvf]] and [[nearDupPairs]] — the
+    * occupancy-targeting derivation is OPT-IN: pass
+    * [[graft.ops.Adaptive.Auto]] to derive the plane count from the
+    * corpus size ([[graft.ops.Adaptive.lshPlanes]], bucket occupancy
+    * ~64 instead of linear growth under a fixed count); the default stays
+    * the fixed 8 so existing callers keep their neighbors at any scale.
+    * NOTE: the Auto path is EAGER — it runs one columnar `count()` over
+    * the corpus at call time, before the operator plan is built, and
+    * repeated calls pay it repeatedly. Pipelines composing knnLsh lazily
+    * should pass an explicit `nPlanes`. */
   def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
              queryPred: Column, k: Int = 5,
-             nPlanes: Int = graft.ops.Adaptive.Auto,
+             nPlanes: Int = 8,
              dim: Int = 64): DataFrame = {
     val planes = resolvePlanes(emb, nPlanes)
     val bucketed = emb.select(
@@ -115,8 +120,9 @@ object Similarity {
     else nCells
   }
 
-  /** `nPlanes` verbatim, or the bucket-occupancy derivation on the
-    * default [[graft.ops.Adaptive.Auto]] path (one columnar count). */
+  /** `nPlanes` verbatim, or the bucket-occupancy derivation when the
+    * caller opted into [[graft.ops.Adaptive.Auto]] — the opt-in path is
+    * EAGER: one columnar count against the corpus at call time. */
   private def resolvePlanes(emb: DataFrame, nPlanes: Int): Int = {
     require(nPlanes >= 0, "nPlanes must be >= 1, or Adaptive.Auto (0)")
     if (nPlanes == graft.ops.Adaptive.Auto) graft.ops.Adaptive.lshPlanes(emb.count())

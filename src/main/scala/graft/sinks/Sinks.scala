@@ -124,14 +124,20 @@ object Resp {
   final case class Bulk(value: Option[String]) extends Reply
   final case class Arr(items: Seq[Reply]) extends Reply
 
+  // accumulate raw bytes and decode the completed line as UTF-8 (same as
+  // the bulk-string path) — byte-wise toChar would garble multi-byte
+  // UTF-8 in simple-string and error replies
   private def readLine(in: java.io.InputStream): String = {
-    val sb = new StringBuilder
+    val buf = new java.io.ByteArrayOutputStream()
     var prev = -1
     while (true) {
       val b = in.read()
       if (b < 0) throw new RuntimeException("redis connection closed mid-reply")
-      if (prev == '\r' && b == '\n') return sb.dropRight(1).toString
-      sb.append(b.toChar)
+      if (prev == '\r' && b == '\n') {
+        val bytes = buf.toByteArray
+        return new String(bytes, 0, bytes.length - 1, StandardCharsets.UTF_8)
+      }
+      buf.write(b)
       prev = b
     }
     throw new IllegalStateException("unreachable")

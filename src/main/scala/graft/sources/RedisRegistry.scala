@@ -41,8 +41,19 @@ object RedisRegistry {
     StructField("email", StringType),
     StructField("handicapped", BooleanType)))
 
-  /** Raw (key, value) pairs for every present key matching `keyPrefix*`,
-    * via SCAN + chunked MGET on one synchronous connection. Keys SCAN
+  /** `keyPrefix` escaped for use inside a SCAN MATCH glob: Redis glob
+    * metacharacters (`*`, `?`, `[`, and the escape `\` itself) are
+    * backslash-prefixed so the prefix always matches LITERALLY — a key
+    * prefix like `user[1]:` must not be read as a character class. */
+  private[sources] def globEscape(keyPrefix: String): String =
+    keyPrefix.flatMap {
+      case c @ ('\\' | '*' | '?' | '[') => s"\\$c"
+      case c => c.toString
+    }
+
+  /** Raw (key, value) pairs for every present key matching `keyPrefix*`
+    * (the prefix is glob-escaped, so it matches literally), via SCAN +
+    * chunked MGET on one synchronous connection. Keys SCAN
     * returned that vanish before their MGET (expired temporaries — the
     * reference's setex users) come back nil and are dropped, exactly the
     * `Option(jedis.get(key)).flatMap(...)` null-skip. */
@@ -67,7 +78,7 @@ object RedisRegistry {
       var first = true
       while (first || cursor != "0") {
         first = false
-        command("SCAN", cursor, "MATCH", s"$keyPrefix*",
+        command("SCAN", cursor, "MATCH", s"${globEscape(keyPrefix)}*",
             "COUNT", scanCount.toString) match {
           case Resp.Arr(Seq(Resp.Bulk(Some(next)), Resp.Arr(page))) =>
             cursor = next

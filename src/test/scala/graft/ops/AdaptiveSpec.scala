@@ -78,7 +78,9 @@ class AdaptiveWiringSpec extends SparkSpec {
   "lshPlanes" should "hold the historical 8 at test scale and bound bucket occupancy past it" in {
     // the floor IS the round-7/8 constant: every sf dir's embedding
     // count (500–2000) derives exactly 8, so p22/p58's oracle-pinned
-    // rows are unchanged by the adaptive default
+    // rows are unchanged when a caller opts into Auto (the default
+    // stays the fixed 8 — the Adaptive doctrine for result-affecting
+    // knobs)
     Adaptive.lshPlanes(500L) shouldBe 8
     Adaptive.lshPlanes(2000L) shouldBe 8
     Adaptive.lshPlanes(16000L) shouldBe 8

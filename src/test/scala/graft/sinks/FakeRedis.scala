@@ -73,9 +73,15 @@ final class FakeRedis {
             val opts = cmd.drop(2).grouped(2)
               .collect { case Seq(k, v) => k.toUpperCase -> v }.toMap
             val count = opts.get("COUNT").map(_.toInt).getOrElse(10)
+            // like real Redis, a backslash escapes the following glob
+            // metacharacter to a literal — the engine sends its key
+            // prefixes escaped, so unescape before the prefix compare
+            def unescape(g: String): String =
+              g.replaceAll("""\\(.)""", "$1")
             val matchFn: String => Boolean = opts.get("MATCH") match {
-              case Some(g) if g.endsWith("*") => _.startsWith(g.dropRight(1))
-              case Some(g) => _ == g
+              case Some(g) if g.endsWith("*") && !g.endsWith("\\*") =>
+                _.startsWith(unescape(g.dropRight(1)))
+              case Some(g) => _ == unescape(g)
               case None => _ => true
             }
             val keys = store.keySet.toSeq.sorted

@@ -30,6 +30,33 @@ class RedisRegistrySpec extends SparkSpec {
       Resp.Bulk(Some("a")), Resp.Num(7L), Resp.Arr(Seq(Resp.Bulk(Some(""))))))
   }
 
+  it should "decode multi-byte UTF-8 in simple-string and error lines" in {
+    // é = 0xC3 0xA9 — byte-wise toChar decoding garbles this
+    val wire = "+café\r\n-ERR clé mauvaise\r\n$5\r\ncafé\r\n".getBytes("UTF-8")
+    val in = new java.io.ByteArrayInputStream(wire)
+    Resp.readReply(in) shouldBe Resp.Simple("café")
+    Resp.readReply(in) shouldBe Resp.Err("ERR clé mauvaise")
+    Resp.readReply(in) shouldBe Resp.Bulk(Some("café"))
+  }
+
+  "RedisRegistry.globEscape" should "make glob metacharacters match literally" in {
+    RedisRegistry.globEscape("user:") shouldBe "user:"
+    RedisRegistry.globEscape("user[1]:") shouldBe "user\\[1]:"
+    RedisRegistry.globEscape("a*b?c\\d") shouldBe "a\\*b\\?c\\\\d"
+  }
+
+  it should "keep a metacharacter prefix from matching unintended keys over the wire" in {
+    val redis = new FakeRedis
+    try {
+      redis.store.put("user[1]:a", "va")
+      redis.store.put("user[1]:b", "vb")
+      // keys a bare `user[1]:*` glob would ALSO match ([1] as a class)
+      redis.store.put("user1:x", "bad")
+      val vals = RedisRegistry.scanValues("127.0.0.1", redis.port, "user[1]:")
+      vals.sortBy(_._1) shouldBe Seq("user[1]:a" -> "va", "user[1]:b" -> "vb")
+    } finally redis.stop()
+  }
+
   "RedisRegistry.loadUsers" should "scan only the prefix, skipping corrupt, empty and incomplete values" in {
     val redis = new FakeRedis
     try {
