@@ -39,10 +39,25 @@ object StreamStateBench {
     }
   }
 
+  /** (batchId → triggerExecution ms) for every batch the query ran —
+    * the per-batch COMPUTE curve (state writes are measured separately
+    * from the surviving version directories). Requires
+    * numRecentProgressUpdates ≥ the batch count. */
+  private def batchDurations(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Seq[(Long, Long)] =
+    q.recentProgress.toSeq
+      .map(p => p.batchId ->
+        p.durationMs.getOrDefault("triggerExecution", -1L).longValue())
+      .filter(_._1 >= 0).sortBy(_._1)
+
   def main(args: Array[String]): Unit = {
     val batches = args.headOption.map(_.toInt).getOrElse(12)
     val docsPerBatch = args.lift(1).map(_.toInt).getOrElse(2000)
     val spark = DevBench.session()
+    // keep EVERY batch's progress so the per-batch compute curve covers
+    // long soaks, not just the last 100 triggers
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (batches + 16).toString)
 
     // one id-ordered json file per future micro-batch (the
     // PackingStream/AsOfStream ordering contract)
@@ -121,10 +136,24 @@ object StreamStateBench {
     val eState = Files.createTempDirectory("graft-ssb-estate").toString
     val eCkpt = Files.createTempDirectory("graft-ssb-eckpt").toString
     val t1 = System.nanoTime()
+    // PRODUCTION compaction cadence here (unlike the span section above,
+    // which suppresses compaction to isolate pure novelty deltas): the
+    // compute curve is only meaningful under the bounded read fan-in the
+    // default gives — with compaction suppressed, every batch's two
+    // state scans union an ever-growing delta chain and the growth
+    // measures the chain length, not the algorithm
     val eq = DedupGroupStream.attach(eStream, "doc_a", "doc_b",
-      eState, eCkpt, compactEvery = batches + 1)
+      eState, eCkpt)
     awaitOrAbort(eq, "DedupGroupStream bench query")
     val eWall = (System.nanoTime() - t1) / 1e9
+    // per-batch COMPUTE: with contract-then-relabel this tracks batch
+    // size while the assignment grows — the companion curve to the
+    // write-volume table below (the round-9 design re-ran CC over the
+    // full star-contracted assignment every batch, so its per-batch
+    // wall grew with corpus lifetime)
+    batchDurations(eq).foreach { case (id, ms) =>
+      println(s"""{"op":"dedup_group_stream_compute","batch":$id,"trigger_ms":$ms}""")
+    }
     val evs = VersionedState.versions(spark, eState).sortBy(_.id)
     evs.foreach { v =>
       val rows = spark.read.parquet(v.path.toString).count()

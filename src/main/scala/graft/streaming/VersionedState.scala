@@ -96,20 +96,40 @@ object VersionedState {
 
   /** KEYED state (e.g. the dedup-group assignment table): the newest
     * write per key wins — a delta carries the keys its batch added or
-    * re-labeled, so later versions override earlier ones row-by-row. */
+    * re-labeled, so later versions override earlier ones row-by-row.
+    *
+    * Merge shape: only the DELTAS (novelty-sized, fan-in bounded by
+    * `compactEvery`) are folded into a newest-wins override table; the
+    * base compact — the corpus-sized side — then streams through one
+    * anti-join on the override's keys and unions the override back in.
+    * The corpus-wide `groupBy(key).max_by(__v)` this replaced re-shuffled
+    * the WHOLE assignment on every read even when the deltas held a few
+    * hundred rows; now the full-state shuffle is gone and AQE broadcasts
+    * the delta-sized override side of the anti-join. */
   def readKeyed(spark: SparkSession, dir: String, keyCol: String,
                 before: Option[Long] = None): Option[DataFrame] = {
     val vs = readable(spark, dir, before)
     if (vs.isEmpty) return None
-    if (vs.lengthIs == 1)
-      return Some(spark.read.parquet(vs.head.path.toString))
-    val u = vs.map(v => spark.read.parquet(v.path.toString)
+    val base = spark.read.parquet(vs.head.path.toString)
+    if (vs.lengthIs == 1) return Some(base)
+    val u = vs.tail.map(v => spark.read.parquet(v.path.toString)
         .withColumn("__v", lit(v.id)))
       .reduce(_.unionByName(_))
     val valCols = u.columns.filterNot(c => c == keyCol || c == "__v")
-    Some(u.groupBy(keyCol)
-      .agg(max_by(struct(valCols.map(col): _*), col("__v")).as("__s"))
-      .select(col(keyCol) +: valCols.map(c => col(s"__s.$c").as(c)): _*))
+    // a single delta needs no newest-wins fold — its keys are already
+    // unique (one write per key per batch); a longer chain's fold is
+    // materialized ONCE (novelty-sized, bounded by compactEvery): the
+    // returned frame references the override twice (anti-join + union)
+    // and callers consume the view more than once per batch, so without
+    // the boundary the multi-delta union+fold re-executes per reference
+    val over =
+      if (vs.lengthIs == 2) u.drop("__v")
+      else u.groupBy(keyCol)
+        .agg(max_by(struct(valCols.map(col): _*), col("__v")).as("__s"))
+        .select(col(keyCol) +: valCols.map(c => col(s"__s.$c").as(c)): _*)
+        .localCheckpoint(true)
+    Some(base.join(over.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(over))
   }
 
   /** True when batch `batchId` should write a compact instead of a
