@@ -175,6 +175,26 @@ object OracleSqlDocs {
   /** The p14 MinHash-LSH chain, parameterized by the band-bucket cap so
     * the default-cap (p14) and cap-biting (p91) rows share one body and
     * cannot drift. */
+  /** The df-capped n-gram Jaccard twin at an arbitrary cap (p15b = 4,
+    * p93 = 16): common shingles leave the inverted index before
+    * pairing, set sizes stay full — jaccard is a lower bound, exactly
+    * `TextDedup.ngramJaccardPairs(MaxDf(cap))`. */
+  private def ngramCappedSql(cap: Int): String = shingleCtes +
+    s""",
+       |sizes AS (SELECT id, len(sh) AS n FROM shn),
+       |ex AS (SELECT id, unnest(sh) AS g FROM shn),
+       |rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM ex GROUP BY g)
+       |         WHERE df <= $cap),
+       |exc AS (SELECT ex.id, ex.g FROM ex JOIN rare USING (g)),
+       |inter AS (
+       |  SELECT a.id AS da, b.id AS db, count(*) AS i
+       |  FROM exc a JOIN exc b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2
+       |)
+       |SELECT da AS doc_a, db AS doc_b, CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard
+       |FROM inter JOIN sizes sa ON da = sa.id JOIN sizes sb ON db = sb.id
+       |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= CAST(0.8 AS DOUBLE)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private def minhashSql(maxBucket: Int): String = shingleCtes +
     s""",
        |sigs AS (
@@ -386,21 +406,12 @@ object OracleSqlDocs {
     // index (rare CTE) before pairing, set sizes stay FULL — mirroring
     // TextDedup.ngramJaccardPairs(maxShingleDf = 4), where the cap filters
     // the exploded index only and jaccard is a lower bound.
-    "p15b_ngram_jaccard_capped" -> (shingleCtes +
-      s""",
-         |sizes AS (SELECT id, len(sh) AS n FROM shn),
-         |ex AS (SELECT id, unnest(sh) AS g FROM shn),
-         |rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM ex GROUP BY g)
-         |         WHERE df <= 4),
-         |exc AS (SELECT ex.id, ex.g FROM ex JOIN rare USING (g)),
-         |inter AS (
-         |  SELECT a.id AS da, b.id AS db, count(*) AS i
-         |  FROM exc a JOIN exc b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2
-         |)
-         |SELECT da AS doc_a, db AS doc_b, CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard
-         |FROM inter JOIN sizes sa ON da = sa.id JOIN sizes sb ON db = sb.id
-         |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= CAST(0.8 AS DOUBLE)
-         |ORDER BY doc_a, doc_b""".stripMargin),
+    "p15b_ngram_jaccard_capped" -> ngramCappedSql(4),
+    // cap biting at sf0.1 (df there reaches ~25, so 16 drops the hottest
+    // shingles but keeps the duplicate families' shared ones): the
+    // configuration whose POSITIVE rows survive at the dual-gate's
+    // larger scale, where p15b's cap-4 output is legitimately empty.
+    "p93_ngram_jaccard_cap16" -> ngramCappedSql(16),
 
     "p16_simhash" ->
       s"""WITH toks AS (

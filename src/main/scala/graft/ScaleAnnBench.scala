@@ -67,8 +67,18 @@ object ScaleAnnBench {
           nCells = graft.ops.Adaptive.Auto)
         ivf = ivf.persist(); ivf.count()
       }
+      // multi-table OR-construction, adaptive tables × planes: the scale
+      // path for single-table LSH's recall collapse (0.02 at 500k)
+      var multi: DataFrame = null
+      val tMulti = time {
+        multi = Similarity.knnLshMulti(emb, "vec_id", "embedding", pred,
+          tables = graft.ops.Adaptive.Auto,
+          planesPerTable = graft.ops.Adaptive.Auto)
+        multi = multi.persist(); multi.count()
+      }
       val rLsh = recall(exact, lsh)
       val rIvf = recall(exact, ivf)
+      val rMulti = recall(exact, multi)
       // adaptive-plane bucket occupancy: with lshPlanes(n) the expected
       // members per bucket must stay ~flat across rungs (a fixed plane
       // count would grow it linearly — the round-8 parameter bound)
@@ -84,7 +94,11 @@ object ScaleAnnBench {
         f""""buckets_hit":${occ.getLong(2)},"max_bucket":${occ.getLong(0)},""" +
         f""""avg_bucket":${occ.getDouble(1)}%.1f}""")
       println(f"""{"op":"knn_ivf_auto","vecs":$n,"sec":$tIvf%.2f,"recall":$rIvf%.3f}""")
+      val mTables = graft.ops.Adaptive.lshMultiTables(planes)
+      println(f"""{"op":"knn_lsh_multi_auto","vecs":$n,"sec":$tMulti%.2f,""" +
+        f""""recall":$rMulti%.3f,"tables":$mTables,"planes_per_table":$planes}""")
       exact.unpersist(false); lsh.unpersist(false); ivf.unpersist(false)
+      multi.unpersist(false)
       emb.unpersist(false)
     }
     spark.stop()

@@ -118,6 +118,11 @@ object ScaleCorpusBench {
           time(mat(TextDedup.minhashNearDup(corpus, "doc_id", "text"))))
         report("ngram_jaccard_df64", time(mat(TextDedup.ngramJaccardPairs(
           corpus, "doc_id", "text", TextDedup.MaxDf(64)))))
+        // the prefix-filtered twin at the same cap — identical output
+        // (spec-pinned), different candidate generation; the ladder is
+        // where the counting-vs-prefix winner is decided
+        report("ngram_jaccard_df64_prefix", time(mat(TextDedup.ngramJaccardPrefix(
+          corpus, "doc_id", "text", TextDedup.MaxDf(64)))))
         report("sequence_packing",
           time(mat(TextCuration.sequencePacking(corpus, "doc_id", "text"))))
         report("span_dedup",

@@ -144,15 +144,30 @@ object Similarity {
     * through many tasks instead of shuffling into one (which is why this
     * needs no maxBucket cap: per-bucket cost is members × queries-in-
     * bucket, never members²). Vectors rejoin only for the deduped
-    * candidates; ranking is the k-bounded heap, never a sort. */
+    * candidates; ranking is the k-bounded heap, never a sort.
+    *
+    * Both shape knobs are RESULT-affecting, so their derivations are
+    * opt-in per the Adaptive doctrine: pass [[graft.ops.Adaptive.Auto]]
+    * as `planesPerTable` to target ~[[graft.ops.Adaptive.LshBucketRows]]
+    * members per bucket (one EAGER corpus count at call time), and/or as
+    * `tables` to pair the table count to the resolved plane count
+    * ([[graft.ops.Adaptive.lshMultiTables]] — more tables as buckets get
+    * finer, holding recall). The floors reproduce the historical
+    * (8 planes, 4 tables), so oracle-pinned p92 rows are unchanged at
+    * test scale when opting in. */
   def knnLshMulti(emb: DataFrame, idCol: String, vecCol: String,
                   queryPred: Column, k: Int = 5, tables: Int = 4,
                   planesPerTable: Int = 8, dim: Int = 64): DataFrame = {
+    require(tables >= 0, "tables must be >= 1, or Adaptive.Auto (0)")
+    val ppt = resolvePlanes(emb, planesPerTable)
+    val nTables =
+      if (tables == graft.ops.Adaptive.Auto) graft.ops.Adaptive.lshMultiTables(ppt)
+      else tables
     val v = emb.select(col(idCol).as("id"), col(vecCol).as("e"))
     val banded = emb.select(col(idCol).as("id"),
-      explode(array((0 until tables).map(t =>
+      explode(array((0 until nTables).map(t =>
         struct(lit(t).as("tbl"),
-          signBucket(col(vecCol), t * planesPerTable, planesPerTable, dim).as("bucket"))): _*))
+          signBucket(col(vecCol), t * ppt, ppt, dim).as("bucket"))): _*))
         .as("bb"))
       .select(col("id"), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
     val qb = banded.join(emb.filter(queryPred).select(col(idCol).as("id")), Seq("id"))

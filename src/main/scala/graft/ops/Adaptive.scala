@@ -73,6 +73,20 @@ object Adaptive {
     math.min(cap.toLong, math.max(floor.toLong, want)).toInt
   }
 
+  /** Table count for the multi-table sign-LSH OR-construction, derived
+    * from the per-table plane count: finer tables (more planes) split
+    * true near neighbors apart more often, so the table count grows with
+    * the plane count to hold recall — planes/2 keeps the historical
+    * (8 planes, 4 tables) pairing at the floor and reaches (20, 10) at
+    * the plane cap. Banding work is tables × planes per vector and the
+    * candidate union grows ~linearly in tables, so the cap bounds both.
+    * Result-affecting, like every LSH shape knob: opt-in only. */
+  def lshMultiTables(planesPerTable: Int, floor: Int = 4, cap: Int = 16): Int = {
+    require(floor >= 1 && cap >= floor, "need 1 <= floor <= cap")
+    require(planesPerTable >= 1, "planesPerTable must be >= 1")
+    math.min(cap, math.max(floor, planesPerTable / 2))
+  }
+
   /** `requested` verbatim, or the derived range count when the caller
     * left it [[Auto]]. Negative values are a caller bug. */
   def resolveRanges(requested: Int, rows: Long): Int = {

@@ -117,6 +117,14 @@ object DocAnalytics {
     // oracle.
     "p15b_ngram_jaccard_capped" -> ((s, d) =>
       TextDedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", TextDedup.MaxDf(4))),
+    // cap-biting AT sf0.1: the sf0.1 corpus's duplicate families push
+    // shared-shingle df to ~25, so cap 4 (p15b) drops every true
+    // near-dup pair there and the capped path's positives go untested at
+    // the larger gate scale. Cap 16 keeps the duplicate families (178
+    // rows at sf0.1) while still dropping the hottest shingles (exact
+    // finds 256) — the dual-scale gate's positive-case coverage.
+    "p93_ngram_jaccard_cap16" -> ((s, d) =>
+      TextDedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", TextDedup.MaxDf(16))),
     // SPAN-level dedup (repeated k-token windows removed corpus-wide,
     // canonical min-(doc,pos) occurrence kept) — the substring-granularity
     // counterpart of p13: repeated boilerplate inside otherwise-unique

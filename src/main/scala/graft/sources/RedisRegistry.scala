@@ -111,9 +111,49 @@ object RedisRegistry {
   def loadUsers(spark: SparkSession, host: String, port: Int = 6379,
                 keyPrefix: String = "user:",
                 schema: StructType = userSchema,
-                required: Seq[String] = Seq.empty): DataFrame = {
+                required: Seq[String] = Seq.empty): DataFrame =
+    parseUsers(spark, scanValues(host, port, keyPrefix).map(_._2),
+      schema, required)
+
+  /** The sharded-by-prefix escape hatch [[loadUsers]]'s charter promises
+    * callers with a keyspace too large for one sequential SCAN: each
+    * shard walks `keyPrefix + suffix` on its OWN connection, the walks
+    * run concurrently (bounded thread pool), and the raw values union
+    * before the same distributed parse. The suffixes must PARTITION the
+    * keyspace under `keyPrefix` — non-overlapping (no suffix a prefix of
+    * another) and covering — for the result to equal the unsharded load;
+    * e.g. a hex-bucketed key scheme shards on "0".."f". Suffixes are
+    * glob-escaped like the prefix itself. */
+  def loadUsersSharded(spark: SparkSession, host: String, port: Int = 6379,
+                       keyPrefix: String = "user:",
+                       shardSuffixes: Seq[String] = (0 to 9).map(_.toString),
+                       schema: StructType = userSchema,
+                       required: Seq[String] = Seq.empty,
+                       maxParallel: Int = 8): DataFrame = {
+    require(shardSuffixes.nonEmpty, "need at least one shard suffix")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(shardSuffixes.size, maxParallel)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = shardSuffixes.map { sfx =>
+        scala.concurrent.Future(scanValues(host, port, keyPrefix + sfx))
+      }
+      val raw = scala.concurrent.Await
+        .result(scala.concurrent.Future.sequence(fs),
+          scala.concurrent.duration.Duration(10, "min"))
+        .flatten.map(_._2)
+      parseUsers(spark, raw, schema, required)
+    } finally pool.shutdown()
+  }
+
+  /** Raw JSON values → the permissive distributed parse shared by the
+    * sharded and unsharded loaders (`from_json` + validity filters as a
+    * plan — the driver only ever holds raw strings). */
+  private def parseUsers(spark: SparkSession, raw: Seq[String],
+                         schema: StructType,
+                         required: Seq[String]): DataFrame = {
     import spark.implicits._
-    val raw = scanValues(host, port, keyPrefix).map(_._2)
     val must = if (required.nonEmpty) required else schema.fieldNames.toSeq
     raw.toDF("__raw")
       .select(from_json(col("__raw"), schema).as("u"))

@@ -318,13 +318,16 @@ object TextDedup {
   }
 
   /** The inverted-index counting join, shared by exact (cap 0) and capped
-    * modes. A PPJoin-style prefix-filter variant (df-ordered prefixes +
-    * verification rejoin) was built and measured against this on the bench
-    * corpus and LOST (~4.1 s vs ~2.5 s at sf0.1): the df-annotation,
-    * per-doc re-sort, and verification stages cost more than the candidate
-    * reduction saves at this candidate density. The counting join with the
-    * size-ratio prune is the measured winner; at web scale the df-cap
-    * (p15b) is the documented path that bounds hot-shingle blow-up. */
+    * modes. Two prefix-filter alternatives exist: a round-8 PPJoin form
+    * (df-ordered prefixes + verification rejoin) LOST here (~4.1 s vs
+    * ~2.5 s at sf0.1 — df-annotation and per-doc window sorts), and the
+    * round-10 array-domain form [[ngramJaccardPrefix]] (row-local sorted-
+    * array prefixes, row-local array_intersect verification, output
+    * pinned value-identical by spec) — see bench_records for the ladder
+    * comparison that decides which candidate generation wins at which
+    * density. The counting join remains the default; at web scale the
+    * df-cap (p15b) is the documented path that bounds hot-shingle
+    * blow-up either way. */
   private def ngramJaccardCounting(docs: DataFrame, minJaccard: Double,
                                    maxShingleDf: Int): DataFrame = {
     // the index carries the set size alongside (id, g): one extra long per
@@ -361,6 +364,77 @@ object TextDedup {
       .join(sizes.as("sb"), col("doc_b") === col("sb.id"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Prefix-filtered twin of [[ngramJaccardCounting]] — identical output,
+    * different candidate generation (the round-10 retry of the round-8
+    * ppjoin experiment, this time in the ARRAY domain: the round-8 form
+    * lost to df-annotation + per-doc window sorts; here the prefix is
+    * `slice(array_sort(shc), …)` — row-local, no window, no extra
+    * shuffle).
+    *
+    * Theory: under any global token order, if |A∩B| ≥ α then the first
+    * |A|−α+1 tokens of A and the first |B|−α+1 of B share one. A pair can
+    * only reach `minJaccard` when the (capped) intersection is ≥
+    * ceil(t·n) of EITHER side (the size-compatible partner range bounds
+    * t/(1+t)·(na+nb) below by t·na and t·nb), so only that prefix of each
+    * document enters the candidate self-join — at t = 0.8 that is ~20% of
+    * the index rows, ~4% of the join's candidate volume. Each surviving
+    * (a, b) is then verified ROW-LOCALLY: `array_intersect` on the capped
+    * shingle arrays, jaccard over FULL sizes — the exact numbers the
+    * counting join computes, so the outputs match value-for-value.
+    *
+    * Trade vs the counting join: candidate volume shrinks ~25×, but the
+    * capped arrays must materialize (capped mode: one collect_list over
+    * the df-filtered index — the same shuffle volume as the counting
+    * join's rare-join) and each candidate pays an O(na+nb) merge.
+    * Which side wins depends on pair density — measured on the scaling
+    * ladder, see bench_records. */
+  private[graft] def ngramJaccardPrefix(df: DataFrame, idCol: String,
+                                        textCol: String, maxShingleDf: MaxDf,
+                                        shingleK: Int = 3,
+                                        minJaccard: Double = 0.8): DataFrame = {
+    val docs = shingleFrame(df, idCol, textCol, shingleK)
+    val cap = maxShingleDf.value
+    val base = docs.select(col("id"), size(col("sh")).cast("long").as("n"), col("sh"))
+    val withC =
+      if (cap <= 0) base.withColumn("shc", col("sh"))
+      else {
+        val exAll = docs.select(col("id"), explode(col("sh")).as("g"))
+        val rare = exAll.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("g")
+        // docs whose shingles are ALL hot drop out of the inner join —
+        // they have no index rows in the counting form either
+        val capped = exAll.join(rare, Seq("g"))
+          .groupBy("id").agg(collect_list(col("g")).as("shc"))
+        base.join(capped, Seq("id"))
+      }
+    // required overlap for the most favorable eligible partner:
+    // ceil(t·n − ε) (ε keeps a ratio-exactly-t pair alive under float
+    // rounding); prefix = the smallest shc tokens that any qualifying
+    // intersection must reach into
+    val pref = withC.select(col("id"), col("n"),
+      explode(expr(
+        s"slice(array_sort(shc), 1, greatest(0, size(shc) - " +
+          s"CAST(ceil($minJaccard * n - 1e-6) AS INT) + 1))")).as("g"))
+    val sizeCompatible =
+      col("x.n") + lit(1e-6) >= lit(minJaccard) * col("y.n") &&
+        col("y.n") + lit(1e-6) >= lit(minJaccard) * col("x.n")
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id") && sizeCompatible)
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
+    cand
+      .join(withC.select(col("id").as("doc_a"), col("shc").as("__sa"),
+        col("n").as("__na")), Seq("doc_a"))
+      .join(withC.select(col("id").as("doc_b"), col("shc").as("__sb"),
+        col("n").as("__nb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("__na") + col("__nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")

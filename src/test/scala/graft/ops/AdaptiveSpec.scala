@@ -95,4 +95,28 @@ class AdaptiveWiringSpec extends SparkSpec {
     }
     Adaptive.lshPlanes(1000000000L) shouldBe 20 // capped
   }
+
+  "lshMultiTables" should "keep the historical 4 at the plane floor and grow with plane count" in {
+    Adaptive.lshMultiTables(8) shouldBe 4   // the (8 planes, 4 tables) floor pair
+    Adaptive.lshMultiTables(12) shouldBe 6
+    Adaptive.lshMultiTables(20) shouldBe 10 // the plane-cap pairing
+    Adaptive.lshMultiTables(64) shouldBe 16 // capped
+    an[IllegalArgumentException] should be thrownBy Adaptive.lshMultiTables(0)
+  }
+
+  "knnLshMulti(Auto, Auto)" should "reproduce the explicit (4, 8) result at test scale" in {
+    import graft.ann.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // sf0.001's ~500 vectors sit below every floor: Auto derives planes=8,
+    // tables=4 — exactly the historical constants, so the oracle-pinned
+    // p92 rows cannot move when a caller opts in
+    val auto = Similarity.knnLshMulti(emb, "vec_id", "embedding",
+        org.apache.spark.sql.functions.col("vec_id") < 20,
+        tables = Adaptive.Auto, planesPerTable = Adaptive.Auto)
+      .collect().map(_.toSeq)
+    val explicitRes = Similarity.knnLshMulti(emb, "vec_id", "embedding",
+        org.apache.spark.sql.functions.col("vec_id") < 20)
+      .collect().map(_.toSeq)
+    auto shouldBe explicitRes
+  }
 }

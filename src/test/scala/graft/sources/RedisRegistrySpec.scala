@@ -94,6 +94,24 @@ class RedisRegistrySpec extends SparkSpec {
     } finally redis.stop()
   }
 
+  "RedisRegistry.loadUsersSharded" should "equal the unsharded load over >= 4 prefix shards" in {
+    val redis = new FakeRedis
+    try {
+      // zero-padded ids: "P-0".."P-5" partition the keyspace cleanly
+      (1 to 57).foreach(i => redis.store.put(f"user:P-$i%03d",
+        s"""{"u_plate":"P-$i","username":"u$i","email":"u$i@x.io","handicapped":${i % 2 == 0}}"""))
+      redis.store.put("user:P-0xx", """not json — must be skipped by BOTH paths""")
+      redis.store.put("other:k", """{"u_plate":"X","username":"x","email":"x@x.io","handicapped":false}""")
+      val whole = RedisRegistry.loadUsers(spark, "127.0.0.1", redis.port)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val sharded = RedisRegistry.loadUsersSharded(spark, "127.0.0.1", redis.port,
+          shardSuffixes = Seq("P-00", "P-01", "P-02", "P-03", "P-04", "P-05", "P-0x"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+      whole.length shouldBe 57
+      sharded shouldBe whole
+    } finally redis.stop()
+  }
+
   it should "round-trip the p85 registry view through RedisKeyValueSink and back" in {
     // the VERDICT's day-one migration path: write the merged registry to
     // Redis with the engine's sink, read it back with the loader, land on

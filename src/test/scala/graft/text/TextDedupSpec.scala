@@ -67,6 +67,26 @@ class TextDedupSpec extends SparkSpec {
     loose shouldBe exact
   }
 
+  "ngramJaccardPrefix" should "equal the counting join value-for-value in exact and capped modes" in {
+    // the real corpora, both modes, full-row equality — the prefix filter
+    // is a candidate-generation change only, so any divergence is a bug
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+         cap <- Seq(0, 4, 16)) {
+      val real = spark.read.parquet(s"$sfDir/documents.parquet")
+      val counting = TextDedup.ngramJaccardPairs(real, "doc_id", "text",
+        TextDedup.MaxDf(cap)).collect().map(_.toSeq).toSeq
+      val prefix = TextDedup.ngramJaccardPrefix(real, "doc_id", "text",
+        TextDedup.MaxDf(cap)).collect().map(_.toSeq).toSeq
+      withClue(s"$sfDir cap=$cap: ") { prefix shouldBe counting }
+    }
+    // and at a lower threshold, where prefixes are long
+    val counting5 = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+      TextDedup.MaxDf(0), minJaccard = 0.5).collect().map(_.toSeq).toSeq
+    val prefix5 = TextDedup.ngramJaccardPrefix(docs, "doc_id", "text",
+      TextDedup.MaxDf(0), minJaccard = 0.5).collect().map(_.toSeq).toSeq
+    prefix5 shouldBe counting5
+  }
+
   "p89 group representative" should "keep the highest-quality member of each dup group, ties to min id" in {
     // drive the REGISTERED composition and re-derive the expected argmax
     // sequentially from the same groups + quality outputs — this pins the
