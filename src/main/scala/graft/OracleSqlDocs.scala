@@ -413,6 +413,88 @@ object OracleSqlDocs {
     // larger scale, where p15b's cap-4 output is legitimately empty.
     "p93_ngram_jaccard_cap16" -> ngramCappedSql(16),
 
+    // overlap coefficient |A∩B|/min(|A|,|B|) at cap 16 — mirrors
+    // TextDedup.containmentPairs: the df-cap filters the index only
+    // (sizes stay full), docs under 5 shingles leave both the index and
+    // the size table, and there is NO size-compatibility prune (size-
+    // mismatched pairs are the operator's point).
+    "p94_containment_pairs" -> (shingleCtes +
+      s""",
+         |sizes AS (SELECT id, len(sh) AS n FROM shn WHERE len(sh) >= 5),
+         |ex AS (SELECT s.id, unnest(s.sh) AS g FROM shn s
+         |       WHERE len(s.sh) >= 5),
+         |rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM ex GROUP BY g)
+         |         WHERE df <= 16),
+         |exc AS (SELECT ex.id, ex.g FROM ex JOIN rare USING (g)),
+         |inter AS (
+         |  SELECT a.id AS da, b.id AS db, count(*) AS i
+         |  FROM exc a JOIN exc b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2
+         |)
+         |SELECT da AS doc_a, db AS doc_b,
+         |       CAST(i AS DOUBLE)/least(sa.n, sb.n) AS containment
+         |FROM inter JOIN sizes sa ON da = sa.id JOIN sizes sb ON db = sb.id
+         |WHERE CAST(i AS DOUBLE)/least(sa.n, sb.n) >= CAST(0.9 AS DOUBLE)
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // chunk-level exact dedup over the p81 chunk chain: group by chunk
+    // hash, canonical keeper = min (id, chunk_idx) — computed as min(id)
+    // then min(chunk_idx) within that id (two steps; engine-independent
+    // where Spark uses one min(struct) argmin).
+    "p95_chunk_dedup" ->
+      s"""WITH n AS (SELECT doc_id AS id, ${norm("text")} AS nrm FROM documents),
+         |t AS (SELECT id, string_split(nrm, ' ') AS t,
+         |             len(string_split(nrm, ' ')) AS n FROM n),
+         |ch AS (
+         |  SELECT id, t, n,
+         |    unnest(range(0, CAST(ceil(CAST(n AS DOUBLE)/24) AS INT))) AS k
+         |  FROM t
+         |), chunks AS (
+         |  SELECT id, CAST(k AS BIGINT) AS chunk_idx,
+         |    ${hash("array_to_string(t[CAST(k*24+1 AS INT) : CAST(k*24+32 AS INT)], ' ')")} AS chunk_hash
+         |  FROM ch
+         |), grp AS (
+         |  SELECT chunk_hash, count(*) AS n_copies, min(id) AS keep_id
+         |  FROM chunks GROUP BY 1 HAVING count(*) >= 2
+         |)
+         |SELECT g.chunk_hash, g.n_copies, g.keep_id,
+         |       min(c.chunk_idx) AS keep_chunk_idx
+         |FROM grp g JOIN chunks c
+         |  ON c.chunk_hash = g.chunk_hash AND c.id = g.keep_id
+         |GROUP BY 1, 2, 3
+         |ORDER BY g.chunk_hash""".stripMargin,
+
+    // token-budget mixture sampling: per-language running token sum in id
+    // order (a plain window here — the oracle corpus is small; Spark
+    // computes the SAME sum via the keyed distributed prefix machinery,
+    // so the values must agree exactly), keep rows whose interval starts
+    // inside the 4000-token budget.
+    "p96_mixture_sample" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
+         |), hits AS (
+         |  SELECT id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(t, x -> x IN ('the','is','and','of'))) AS BIGINT) AS en,
+         |    CAST(len(list_filter(t, x -> x IN ('el','la','que','de'))) AS BIGINT) AS es,
+         |    CAST(len(list_filter(t, x -> x IN ('le','les','une','est'))) AS BIGINT) AS fr,
+         |    CAST(len(list_filter(t, x -> x IN ('der','die','und','ist'))) AS BIGINT) AS de
+         |  FROM toks
+         |), lang AS (
+         |  SELECT id, n_tokens,
+         |    CASE WHEN en + es + fr + de = 0 THEN 'und'
+         |         WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+         |         WHEN es >= fr AND es >= de THEN 'es'
+         |         WHEN fr >= de THEN 'fr' ELSE 'de' END AS predicted_lang
+         |  FROM hits
+         |), c AS (
+         |  SELECT id, predicted_lang, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY predicted_lang ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_lang_tokens
+         |  FROM lang
+         |)
+         |SELECT id, predicted_lang, n_tokens, cum_lang_tokens
+         |FROM c WHERE cum_lang_tokens - n_tokens < 4000
+         |ORDER BY id""".stripMargin,
+
     "p16_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents

@@ -125,6 +125,31 @@ object DocAnalytics {
     // finds 256) — the dual-scale gate's positive-case coverage.
     "p93_ngram_jaccard_cap16" -> ((s, d) =>
       TextDedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", TextDedup.MaxDf(16))),
+    // the overlap coefficient |A∩B|/min(|A|,|B|): subset-duplicate pairs
+    // (quotes, boilerplate embedding) that Jaccard structurally misses;
+    // cap 16 = the p93 dual-scale configuration
+    "p94_containment_pairs" -> ((s, d) =>
+      TextDedup.containmentPairs(docs(s, d), "doc_id", "text", TextDedup.MaxDf(16))),
+    // chunk-granularity exact dedup: p81's context chunks → one canonical
+    // copy per distinct chunk hash (the RAG-index dedup step)
+    "p95_chunk_dedup" -> ((s, d) =>
+      TextCuration.chunkDedup(docs(s, d), "doc_id", "text")),
+    // data mixing: per-language token budget greedily filled in id order —
+    // the keyed distributed prefix sum (never Window.partitionBy(lang)
+    // over raw rows, which would funnel a dominant language through one
+    // task at 100 TB)
+    "p96_mixture_sample" -> ((s, d) => {
+      val ds = docs(s, d)
+      val lang = TextStats.langId(ds, "doc_id", "text")
+        .select(col("id"), col("predicted_lang"))
+      val ntok = TextStats.stats(ds, "doc_id", "text")
+        .select(col("id"), col("n_tokens"))
+      TextCuration.tokenBudgetSample(lang.join(ntok, "id"),
+          "id", "predicted_lang", "n_tokens", budget = 4000L)
+        .select(col("id"), col("key").as("predicted_lang"),
+          col("weight").as("n_tokens"), col("cum_weight").as("cum_lang_tokens"))
+        .orderBy("id")
+    }),
     // SPAN-level dedup (repeated k-token windows removed corpus-wide,
     // canonical min-(doc,pos) occurrence kept) — the substring-granularity
     // counterpart of p13: repeated boilerplate inside otherwise-unique

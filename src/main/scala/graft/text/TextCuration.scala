@@ -257,6 +257,89 @@ object TextCuration {
       .orderBy("id")
   }
 
+  /** Chunk-level exact dedup — [[tokenChunks]] ∘ exact dedup: the RAG /
+    * context-window counterpart of document dedup (p13) and span dedup
+    * (p87): after chunking, IDENTICAL chunks recur wherever boilerplate,
+    * quotes, or duplicated documents overlap chunk boundaries, and a
+    * retrieval or training pipeline wants one canonical copy per distinct
+    * chunk. Groups chunks by their content hash, keeps the minimum
+    * (doc, chunk_idx) occurrence, reports the copy count; hashes seen
+    * fewer than `minCopies` times are unique and omitted. Output:
+    * (chunk_hash, n_copies, keep_id, keep_chunk_idx) by chunk_hash.
+    *
+    * Scale shape: chunking is row-local (scan-side posexplode, no
+    * shuffle); the dedup is ONE hash aggregate on the fixed-width chunk
+    * hash with map-side partials — text never shuffles. Same plan class
+    * as [[TextDedup.exactDedup]], applied below document granularity. */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 32, overlap: Int = 8,
+                 minCopies: Long = 2L): DataFrame =
+    tokenChunksUnordered(df, idCol, textCol, chunkTokens, overlap)
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_copies"),
+        min(struct(col("id"), col("chunk_idx"))).as("keep"))
+      .filter(col("n_copies") >= minCopies)
+      .select(col("chunk_hash"), col("n_copies"),
+        col("keep.id").as("keep_id"), col("keep.chunk_idx").as("keep_chunk_idx"))
+      .orderBy("chunk_hash")
+
+  /** Token-budget mixture sampling — the "data mixing" selection step of a
+    * training pipeline: documents carry a mixture KEY (language, domain,
+    * source) and each key gets the same token `budget`; within a key,
+    * documents are taken in id order until the budget is exhausted (the
+    * first document whose cumulative interval STARTS inside the budget is
+    * taken whole — budgets are soft by one document, the standard
+    * greedy-fill contract). Deterministic, RNG-free: same corpus, same
+    * selection. Input: (id, key, weight) rows — compose with
+    * [[graft.text.TextStats.langId]] / domain extraction upstream. Output:
+    * (id, key, weight, cum_weight) for selected rows, by id.
+    *
+    * Scale shape: the per-key running sum is the KEYED form of
+    * [[sequencePacking]]'s distributed prefix sum — NOT a
+    * `Window.partitionBy(key)` over raw rows, which would funnel each
+    * key's whole corpus slice through one task (a single dominant
+    * language at 100 TB = one straggler task holding ~all the data).
+    * Documents bucket row-locally into `numRanges` contiguous id ranges;
+    * one small (key × range) total aggregate — driver-bounded via
+    * [[graft.ops.Adaptive.boundedCollect]], the mixture-key charter is
+    * low cardinality — yields each (key, range)'s offset; a per-(key,
+    * range) window adds the running sum, so parallelism is keys × ranges
+    * at every corpus size and the result is independent of where range
+    * boundaries land. */
+  def tokenBudgetSample(rows: DataFrame, idCol: String, keyCol: String,
+                        weightCol: String, budget: Long,
+                        numRanges: Int = graft.ops.Adaptive.Auto): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = rows.select(col(idCol).cast("long").as("id"),
+      col(keyCol).as("key"), col(weightCol).cast("long").as("weight"))
+    val b = n.agg(min(col("id")), max(col("id")), count(lit(1))).head()
+    val (lo, span) =
+      if (b.isNullAt(0)) (0L, 1L) else (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+    val nR = math.min(span,
+      graft.ops.Adaptive.resolveRanges(numRanges, b.getLong(2)).toLong)
+    val withBucket = n.withColumn("__b", expr(s"((id - $lo) * $nR) div $span"))
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val totals = graft.ops.Adaptive.boundedCollect(
+        withBucket.groupBy("key", "__b").agg(sum(col("weight")).as("__s")),
+        "the mixture-key × range total table",
+        "a per-key sequencePacking pass (or reduce numRanges)")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (k, ts) =>
+      val sorted = ts.sortBy(_._2)
+      sorted.map(_._2).zip(sorted.scanLeft(0L)(_ + _._3).init)
+        .map { case (bk, off) => (k, bk, off) }
+    }
+    val offDf = broadcast(offsets.toDF("key", "__b", "__off"))
+    val w = Window.partitionBy("key", "__b").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withBucket.join(offDf, Seq("key", "__b"))
+      .withColumn("cum_weight", sum(col("weight")).over(w) + col("__off"))
+      .filter(col("cum_weight") - col("weight") < budget)
+      .select(col("id"), col("key"), col("weight"), col("cum_weight"))
+      .orderBy("id")
+  }
+
   /** Benchmark-contamination check: for every corpus document, how many
     * of its hashed word `k`-grams appear anywhere in a benchmark
     * (held-out eval) document set. The industry-standard n-gram-overlap

@@ -440,6 +440,59 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Asymmetric CONTAINMENT pairs — the overlap coefficient
+    * |A∩B| / min(|A|, |B|) over hashed k-shingle sets: the subset-duplicate
+    * detector Jaccard structurally misses. A 100-shingle quote embedded in
+    * a 5000-shingle page has Jaccard ≈ 0.02 (never crosses any near-dup
+    * threshold) but containment 1.0 — and quote/boilerplate embedding is a
+    * dominant duplication mode in web training data (the reason dedup
+    * literature tracks containment alongside resemblance since Broder
+    * 1997). Output: (doc_a, doc_b, containment), doc_a < doc_b, containment
+    * ≥ `minContainment`.
+    *
+    * Scale shape: the same inverted-index counting join as
+    * [[ngramJaccardPairs]] — candidate pairs materialize only where a
+    * shingle co-occurs, fixed-width longs in every exchange. The Jaccard
+    * size-ratio prune does NOT apply here (wildly different sizes are
+    * exactly the pairs this operator exists to find), so the REQUIRED
+    * df-cap is the only candidate bound — hot shingles leave the index
+    * before pairing (containment becomes a lower bound, the standard
+    * trade). `minShingles` drops documents whose set is trivially small
+    * (a 1-shingle doc is "contained" in anything sharing that shingle —
+    * noise, not duplication). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       maxShingleDf: MaxDf, shingleK: Int = 3,
+                       minContainment: Double = 0.9,
+                       minShingles: Int = 5): DataFrame = {
+    val docs = shingleFrame(df, idCol, textCol, shingleK)
+    val exAll = docs.select(col("id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("g"))
+    val sizes = exAll.groupBy("id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minShingles)
+    val ex0 = exAll.filter(col("n") >= minShingles)
+    val ex =
+      if (maxShingleDf.value <= 0) ex0
+      else {
+        val rare = ex0.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf.value).select("g")
+        ex0.join(rare, Seq("g"))
+      }
+    // no size-compatibility prune (see scaladoc); the intersection count
+    // rides one hash aggregate on the (doc_a, doc_b) pair key
+    val inter = ex.as("x").join(ex.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.id"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("sa.n"), col("sb.n")))
+      .filter(col("containment") >= minContainment)
+      .select("doc_a", "doc_b", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Duplicate GROUPS from near-dup pairs: connected components of the
     * pair graph, labeled by the smallest member id (the canonical document
     * to keep — every dedup pipeline needs this step after pair mining,
@@ -606,11 +659,16 @@ object TextDedup {
         // fused) instead of an eager-checkpoint job plus a probe job —
         // measured ~25% off the loop's wall time at sf0.1.
         val jumpMap = lab1F.select(col("id").as("id2"), col("lab1").as("jmp"))
+        val roundT0 = System.nanoTime()
         val next = lab1F.join(jumpMap, col("lab1") === col("id2"))
           .select(col("id"), least(col("lab1"), col("jmp")).as("label"))
           .localCheckpoint(false)
         val s = Option(next.agg(sum(col("label").cast("decimal(38,0)")))
           .head().getDecimal(0)) // materializes the checkpoint blocks
+        // dev observability only (CcBench sets it): where inside the loop
+        // a wide wall-time band lives — never on in production paths
+        if (sys.props.contains("graft.cc.debug"))
+          println(f"[cc] round $round: ${(System.nanoTime() - roundT0) / 1e9}%.2f s")
         // next is materialized past its inputs now — release the PREVIOUS
         // round's checkpoint blocks instead of retaining one generation
         // per round for the loop's whole life (the accumulation OOM'd the

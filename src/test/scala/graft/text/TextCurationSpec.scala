@@ -182,4 +182,72 @@ class TextCurationSpec extends SparkSpec {
     m(1L).getAs[Double]("contamination_ratio") shouldBe
       (1.0 / m(1L).getAs[Long]("n_grams")) +- 1e-12
   }
+
+  "chunkDedup" should "keep the minimum (doc, chunk_idx) occurrence per repeated chunk" in {
+    // chunkTokens=4, overlap=0: doc 1 = [A B C D][E F G H]; doc 2 repeats
+    // [A B C D] twice; doc 3 is unique
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d a b c d"),
+      (3L, "x y z w q r s t")
+    ).toDF("doc_id", "text")
+    val out = TextCuration.chunkDedup(d, "doc_id", "text",
+        chunkTokens = 4, overlap = 0)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exactly one repeated chunk hash: "a b c d" ×3 (doc1 idx0, doc2 idx0+1)
+    out.toSeq shouldBe Seq((3L, 1L, 0L))
+  }
+
+  it should "dedupe across overlap windows and respect minCopies" in {
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    // chunkTokens=4, overlap=2 → stride 2: windows [a b c d][c d e f][e f]
+    // per doc; every window of doc 1 recurs in doc 2
+    val out = TextCuration.chunkDedup(d, "doc_id", "text",
+        chunkTokens = 4, overlap = 2)
+      .collect()
+    out.length shouldBe 3
+    all(out.map(_.getLong(1))) shouldBe 2L       // n_copies
+    all(out.map(_.getLong(2))) shouldBe 1L       // keep_id = doc 1
+    // minCopies above the max multiplicity → empty
+    TextCuration.chunkDedup(d, "doc_id", "text", chunkTokens = 4,
+      overlap = 2, minCopies = 3L).count() shouldBe 0L
+  }
+
+  "tokenBudgetSample" should "equal the plain per-key window selection for any numRanges" in {
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 300L).map { id =>
+      (id, s"k${rng.nextInt(3)}", rng.nextInt(50).toLong + 1L)
+    }
+    val df = rows.toDF("id", "key", "w")
+    val budget = 600L
+    // sequential reference: per key in id order, keep while start < budget
+    val exp = rows.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_._1).flatMap { case (id, k, w) =>
+        val start = cum; cum += w
+        if (start < budget) Some((id, k, w, cum)) else None
+      }
+    }.sortBy(_._1)
+    for (nR <- Seq(1, 3, 32)) {
+      val got = TextCuration.tokenBudgetSample(df, "id", "key", "w", budget, nR)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      withClue(s"numRanges=$nR: ") { got shouldBe exp }
+    }
+    // Auto resolves through the same machinery
+    TextCuration.tokenBudgetSample(df, "id", "key", "w", budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq shouldBe exp
+  }
+
+  it should "handle an empty input and a budget-1 greedy head per key" in {
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "key", "w")
+    TextCuration.tokenBudgetSample(empty, "id", "key", "w", 100L).count() shouldBe 0L
+    val d = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "b", 5L)).toDF("id", "key", "w")
+    // budget 1: only the first doc of each key (its interval starts at 0)
+    TextCuration.tokenBudgetSample(d, "id", "key", "w", 1L)
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 3L)
+  }
 }

@@ -204,6 +204,37 @@ class TextDedupSpec extends SparkSpec {
     sigs(1L) should not be sigs(4L)
   }
 
+  "containmentPairs" should "find the subset duplicate Jaccard misses" in {
+    val big = (1 to 60).map(i => s"tok$i").mkString(" ")          // 58 shingles
+    val quote = (20 to 31).map(i => s"tok$i").mkString(" ")       // 10 shingles, all ⊂ big
+    val other = (100 to 140).map(i => s"u$i").mkString(" ")
+    val d = Seq((1L, big), (2L, quote), (3L, other)).toDF("doc_id", "text")
+    // Jaccard: |∩|=10, |∪|=58 → 0.17, far below any near-dup threshold
+    TextDedup.ngramJaccardPairs(d, "doc_id", "text", TextDedup.MaxDf(0))
+      .count() shouldBe 0L
+    val c = TextDedup.containmentPairs(d, "doc_id", "text", TextDedup.MaxDf(0))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    c.keySet shouldBe Set((1L, 2L))
+    c((1L, 2L)) shouldBe 1.0 +- 1e-12 // the quote is fully contained
+  }
+
+  it should "drop trivially small sets and mirror the df-cap's lower-bound trade" in {
+    val big = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val tiny = "tok5 tok6 tok7"                    // 1 shingle < minShingles
+    val d = Seq((1L, big), (2L, tiny)).toDF("doc_id", "text")
+    TextDedup.containmentPairs(d, "doc_id", "text", TextDedup.MaxDf(0))
+      .count() shouldBe 0L
+    // a cap below any shared shingle's df kills no pair here (all dfs = 2
+    // ≤ cap), and capped containment never exceeds the uncapped value
+    val quote = (20 to 31).map(i => s"tok$i").mkString(" ")
+    val d2 = Seq((1L, big), (2L, quote)).toDF("doc_id", "text")
+    val un = TextDedup.containmentPairs(d2, "doc_id", "text", TextDedup.MaxDf(0))
+      .collect().map(_.getDouble(2)).head
+    val cap = TextDedup.containmentPairs(d2, "doc_id", "text", TextDedup.MaxDf(2))
+      .collect().map(_.getDouble(2)).head
+    cap should be <= un + 1e-12
+  }
+
   "simhashNearDup" should "pair the identical docs at hamming 0" in {
     val pairs = TextDedup.simhashNearDup(docs, "doc_id", "text")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("hamming"))).toMap
