@@ -5,8 +5,11 @@ import org.apache.spark.sql.SparkSession
   * and prints ONE JSON line. Each query is fully materialized through a
   * `noop` write (not `.count()`, which lets Catalyst prune final projections
   * and under-measures vs what Verify executes). A failing query is reported
-  * in an "errors" object and makes the process exit non-zero — a broken
-  * query must never be silently reported as a (fast) timing.
+  * in an "errors" object — never as a (fast) timing — but the process still
+  * exits 0 so the healthy queries' timings survive into the round record
+  * (round-10 postmortem: rc=1 made the driver drop ALL 55 healthy timings).
+  * Non-zero exit is reserved for harness-level failure (bad session, JSON
+  * emission itself failing), which the JVM signals by an uncaught throw.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,6 +51,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     def selected(name: String) = only.forall(_.exists(name.startsWith))
     var failed = Map.empty[String, String]
+    // data-contract preflight: surface testdata drift as ONE clear line per
+    // column (and an "_contract" errors entry) before any query can die on it
+    graft.sources.Contract.probe(spark, sfDir) match {
+      case Nil => ()
+      case drift =>
+        drift.foreach(l => System.err.println(s"[bench][contract] $l"))
+        failed += "_contract" -> drift.mkString("; ")
+    }
     // Multi-phase pipelines (e.g. p50: 3 Lloyd training passes, then a
     // search) report per-phase sub-entries beside the combined total
     // (round-5 verdict item 8) — timed through DocAnalytics.phasedQueries,
@@ -102,6 +113,5 @@ object Bench {
       System.err.println(s"bench: could not persist record: ${e.getMessage}")
     }
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -487,8 +487,8 @@ object OracleSqlDocs {
          |  FROM hits
          |), c AS (
          |  SELECT id, predicted_lang, n_tokens,
-         |    sum(n_tokens) OVER (PARTITION BY predicted_lang ORDER BY id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_lang_tokens
+         |    CAST(sum(n_tokens) OVER (PARTITION BY predicted_lang ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_lang_tokens
          |  FROM lang
          |)
          |SELECT id, predicted_lang, n_tokens, cum_lang_tokens

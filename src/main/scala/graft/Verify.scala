@@ -36,11 +36,21 @@ object Verify {
         s"entries Verify does not own: ${leftovers.mkString(", ")} — stale artifacts " +
         "from an older version, or foreign files; clean them or point " +
         "-Dgraft.oracle.dir at a dedicated directory")
+    // data-contract preflight (round-10 postmortem: a silent testdata
+    // re-encoding produced 41 bare analysis exceptions) — footer-only diff,
+    // printed AND persisted below in errors.json under the "_contract" key;
+    // queries still run, since drift only breaks queries touching the column.
+    val contractDrift = graft.sources.Contract.probe(spark, sfDir)
+    contractDrift.foreach(l => System.err.println(s"[verify][contract] $l"))
+    var failed = Map.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").take(500)
+        System.err.println(s"[verify] $name failed: $msg")
+        failed += name -> msg
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -58,6 +68,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // failure record beside oracle_sql.json: a query that died must be a
+    // loud err row in the round's artifact, not a silently missing key
+    // (round-10 verdict item 2). "_contract" carries preflight drift lines.
+    val errJson = (failed ++
+        (if (contractDrift.nonEmpty) Map("_contract" -> contractDrift.mkString("; ")) else Map.empty))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} failed: " +
+        failed.keys.toSeq.sorted.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

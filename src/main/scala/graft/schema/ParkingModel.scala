@@ -43,11 +43,10 @@ object ParkingModel {
     val raw = Tables.events(spark, dir)
     raw.select(
       col("event_id"),
-      // ts arrives as nanos-since-epoch LongType (see Tables.events); integer
-      // `div` keeps full precision (a double division would corrupt int64 ns).
-      // Session TZ is UTC, so values line up with DuckDB's native ns reading
-      // at the second granularity every output formats to.
-      timestamp_micros(expr("ts div 1000")).as("ts"),
+      // ts is already normalized to TimestampType(UTC) by Tables.events,
+      // whatever the parquet physical encoding (nanos-long / micros-NTZ /
+      // micros-UTC) — see Tables.normalizeTs.
+      col("ts"),
       when(col("event_type").isin(EntryTypes: _*), lit("PARKING_ENTRY"))
         .otherwise(lit("PARKING_EXIT")).as("eventType"),
       concat(lit("P-"), col("user_id").cast("string")).as("licensePlate"),

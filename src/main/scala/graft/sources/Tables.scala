@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -11,9 +13,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (reference MinioService.scala:57-135), which we deliberately do not port.
   */
 object Tables {
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read it as nanos-since-epoch LongType (legacy conf) — the
-    * adapter converts to TimestampType with exact integer division.
+  /** events.parquet's `ts` physical encoding is driver-controlled and has
+    * changed between rounds (TIMESTAMP(NANOS) through round 9, timestamp[us]
+    * since the round-10 regeneration) — so the adapter accepts every encoding
+    * it has ever seen and normalizes to TimestampType(UTC):
+    *   - TIMESTAMP(NANOS): Spark's reader rejects it outright; the legacy
+    *     `nanosAsLong` conf (a no-op for other encodings) surfaces it as
+    *     nanos-since-epoch LongType, converted with exact integer division
+    *     (a double division would corrupt int64 ns).
+    *   - timestamp[us] without isAdjustedToUTC: arrives as TimestampNTZType;
+    *     under the pinned UTC session a cast to TimestampType is a pure
+    *     re-tag of the same micros value, matching DuckDB's native read.
+    *   - timestamp[us/ms] with UTC adjustment: already TimestampType.
+    * Anything else fails loudly here (one line, named table+type) instead of
+    * as dozens of downstream analysis exceptions.
     *
     * Also pins the session timezone to UTC: every date_format/unix_timestamp
     * downstream depends on it, and callers may hand us an externally built
@@ -23,8 +36,20 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    read(spark, dir, "events")
+    normalizeTs(read(spark, dir, "events"))
   }
+
+  /** `ts` → TimestampType regardless of the parquet physical encoding. */
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long legacy read of TIMESTAMP(NANOS)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case TimestampNTZType => // micros, no UTC flag; session TZ is UTC
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: expected INT64(nanos), TIMESTAMP, or TIMESTAMP_NTZ, got $other")
+    }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
@@ -42,7 +67,7 @@ object Tables {
   def eventsUnion(spark: SparkSession, dirs: Seq[String]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.read.parquet(dirs.map(d => s"$d/events.parquet"): _*)
+    normalizeTs(spark.read.parquet(dirs.map(d => s"$d/events.parquet"): _*))
   }
 
   /** P7 empty-input guard (reference MainHourly.scala:82-87 threw on an
