@@ -436,6 +436,23 @@ object OracleSqlDocs {
          |WHERE CAST(i AS DOUBLE)/least(sa.n, sb.n) >= CAST(0.9 AS DOUBLE)
          |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // p94 without the rare/exc df-cap CTEs: uncapped ground truth — the
+    // sf0.1 delta against p94 (256 vs 179 pairs) is the cap's bite.
+    "p98_containment_exact" -> (shingleCtes +
+      s""",
+         |sizes AS (SELECT id, len(sh) AS n FROM shn WHERE len(sh) >= 5),
+         |ex AS (SELECT s.id, unnest(s.sh) AS g FROM shn s
+         |       WHERE len(s.sh) >= 5),
+         |inter AS (
+         |  SELECT a.id AS da, b.id AS db, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2
+         |)
+         |SELECT da AS doc_a, db AS doc_b,
+         |       CAST(i AS DOUBLE)/least(sa.n, sb.n) AS containment
+         |FROM inter JOIN sizes sa ON da = sa.id JOIN sizes sb ON db = sb.id
+         |WHERE CAST(i AS DOUBLE)/least(sa.n, sb.n) >= CAST(0.9 AS DOUBLE)
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
     // chunk-level exact dedup over the p81 chunk chain: group by chunk
     // hash, canonical keeper = min (id, chunk_idx) — computed as min(id)
     // then min(chunk_idx) within that id (two steps; engine-independent
@@ -493,6 +510,27 @@ object OracleSqlDocs {
          |)
          |SELECT id, predicted_lang, n_tokens, cum_lang_tokens
          |FROM c WHERE cum_lang_tokens - n_tokens < 4000
+         |ORDER BY id""".stripMargin,
+
+    // p96's multi-language twin keyed by the documents' own `lang` column:
+    // five languages, each over-budget at sf0.1 (every per-key budget
+    // binds); same window shape as p96 incl. the BIGINT cast (DuckDB
+    // window sums are HUGEINT).
+    "p97_mixture_multilang" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, lang, string_split(${norm("text")}, ' ') AS t
+         |  FROM documents
+         |), c AS (
+         |  SELECT id, lang, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+         |), w AS (
+         |  SELECT id, lang, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_lang_tokens
+         |  FROM c
+         |)
+         |SELECT id, lang, n_tokens, cum_lang_tokens FROM w
+         |WHERE cum_lang_tokens - n_tokens < 4000
          |ORDER BY id""".stripMargin,
 
     "p16_simhash" ->

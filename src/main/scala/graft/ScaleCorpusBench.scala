@@ -100,6 +100,11 @@ object ScaleCorpusBench {
   def main(args: Array[String]): Unit = {
     val docSizes = if (args.nonEmpty) args.map(_.toLong).toSeq
                    else Seq(5000L, 50000L, 500000L)
+    // SPARK_GRAFT_OPS=ngram,cc limits the run to op-name prefixes — a
+    // targeted-rung aid (e.g. the p15b prefix-vs-counting decision at
+    // 500k) so one comparison doesn't pay the whole ladder. Unset = all.
+    val opsFilter = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+    def opOn(op: String) = opsFilter.forall(_.exists(op.startsWith))
     // heap: the 100×/30M rungs want SPARK_DRIVER_MEM ≥ 32g (see DevBench)
     val spark = DevBench.session()
     import graft.text.{TextCuration, TextDedup}
@@ -110,8 +115,8 @@ object ScaleCorpusBench {
           "zipf50k" -> synthCorpusZipf(spark, n))) {
         val corpus = gen.persist()
         corpus.count()
-        def report(op: String, sec: Double): Unit = println(
-          s"""{"op":"$op","corpus":"$cname","docs":$n,"sec":${f"$sec%.2f"}}""")
+        def report(op: String, sec: => Double): Unit = if (opOn(op)) println(
+          s"""{"op":"$op","corpus":"$cname","docs":$n,"sec":${f"${sec}%.2f"}}""")
         report("exact_dedup",
           time(mat(TextDedup.exactDedup(corpus, "doc_id", "text"))))
         report("minhash_neardup",
@@ -138,21 +143,23 @@ object ScaleCorpusBench {
         // representative (p89): time the NEW stage — the argmax riding
         // the group shuffle — over precomputed groups/quality, so the
         // figure isn't dominated by the already-laddered simhash+CC
-        val groups = TextDedup.duplicateGroups(
-          TextDedup.simhashNearDup(corpus, "doc_id", "text"),
-          "doc_a", "doc_b").persist()
-        val quality = graft.text.TextStats.stats(corpus, "doc_id", "text")
-          .select(col("id").as("doc_id"), col("quality_score")).persist()
-        groups.count(); quality.count()
-        report("group_representative", time(mat(
-          groups.join(quality, Seq("doc_id"))
-            .groupBy("group_id")
-            .agg(count(lit(1)).as("group_size"),
-              max(struct(col("quality_score"), (-col("doc_id")).as("neg"),
-                col("doc_id"))).as("best"))
-            .select(col("group_id"), col("best.doc_id").as("rep_id"),
-              col("group_size")))))
-        groups.unpersist(false); quality.unpersist(false)
+        if (opOn("group_representative")) {
+          val groups = TextDedup.duplicateGroups(
+            TextDedup.simhashNearDup(corpus, "doc_id", "text"),
+            "doc_a", "doc_b").persist()
+          val quality = graft.text.TextStats.stats(corpus, "doc_id", "text")
+            .select(col("id").as("doc_id"), col("quality_score")).persist()
+          groups.count(); quality.count()
+          report("group_representative", time(mat(
+            groups.join(quality, Seq("doc_id"))
+              .groupBy("group_id")
+              .agg(count(lit(1)).as("group_size"),
+                max(struct(col("quality_score"), (-col("doc_id")).as("neg"),
+                  col("doc_id"))).as("best"))
+              .select(col("group_id"), col("best.doc_id").as("rep_id"),
+                col("group_size")))))
+          groups.unpersist(false); quality.unpersist(false)
+        }
         corpus.unpersist(false)
       }
     }
@@ -161,7 +168,7 @@ object ScaleCorpusBench {
     // threshold); 30M takes the iterative min-label loop — both sides of
     // the adaptive switch appear in the curve
     val edgeSizes = Seq(1000000L, 10000000L, 30000000L)
-    for (n <- edgeSizes) {
+    for (n <- edgeSizes if opOn("dedup_groups_cc")) {
       val edges = synthEdges(spark, n).persist()
       edges.count()
       val cc = time(mat(TextDedup.duplicateGroups(edges, "doc_a", "doc_b")))
@@ -172,7 +179,7 @@ object ScaleCorpusBench {
     // ranged as-of (p44 shape): 3 keys, snapshots every 100th tick,
     // adaptive range count (the operator's new default)
     val asofSizes = Seq(1000000L, 10000000L, 100000000L)
-    for (n <- asofSizes) {
+    for (n <- asofSizes if opOn("asof_ranged")) {
       val left = spark.range(n).select(
         concat(lit("lot"), pmod(col("id"), lit(3)).cast("string")).as("key"),
         (col("id") / 3).as("t"), col("id").as("left_id")).persist()

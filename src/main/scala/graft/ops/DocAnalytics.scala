@@ -127,9 +127,16 @@ object DocAnalytics {
       TextDedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", TextDedup.MaxDf(16))),
     // the overlap coefficient |A∩B|/min(|A|,|B|): subset-duplicate pairs
     // (quotes, boilerplate embedding) that Jaccard structurally misses;
-    // cap 16 = the p93 dual-scale configuration
+    // cap 16 = the p93 dual-scale configuration, and it BITES at sf0.1
+    // (179 pairs vs p98's uncapped 256 — the cap-drop semantics are
+    // themselves oracle-verified at the scale where hot shingles exist)
     "p94_containment_pairs" -> ((s, d) =>
       TextDedup.containmentPairs(docs(s, d), "doc_id", "text", TextDedup.MaxDf(16))),
+    // uncapped ground-truth twin of p94 (cap 0 = no df cap), mirroring the
+    // p15↔p15b pairing: verifies TRUE containment semantics — at sf0.1 the
+    // 77 pairs cap-16 drops are exactly the ones riding df>16 shingles
+    "p98_containment_exact" -> ((s, d) =>
+      TextDedup.containmentPairs(docs(s, d), "doc_id", "text", TextDedup.MaxDf(0))),
     // chunk-granularity exact dedup: p81's context chunks → one canonical
     // copy per distinct chunk hash (the RAG-index dedup step)
     "p95_chunk_dedup" -> ((s, d) =>
@@ -147,6 +154,23 @@ object DocAnalytics {
       TextCuration.tokenBudgetSample(lang.join(ntok, "id"),
           "id", "predicted_lang", "n_tokens", budget = 4000L)
         .select(col("id"), col("key").as("predicted_lang"),
+          col("weight").as("n_tokens"), col("cum_weight").as("cum_lang_tokens"))
+        .orderBy("id")
+    }),
+    // multi-language mixture configuration: keyed by the corpus's OWN
+    // `lang` metadata column — 5 languages, each with >4000 corpus tokens
+    // at sf0.1, so the per-key budget BINDS for every key (p96's heuristic
+    // langId collapses this corpus to en/und and leaves 3 budgets
+    // unexercised); at sf0.01 three languages fall under budget, which
+    // also pins the take-everything path per key
+    "p97_mixture_multilang" -> ((s, d) => {
+      val ds = docs(s, d)
+      val ntok = TextStats.stats(ds, "doc_id", "text")
+        .select(col("id"), col("n_tokens"))
+      TextCuration.tokenBudgetSample(
+          ds.select(col("doc_id").as("id"), col("lang")).join(ntok, "id"),
+          "id", "lang", "n_tokens", budget = 4000L)
+        .select(col("id"), col("key").as("lang"),
           col("weight").as("n_tokens"), col("cum_weight").as("cum_lang_tokens"))
         .orderBy("id")
     }),
