@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // experiment pass-through for the forked run JVM (e.g.
+  // SPARK_GRAFT_JVM_OPTS="-Dgraft.cc.ckpt=heap -Dgraft.cc.debug" for
+  // CcBench A/B runs) — empty unless explicitly set
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -105,6 +105,8 @@ object ScaleCorpusBench {
     // 500k) so one comparison doesn't pay the whole ladder. Unset = all.
     val opsFilter = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
     def opOn(op: String) = opsFilter.forall(_.exists(op.startsWith))
+    // SPARK_GRAFT_CORPUS=zipf50k similarly targets one ladder corpus
+    val corpusFilter = sys.env.get("SPARK_GRAFT_CORPUS")
     // heap: the 100×/30M rungs want SPARK_DRIVER_MEM ≥ 32g (see DevBench)
     val spark = DevBench.session()
     import graft.text.{TextCuration, TextDedup}
@@ -112,7 +114,8 @@ object ScaleCorpusBench {
     for (n <- docSizes) {
       for ((cname, gen) <- Seq(
           "uniform5k" -> synthCorpus(spark, n),
-          "zipf50k" -> synthCorpusZipf(spark, n))) {
+          "zipf50k" -> synthCorpusZipf(spark, n))
+          if corpusFilter.forall(_ == cname)) {
         val corpus = gen.persist()
         corpus.count()
         def report(op: String, sec: => Double): Unit = if (opOn(op)) println(

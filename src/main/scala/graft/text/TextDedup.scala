@@ -660,9 +660,18 @@ object TextDedup {
         // measured ~25% off the loop's wall time at sf0.1.
         val jumpMap = lab1F.select(col("id").as("id2"), col("lab1").as("jmp"))
         val roundT0 = System.nanoTime()
+        // checkpoint storage is an experiment knob for CcBench only
+        // (-Dgraft.cc.ckpt=heap reverts to deserialized MEMORY_AND_DISK):
+        // each round's label table is #nodes UnsafeRow objects; serialized
+        // storage packs them into per-partition byte arrays, shrinking the
+        // old-gen object census the 30M-edge rung's GC band was traced to.
+        val ckptLevel =
+          if (sys.props.get("graft.cc.ckpt").contains("heap"))
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+          else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
         val next = lab1F.join(jumpMap, col("lab1") === col("id2"))
           .select(col("id"), least(col("lab1"), col("jmp")).as("label"))
-          .localCheckpoint(false)
+          .localCheckpoint(false, ckptLevel)
         val s = Option(next.agg(sum(col("label").cast("decimal(38,0)")))
           .head().getDecimal(0)) // materializes the checkpoint blocks
         // dev observability only (CcBench sets it): where inside the loop
