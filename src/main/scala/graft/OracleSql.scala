@@ -122,9 +122,11 @@ object OracleSql {
       |ranked AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY parkingLotId, parkingSpotId
       |                               ORDER BY event_id DESC) AS rn
-      |  -- µs-truncate before comparing: Spark reads ts as ns→µs (ts div
-      |  -- 1000), so an event inside (cutoff, cutoff+1µs) must be included
-      |  -- on both sides.
+      |  -- µs-truncate before comparing: Spark normalizes ts to µs
+      |  -- precision whatever the parquet encoding (native µs today;
+      |  -- ns div 1000 under the legacy nanos layout), so an event inside
+      |  -- (cutoff, cutoff+1µs) must be included on both sides; on µs data
+      |  -- epoch_ns//1000 ≡ epoch_us exactly.
       |  FROM parking
       |  WHERE epoch_ns(ts) // 1000 <= epoch_us(TIMESTAMP '2024-01-15 00:00:00')
       |)

@@ -55,13 +55,32 @@ object Contract {
     "embeddings" -> Seq("vec_id" -> Set("bigint"),
       "embedding" -> Set("array<float>"), "label" -> Set("int")))
 
-  /** Footer-only schema diff of every expected table under `dir`.
-    * Returns one line per drift; empty = contract holds. */
+  /** The embedding dimensionality every LSH/IVF plane generator AND the
+    * static oracle SQL encode. A regenerated corpus with a different dim
+    * would not fail any schema check (parquet footers carry no list
+    * length) — it would be silently WRONG: plane dot products would fold
+    * over the shorter of the two lengths. So the probe pays one extra
+    * 1-row read to pin it. */
+  val EmbeddingDim = 64
+
+  /** Footer-only schema diff of every expected table under `dir` (plus the
+    * single-row [[EmbeddingDim]] check — the one drift a footer cannot
+    * see). Returns one line per drift; empty = contract holds. */
   def probe(spark: SparkSession, dir: String): Seq[String] = {
     // same legacy conf as Tables.events, so a nanos-encoded ts surfaces as
     // bigint (accepted) instead of failing the footer read itself
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+    val dimDrift = Try {
+      import org.apache.spark.sql.functions.size
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(size(org.apache.spark.sql.functions.col("embedding")))
+        .limit(1).collect().headOption.map(_.getInt(0))
+    }.toOption.flatten match {
+      case Some(d) if d != EmbeddingDim =>
+        Seq(s"embeddings.embedding: expected $EmbeddingDim elements, got $d")
+      case _ => Nil // missing/unreadable table is reported by the loop below
+    }
+    dimDrift ++ expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
       Try(spark.read.parquet(s"$dir/$table.parquet").schema) match {
         case Failure(e) =>
           Seq(s"$table: unreadable (${e.getClass.getSimpleName}: " +

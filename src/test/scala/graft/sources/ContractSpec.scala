@@ -66,6 +66,21 @@ class ContractSpec extends SparkSpec {
     } finally FsUtil.deleteRecursively(new java.io.File(dir))
   }
 
+  it should "catch an embedding-dimension change a footer cannot show" in {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("contract3").toString
+    try {
+      for (t <- Contract.expected.keys if t != "embeddings")
+        spark.read.parquet(s"$sf/$t.parquet").write.parquet(s"$dir/$t.parquet")
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .withColumn("embedding", slice(col("embedding"), 1, 32))
+        .write.parquet(s"$dir/embeddings.parquet")
+      val drift = Contract.probe(spark, dir)
+      drift should have size 1
+      drift.head shouldBe "embeddings.embedding: expected 64 elements, got 32"
+    } finally FsUtil.deleteRecursively(new java.io.File(dir))
+  }
+
   it should "report a missing table as unreadable" in {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("contract2").toString
