@@ -30,5 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // experiment pass-through for the forked run JVM (e.g.
   // SPARK_GRAFT_JVM_OPTS="-Dgraft.cc.ckpt=heap -Dgraft.cc.debug" for
-  // CcBench A/B runs) — empty unless explicitly set
-  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
+  // CcBench A/B runs) — empty unless explicitly set. Split on whitespace
+  // runs; values containing spaces are NOT supported (no quote handling) —
+  // fine for the documented -Dkey=value use.
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

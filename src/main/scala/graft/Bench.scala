@@ -45,7 +45,13 @@ object Bench {
       graft.text.TextDedup.duplicateGroups(
         Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
         .count()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // a dead warm-up silently lands its cost on the first query's timing
+      // (round-11 verdict item 2) — one line so the skew is attributable
+      System.err.println(s"bench: warm-up failed (${e.getClass.getSimpleName}: " +
+        s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}) — " +
+        "first query's timing will absorb startup cost")
+    }
     // SPARK_GRAFT_ONLY=p37,p60 limits the run to matching query-name
     // prefixes — an iteration aid; the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)

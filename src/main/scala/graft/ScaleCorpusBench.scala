@@ -111,7 +111,14 @@ object ScaleCorpusBench {
     val spark = DevBench.session()
     import graft.text.{TextCuration, TextDedup}
 
-    for (n <- docSizes) {
+    // every op the doc-corpus block can report: when SPARK_GRAFT_OPS selects
+    // none of them (e.g. a targeted dedup_groups_cc/asof_ranged rung), skip
+    // synthesizing and persisting the corpora entirely (round-11 advice —
+    // targeted rungs were paying the full corpus-build cost for zero reports)
+    val corpusOps = Seq("exact_dedup", "minhash_neardup", "ngram_jaccard_df64",
+      "ngram_jaccard_df64_prefix", "sequence_packing", "span_dedup",
+      "span_scrub", "bigram_novelty", "group_representative")
+    for (n <- docSizes if corpusOps.exists(opOn)) {
       for ((cname, gen) <- Seq(
           "uniform5k" -> synthCorpus(spark, n),
           "zipf50k" -> synthCorpusZipf(spark, n))

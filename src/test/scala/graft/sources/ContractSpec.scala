@@ -81,6 +81,67 @@ class ContractSpec extends SparkSpec {
     } finally FsUtil.deleteRecursively(new java.io.File(dir))
   }
 
+  it should "catch a null embedding vector anywhere in the table" in {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("contract4").toString
+    try {
+      for (t <- Contract.expected.keys if t != "embeddings")
+        spark.read.parquet(s"$sf/$t.parquet").write.parquet(s"$dir/$t.parquet")
+      // null out one mid-table vector: the old first-row probe missed this
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .withColumn("embedding",
+          when(col("vec_id") === 7L, lit(null)).otherwise(col("embedding")))
+        .write.parquet(s"$dir/embeddings.parquet")
+      val drift = Contract.probe(spark, dir)
+      drift should have size 1
+      drift.head shouldBe "embeddings.embedding: 1 null vector(s)"
+    } finally FsUtil.deleteRecursively(new java.io.File(dir))
+  }
+
+  it should "catch a ragged embedding column beyond row 1" in {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("contract5").toString
+    try {
+      for (t <- Contract.expected.keys if t != "embeddings")
+        spark.read.parquet(s"$sf/$t.parquet").write.parquet(s"$dir/$t.parquet")
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .withColumn("embedding",
+          when(col("vec_id") === 7L, slice(col("embedding"), 1, 32))
+            .otherwise(col("embedding")))
+        .write.parquet(s"$dir/embeddings.parquet")
+      val drift = Contract.probe(spark, dir)
+      drift should have size 1
+      drift.head shouldBe "embeddings.embedding: expected 64 elements, got ragged 32..64"
+    } finally FsUtil.deleteRecursively(new java.io.File(dir))
+  }
+
+  it should "catch an int64 ts re-encoded in micros (the next silent drift)" in {
+    val dir = java.nio.file.Files.createTempDirectory("contract6").toString
+    try {
+      for (t <- Contract.expected.keys if t != "events")
+        spark.read.parquet(s"$sf/$t.parquet").write.parquet(s"$dir/$t.parquet")
+      // plain int64 MICROS: footer says bigint (accepted — nanos-as-long is
+      // also bigint), but normalizeTs's nanos assumption divides by 1000 and
+      // every timestamp lands in 1970 — only the value probe can see it
+      spark.read.parquet(s"$sf/events.parquet")
+        .withColumn("ts", unix_micros(col("ts").cast(TimestampType)))
+        .write.parquet(s"$dir/events.parquet")
+      val drift = Contract.probe(spark, dir)
+      drift should have size 1
+      drift.head should startWith("events.ts: value-sanity failed")
+      drift.head should include("micros/millis")
+    } finally FsUtil.deleteRecursively(new java.io.File(dir))
+  }
+
+  it should "restore the nanosAsLong conf it sets for the probe" in {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.set(key, "false")
+    try {
+      Contract.probe(spark, sf)
+      spark.conf.get(key) shouldBe "false"
+    } finally spark.conf.unset(key)
+  }
+
   it should "report a missing table as unreadable" in {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("contract2").toString

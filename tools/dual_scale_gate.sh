@@ -33,6 +33,14 @@ for SF in sf0.01 sf0.1; do
     overall=1
     [ -f "$OUT_DIR/oracle_sql.json" ] || continue  # harness died before dumping
   fi
+  # Contract drift that breaks no query leaves Verify rc=0 with the drift
+  # only in errors.json — surface ANY non-empty errors.json here so the
+  # gate cannot be green over buried drift (round-11 advice).
+  if [ -f "$OUT_DIR/errors.json" ] && [ "$(cat "$OUT_DIR/errors.json")" != "{}" ]; then
+    echo "FAIL $SF: errors.json is non-empty:"
+    cat "$OUT_DIR/errors.json"; echo
+    overall=1
+  fi
   echo "== $SF: DuckDB oracle compare =="
   if python3 tools/check_oracle.py "$SF_DIR" "$OUT_DIR"; then
     echo "== $SF GREEN =="
