@@ -65,6 +65,59 @@ object OracleSqlDocs {
        |  FROM thd
        |), shn AS (SELECT id, sh FROM shdocs WHERE len(sh) > 0)""".stripMargin
 
+  private val stopList = "('the','a','of','and','to','in','is','on','for','with')"
+
+  /** Shared CTE chain of the trained-quality-scorer twins (p99/p100), up
+    * to the coalesced per-document evidence frame `filled`: tokenization,
+    * the p18 quality fold as a 0/1 label, hashed-bucket occurrences
+    * (charHash mod 4096 — QualityScorer.NumBuckets), NB class counts as
+    * conditional sums over the id % 10 <> 0 train split, exact-sign
+    * bucket votes, and the per-document rollup. Constants (4096, 10,
+    * 0.25) mirror [[graft.text.QualityScorer]]. */
+  private val scorerFilledCte: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
+       |), lab AS (
+       |  SELECT id, t,
+       |    CASE WHEN least(CAST(1.0 AS DOUBLE), CAST(len(t) AS DOUBLE) / CAST(200.0 AS DOUBLE))
+       |         * (CAST(1.0 AS DOUBLE)
+       |            - CAST(len(list_filter(t, x -> x IN $stopList)) AS DOUBLE) / len(t))
+       |         >= CAST(0.25 AS DOUBLE) THEN 1 ELSE 0 END AS hiq
+       |  FROM toks
+       |), ex AS (
+       |  SELECT id, hiq, unnest(list_transform(t, tok -> ${hash("tok")} % 4096)) AS b FROM lab
+       |), model AS (
+       |  SELECT b,
+       |    CAST(sum(CASE WHEN id % 10 <> 0 AND hiq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+       |    CAST(sum(CASE WHEN id % 10 <> 0 AND hiq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+       |  FROM ex GROUP BY b
+       |), totals AS (
+       |  SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+       |         CAST(sum(c_neg) AS BIGINT) AS n_neg
+       |  FROM model
+       |), voted AS (
+       |  SELECT b, (c_pos + c_neg = 0) AS oov,
+       |    CASE WHEN CAST(c_pos AS HUGEINT) * n_neg > CAST(c_neg AS HUGEINT) * n_pos THEN 1
+       |         WHEN CAST(c_pos AS HUGEINT) * n_neg < CAST(c_neg AS HUGEINT) * n_pos THEN -1
+       |         ELSE 0 END AS v
+       |  FROM model CROSS JOIN totals
+       |), per AS (
+       |  SELECT ex.id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos_votes,
+       |    CAST(sum(CASE WHEN v = -1 THEN 1 ELSE 0 END) AS BIGINT) AS neg_votes,
+       |    max(hiq) AS label_hiq
+       |  FROM ex JOIN voted USING (b) GROUP BY ex.id
+       |), filled AS (
+       |  SELECT d.doc_id,
+       |    coalesce(per.n_tokens, 0) AS n_tokens,
+       |    coalesce(per.n_oov, 0) AS n_oov,
+       |    coalesce(per.pos_votes, 0) AS pos_votes,
+       |    coalesce(per.neg_votes, 0) AS neg_votes,
+       |    CAST(per.label_hiq AS INT) AS label_hiq
+       |  FROM documents d LEFT JOIN per ON d.doc_id = per.id
+       |)""".stripMargin
+
   /** simhash twin: 30 per-bit balance folds over the token-hash list. */
   private val simhashExpr: String = {
     val terms = (0 until 30).map { i =>
@@ -75,7 +128,6 @@ object OracleSqlDocs {
     "CAST(" + terms.mkString(" + ") + " AS BIGINT)"
   }
 
-  private val stopList = "('the','a','of','and','to','in','is','on','for','with')"
 
   /** The IVF-flat SEARCH given a centroid CTE (`cents(cid, ce)`): argmax
     * cell assignment with ties toward the smallest centroid id, a 2-cell
@@ -381,6 +433,39 @@ object OracleSqlDocs {
          |       CASE WHEN per.n_bigrams IS NOT NULL
          |            THEN CAST(per.n_oov AS DOUBLE) / per.n_bigrams END AS oov_rate
          |FROM documents d LEFT JOIN per ON d.doc_id = per.id ORDER BY d.doc_id""".stripMargin,
+
+    // trained-quality-scorer twin of QualityScorer.qualityScorer: heuristic
+    // label = p18's quality_score fold ≥ 0.25, hashed-bucket NB counts as
+    // conditional sums over the id % 10 <> 0 split, per-bucket sign-of-
+    // log-likelihood-ratio votes via exact HUGEINT cross-multiplication
+    // (no ln — not correctly-rounded-guaranteed), ONE final division.
+    // DuckDB sums into HUGEINT — cast back so schemas match.
+    "p99_quality_scorer" -> (scorerFilledCte +
+      s"""
+         |SELECT doc_id, n_tokens, n_oov, pos_votes, neg_votes,
+         |  CAST(pos_votes + 1 AS DOUBLE) / (pos_votes + neg_votes + 2) AS nb_score,
+         |  CAST(CASE WHEN CAST(pos_votes + 1 AS DOUBLE) / (pos_votes + neg_votes + 2)
+         |            >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END AS INT) AS predicted_hiq,
+         |  label_hiq
+         |FROM filled ORDER BY doc_id""".stripMargin),
+
+    // held-out confusion matrix + accuracy of the p99 scorer (one row;
+    // integer sums, one division)
+    "p100_scorer_eval" -> (scorerFilledCte +
+      s"""
+         |, pred AS (
+         |  SELECT doc_id, label_hiq,
+         |    CASE WHEN CAST(pos_votes + 1 AS DOUBLE) / (pos_votes + neg_votes + 2)
+         |         >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END AS p
+         |  FROM filled WHERE doc_id % 10 = 0
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_holdout,
+         |  CAST(sum(CASE WHEN p = 1 AND label_hiq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN p = 1 AND label_hiq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN p = 0 AND label_hiq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN p = 0 AND label_hiq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  CAST(sum(CASE WHEN p = label_hiq THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accuracy
+         |FROM pred""".stripMargin),
 
     "p14_minhash_neardup" -> minhashSql(graft.text.TextDedup.DefaultMaxBucket),
     // the cap-BITING configuration: at sf0.01 the largest band buckets

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, max, struct, sum, when}
 import graft.sources.Tables
-import graft.text.{TextCuration, TextDedup, TextStats}
+import graft.text.{QualityScorer, TextCuration, TextDedup, TextStats}
 import graft.ann.Similarity
 
 /** The LLM-data-pipeline query surface over the `documents` and
@@ -203,6 +203,17 @@ object DocAnalytics {
     // free perplexity stand-in — see the operator's scaladoc)
     "p88_bigram_novelty" -> ((s, d) =>
       TextStats.bigramNovelty(docs(s, d), "doc_id", "text")),
+    // TRAINED quality classifier (fastText/CCNet archetype): hashed-token
+    // Naive-Bayes counts trained on the heuristic-labeled pmod(id,10)≠0
+    // split, every doc scored (transcendental-free evidence ratio — see
+    // the operator's scaladoc); the holdout rows show generalization
+    "p99_quality_scorer" -> ((s, d) =>
+      QualityScorer.qualityScorer(docs(s, d), "doc_id", "text")),
+    // the scorer's held-out confusion matrix + accuracy as a 1-row query:
+    // model evaluation as a first-class oracle-gated pipeline step
+    "p100_scorer_eval" -> ((s, d) =>
+      QualityScorer.scorerEval(
+        QualityScorer.qualityScorer(docs(s, d), "doc_id", "text"))),
     "p21_knn_bruteforce" -> ((s, d) =>
       Similarity.knnBruteForce(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     "p22_knn_lsh" -> ((s, d) =>
