@@ -118,6 +118,27 @@ object OracleSqlDocs {
        |  FROM documents d LEFT JOIN per ON d.doc_id = per.id
        |)""".stripMargin
 
+  /** The synthesized url of [[graft.ops.DocAnalytics.withUrl]], character
+    * for character (scheme/www/extra-segment/query vary by doc_id
+    * residues). */
+  private val urlSynthSql: String =
+    "(CASE WHEN doc_id % 5 = 0 THEN 'http' ELSE 'https' END) || '://' || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) || " +
+      "source || '-example.com/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) || " +
+      "(CASE WHEN doc_id % 4 = 0 THEN '/extra' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 7 = 0 THEN '?ref=feed' ELSE '' END)"
+
+  /** Shared url → host/domain CTE prefix of the p101/p102 twins — same
+    * anchored RE2/Java-portable regexes as TextCuration.urlParts. */
+  private val urlCtes: String =
+    s"""WITH u AS (
+       |  SELECT doc_id AS id, $urlSynthSql AS url FROM documents
+       |), h AS (
+       |  SELECT id, url,
+       |         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
+       |  FROM u
+       |)""".stripMargin
+
   /** simhash twin: 30 per-bit balance folds over the token-hash list. */
   private val simhashExpr: String = {
     val terms = (0 until 30).map { i =>
@@ -466,6 +487,36 @@ object OracleSqlDocs {
          |  CAST(sum(CASE WHEN p = 0 AND label_hiq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
          |  CAST(sum(CASE WHEN p = label_hiq THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accuracy
          |FROM pred""".stripMargin),
+
+    // URL-curation twins of TextCuration.urlParts / domainCapSample over
+    // the synthesized url column (urlSynthSql ≡ DocAnalytics.withUrl)
+    "p101_url_parts" -> (urlCtes +
+      s"""
+         |SELECT id,
+         |  regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+         |  host,
+         |  regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) AS domain,
+         |  CAST(len(list_filter(string_split(
+         |    regexp_replace(regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
+         |                   '[?#].*$$', ''), '/'), x -> x <> '')) AS BIGINT) AS path_depth,
+         |  contains(url, '?') AS has_query
+         |FROM h ORDER BY id""".stripMargin),
+
+    // per-domain cap: row_number in id order per domain, kept while
+    // <= 15 — the keyed-prefix-sum rank the Spark side computes without
+    // a per-domain window funnel
+    "p102_domain_cap" -> (urlCtes +
+      s"""
+         |, dom AS (
+         |  SELECT id, regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) AS domain
+         |  FROM h
+         |), ranked AS (
+         |  SELECT id, domain,
+         |         row_number() OVER (PARTITION BY domain ORDER BY id) AS doc_rank
+         |  FROM dom
+         |)
+         |SELECT id, domain, CAST(doc_rank AS BIGINT) AS doc_rank
+         |FROM ranked WHERE doc_rank <= 15 ORDER BY id""".stripMargin),
 
     "p14_minhash_neardup" -> minhashSql(graft.text.TextDedup.DefaultMaxBucket),
     // the cap-BITING configuration: at sf0.01 the largest band buckets

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, max, struct, sum, when}
+import org.apache.spark.sql.functions.{col, concat, count, lit, max, pmod, struct, sum, when}
 import graft.sources.Tables
 import graft.text.{QualityScorer, TextCuration, TextDedup, TextStats}
 import graft.ann.Similarity
@@ -17,6 +17,23 @@ object DocAnalytics {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+
+  /** Deterministic url synthesis for the p101/p102 URL-curation queries
+    * (the driver's documents table has no url column): one url per doc
+    * built from source/lang/doc_id, with scheme, www-prefix, an extra
+    * path segment, and a query string varying by doc_id residues so the
+    * parser's every branch is hit. [[graft.OracleSqlDocs.urlSynthSql]]
+    * is the character-identical DuckDB twin. */
+  private[graft] def withUrl(ds: DataFrame): DataFrame =
+    ds.select(col("doc_id"), concat(
+      when(pmod(col("doc_id"), lit(5)) === 0, "http").otherwise("https"),
+      lit("://"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "www.").otherwise(""),
+      col("source"), lit("-example.com/"),
+      col("lang"), lit("/doc/"), col("doc_id").cast("string"),
+      when(pmod(col("doc_id"), lit(4)) === 0, "/extra").otherwise(""),
+      when(pmod(col("doc_id"), lit(7)) === 0, "?ref=feed").otherwise(""))
+      .as("url"))
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
 
@@ -214,6 +231,20 @@ object DocAnalytics {
     "p100_scorer_eval" -> ((s, d) =>
       QualityScorer.scorerEval(
         QualityScorer.qualityScorer(docs(s, d), "doc_id", "text"))),
+    // URL curation (RefinedWeb/C4 family) over a deterministically
+    // synthesized url column (the driver corpus carries none — scheme,
+    // www-prefix, path depth, and query string vary by doc_id residues so
+    // every parser branch is exercised; the oracle rebuilds the identical
+    // strings)
+    "p101_url_parts" -> ((s, d) =>
+      TextCuration.urlParts(withUrl(docs(s, d)), "doc_id", "url")),
+    // per-domain document cap (cap 15 < the ~25 docs/domain the corpus's
+    // 20 sources yield at every scale, so the cap BITES and the kept-rank
+    // semantics are themselves oracle-verified)
+    "p102_domain_cap" -> ((s, d) =>
+      TextCuration.domainCapSample(
+        TextCuration.urlParts(withUrl(docs(s, d)), "doc_id", "url"),
+        "id", "domain", cap = 15L)),
     "p21_knn_bruteforce" -> ((s, d) =>
       Similarity.knnBruteForce(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     "p22_knn_lsh" -> ((s, d) =>

@@ -340,6 +340,54 @@ object TextCuration {
       .orderBy("id")
   }
 
+  /** URL structure extraction — the host/domain step of RefinedWeb/C4-style
+    * web curation (domain blocklists, per-domain caps, TLD stats all key on
+    * it). Pure anchored regexes in the subset Java (Spark) and RE2 (DuckDB)
+    * match identically: explicit character classes, no backreferences, no
+    * lookaround. `domain` is the last two dot-labels of the host (the
+    * registered-domain approximation a real pipeline would refine with the
+    * public-suffix list); `path_depth` counts non-empty path segments after
+    * stripping query/fragment. Narrow and shuffle-free — at 100 TB this is
+    * a scan-side projection. Output: (id, scheme, host, domain, path_depth,
+    * has_query). */
+  def urlParts(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val h = Barrier.once(
+      df.select(col(idCol).as("id"), col(urlCol).as("url")), Seq("id", "url"),
+      "host" -> regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+    val path = regexp_replace(
+      regexp_replace(col("url"), "^[a-z][a-z0-9+.-]*://[^/?#]*", ""),
+      "[?#].*$", "")
+    h.select(col("id"),
+      regexp_extract(col("url"), "^([a-z][a-z0-9+.-]*)://", 1).as("scheme"),
+      col("host"),
+      regexp_extract(col("host"), "([a-z0-9-]+\\.[a-z0-9-]+)$", 1).as("domain"),
+      size(filter(split(path, "/"), x => x =!= "")).cast("long").as("path_depth"),
+      col("url").contains("?").as("has_query"))
+      .orderBy("id")
+  }
+
+  /** Per-domain document cap — the RefinedWeb-style anti-spam measure
+    * (no single domain may contribute more than `cap` documents): keep
+    * the first `cap` documents of each domain in id order, with their
+    * 1-based rank. Deterministic, RNG-free.
+    *
+    * Scale shape: a per-domain rank is exactly [[tokenBudgetSample]] with
+    * weight 1 and budget `cap`, so this rides the keyed distributed
+    * prefix sum — NOT `Window.partitionBy(domain)` over raw rows, which
+    * would funnel a hot domain (at web scale single domains contribute
+    * millions of pages) through one task. Output: (id, domain, doc_rank)
+    * for kept rows, by id. */
+  def domainCapSample(df: DataFrame, idCol: String, domainCol: String,
+                      cap: Long,
+                      numRanges: Int = graft.ops.Adaptive.Auto): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    tokenBudgetSample(
+      df.select(col(idCol).as("id"), col(domainCol).as("key"), lit(1L).as("weight")),
+      "id", "key", "weight", budget = cap, numRanges)
+      .select(col("id"), col("key").as("domain"), col("cum_weight").as("doc_rank"))
+      .orderBy("id")
+  }
+
   /** Benchmark-contamination check: for every corpus document, how many
     * of its hashed word `k`-grams appear anywhere in a benchmark
     * (held-out eval) document set. The industry-standard n-gram-overlap

@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, max}
 
 class TextCurationSpec extends SparkSpec {
   import spark.implicits._
@@ -249,5 +249,44 @@ class TextCurationSpec extends SparkSpec {
     // budget 1: only the first doc of each key (its interval starts at 0)
     TextCuration.tokenBudgetSample(d, "id", "key", "w", 1L)
       .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 3L)
+  }
+
+  "urlParts" should "parse every scheme/www/path/query branch" in {
+    val urls = Seq(
+      (1L, "https://src1-example.com/en/doc/1"),
+      (2L, "http://www.src2-example.com/de/doc/2/extra"),
+      (3L, "https://www.src3-example.com/fr/doc/3?ref=feed"),
+      (4L, "http://src4-example.com/zh/doc/4/extra?ref=feed"))
+      .toDF("doc_id", "url")
+    val got = TextCuration.urlParts(urls, "doc_id", "url")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getBoolean(5)))
+    got shouldBe Array(
+      (1L, "https", "src1-example.com", "src1-example.com", 3L, false),
+      (2L, "http", "www.src2-example.com", "src2-example.com", 4L, false),
+      (3L, "https", "www.src3-example.com", "src3-example.com", 3L, true),
+      (4L, "http", "src4-example.com", "src4-example.com", 4L, true))
+  }
+
+  "domainCapSample" should "keep the first cap docs per domain with sequential ranks" in {
+    // a hot domain (6 docs) and a cold one (2), interleaved ids
+    val d = Seq(1L -> "hot.com", 2L -> "cold.com", 3L -> "hot.com", 4L -> "hot.com",
+      5L -> "hot.com", 6L -> "cold.com", 7L -> "hot.com", 8L -> "hot.com")
+      .toDF("id", "domain")
+    val got = TextCuration.domainCapSample(d, "id", "domain", cap = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    got shouldBe Array(
+      (1L, "hot.com", 1L), (2L, "cold.com", 1L), (3L, "hot.com", 2L),
+      (4L, "hot.com", 3L), (6L, "cold.com", 2L))
+  }
+
+  it should "bite on the synthesized-url corpus at cap 15" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val parts = TextCuration.urlParts(
+      graft.ops.DocAnalytics.withUrl(docs), "doc_id", "url")
+    val kept = TextCuration.domainCapSample(parts, "id", "domain", cap = 15L)
+    val total = docs.count()
+    kept.count() should be < total // the cap must actually drop documents
+    kept.groupBy("domain").count().agg(max("count")).collect()(0).getLong(0) should be <= 15L
   }
 }
