@@ -234,3 +234,152 @@ object SpanScrubStream {
       }
       .start()
 }
+
+/** One row entering the streaming mixture sampler: key, id, weight. */
+final case class MixDoc(key: String, id: Long, weight: Long)
+
+/** Per-key sampler state: the running cumulative weight — ONE long per
+  * mixture key, so the state store is O(keys) at any stream length. */
+final case class MixCum(cum: Long)
+
+/** One kept row: the batch operator's exact output shape. */
+final case class MixKept(id: Long, key: String, weight: Long, cum_weight: Long)
+
+/** Streaming twin of the p96 token-budget mixture sampler
+  * ([[graft.text.TextCuration.tokenBudgetSample]]): per mixture key, keep
+  * rows while the running cumulative weight (in id order) stays under the
+  * key's budget, carrying the per-key running total across micro-batches
+  * in `flatMapGroupsWithState`.
+  *
+  * The batch operator's distributed prefix sum exists because a BATCH
+  * corpus must not funnel one hot key through one task; a STREAM meters
+  * itself — each micro-batch's per-key slice is ingest-sized, so the
+  * keyed state route is the natural online shape and the running total
+  * is the only cross-batch memory. A key past its budget keeps
+  * accumulating (later cum_weight values depend on skipped rows' weights
+  * — exactly the batch semantics) but emits nothing.
+  *
+  * Contract for batch parity (the [[PackingStream]]/AsOfStream contract):
+  * per key, rows arrive id-ordered ACROSS micro-batches (any order within
+  * one). Under it the cumulative stream output is row-identical to batch
+  * `tokenBudgetSample` over all rows seen: kept iff cum_weight − weight
+  * < budget, with identical cum_weight. Pinned by the parity test. */
+object MixtureSampleStream {
+  def sampled(rows: DataFrame, idCol: String, keyCol: String,
+              weightCol: String, budget: Long): Dataset[MixKept] = {
+    require(budget > 0, "budget must be > 0")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .select(col(keyCol).cast("string").as("key"),
+        col(idCol).cast("long").as("id"),
+        col(weightCol).cast("long").as("weight"))
+      .as[MixDoc]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, evs: Iterator[MixDoc], state: GroupState[MixCum]) =>
+          val sorted = evs.toIndexedSeq.sortBy(_.id)
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = sorted.flatMap { d =>
+            val before = cum
+            cum += d.weight
+            if (before < budget) Some(MixKept(d.id, key, d.weight, cum)) else None
+          }
+          state.update(MixCum(cum))
+          out.iterator
+      }
+  }
+}
+
+/** Streaming twin of the p94/p98 containment-pair miner
+  * ([[graft.text.TextDedup.containmentPairs]]): as documents arrive, emit
+  * every containment pair between a NEW document and any document seen so
+  * far (including same-batch pairs), exactly once.
+  *
+  * State is the shingle posting table (id, n, g) of all documents seen —
+  * a [[VersionedState]] parquet table, not a per-key state store: pairing
+  * needs the batch's postings JOINED against the full inverted index,
+  * which is a per-batch distributed join, not a keyed emission. Each
+  * batch appends only its OWN postings as a delta (documents are
+  * immutable, so deltas are disjoint by construction and the reader's
+  * union needs no dedup), with a full compact folded in every
+  * `compactEvery` batches and superseded windows pruned.
+  *
+  * Batch parity (pinned by the parity test): with NO df cap, a pair's
+  * shingle sets are complete whenever its later document arrives, so the
+  * pair's containment is final at emission and the cumulative stream
+  * output is row-identical to batch `containmentPairs(MaxDf(0))` over all
+  * documents seen. With a cap the stream applies it to the df SO FAR at
+  * emission time — an emitted pair is never retracted when a shingle
+  * later crosses the cap, the standard monotone-stream relaxation (the
+  * batch cap itself is a candidate-bound heuristic, not a semantic:
+  * p98 is the uncapped ground truth). */
+object ContainmentStream {
+  import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  import graft.text.TextDedup
+
+  private val postingSchema = StructType(Seq(
+    StructField("id", LongType), StructField("n", LongType),
+    StructField("g", LongType)))
+
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+             outDir: String, stateDir: String, checkpointDir: String,
+             maxShingleDf: TextDedup.MaxDf, shingleK: Int = 3,
+             minContainment: Double = 0.9, minShingles: Int = 5,
+             trigger: Trigger = Trigger.AvailableNow(),
+             compactEvery: Int = 8): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // the batch's postings — persisted because the pair join, the
+        // size table, and the state write all consume them
+        val exNew = TextDedup.shingleFrame(batch, idCol, textCol, shingleK)
+          .select(col("id"), size(col("sh")).cast("long").as("n"),
+            explode(col("sh")).as("g"))
+          .filter(col("n") >= lit(minShingles))
+          .persist()
+        try {
+          // a replayed batch reads its PREDECESSOR's state, never the
+          // delta its own failed attempt wrote (the SpanDedupStream rule)
+          val seen = VersionedState.readSet(spark, stateDir, Some(batchId))
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], postingSchema))
+          val allF = seen.withColumn("is_new", lit(false))
+            .unionByName(exNew.withColumn("is_new", lit(true)))
+          val ex =
+            if (maxShingleDf.value <= 0) allF
+            else allF.join(
+              allF.groupBy("g").agg(count(lit(1)).as("df"))
+                .filter(col("df") <= maxShingleDf.value).select("g"),
+              Seq("g"))
+          // pairs with at least one new side: old×old pairs were emitted
+          // by an earlier batch and are excluded by the join predicate
+          val inter = ex.as("x").join(ex.as("y"),
+              col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
+                (col("x.is_new") || col("y.is_new")))
+            .groupBy(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+            .agg(count(lit(1)).as("inter"))
+          val sizes = allF.select("id", "n").distinct()
+          inter
+            .join(sizes.as("sa"), col("doc_a") === col("sa.id"))
+            .join(sizes.as("sb"), col("doc_b") === col("sb.id"))
+            .withColumn("containment",
+              col("inter").cast("double") / least(col("sa.n"), col("sb.n")))
+            .filter(col("containment") >= minContainment)
+            .select("doc_a", "doc_b", "containment")
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          val delta = exNew.select("id", "n", "g")
+          if (VersionedState.shouldCompact(spark, stateDir, batchId, compactEvery))
+            VersionedState.write(seen.unionByName(delta), stateDir, batchId,
+              compact = true)
+          else
+            VersionedState.write(delta, stateDir, batchId, compact = false)
+        } finally exNew.unpersist(false)
+        VersionedState.prune(spark, stateDir, batchId)
+      }
+      .start()
+}

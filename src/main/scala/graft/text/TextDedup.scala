@@ -222,7 +222,7 @@ object TextDedup {
     * and the exact-Jaccard verification all run on fixed-width longs (same
     * Jaccard modulo hash collisions at P ≈ 2^30; the oracle mirrors the
     * hashed sets, so parity is exact). */
-  private[text] def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def shingleFrame(df: DataFrame, idCol: String, textCol: String,
                                  shingleK: Int): DataFrame =
     Barrier.once(tokenHashFrame(df, idCol, textCol), Seq("id"),
         "sh" -> hashedShinglesFromTokenHashes(col("th"), shingleK))

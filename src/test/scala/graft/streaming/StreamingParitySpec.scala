@@ -492,6 +492,80 @@ class StreamingParitySpec extends SparkSpec {
     spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)
   }
 
+  "MixtureSampleStream" should "match batch tokenBudgetSample per key (p96) across id-ordered micro-batches" in {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // the p96 input shape, precomputed in batch: (id, predicted_lang,
+    // n_tokens) — the twin under test is the SAMPLER, not the upstream
+    // lang-id/stats (those are stateless scan-side projections)
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val rows = graft.text.TextStats.langId(docsDf, "doc_id", "text")
+      .select(col("id"), col("predicted_lang"))
+      .join(graft.text.TextStats.stats(docsDf, "doc_id", "text")
+        .select(col("id"), col("n_tokens")), "id")
+      .persist()
+    val dir = Files.createTempDirectory("graft-mix-json")
+    val lines = rows.orderBy("id")
+      .select(to_json(struct(col("id"), col("predicted_lang"), col("n_tokens"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(math.max(1, lines.length / 5)).zipWithIndex.foreach { case (ls, i) =>
+      val f = dir.resolve(f"mix-$i%03d.json")
+      Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("predicted_lang", StringType), StructField("n_tokens", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val budget = 4000L // the p96 budget: the dominant lang overruns it
+    val got = ArrayBuffer.empty[(Long, String, Long, Long)]
+    runStream(MixtureSampleStream
+        .sampled(stream, "id", "predicted_lang", "n_tokens", budget).toDF(), "append") { b =>
+      b.collect().foreach(r => got.synchronized {
+        got += ((r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      })
+    }
+    val batch = graft.text.TextCuration
+      .tokenBudgetSample(rows, "id", "predicted_lang", "n_tokens", budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val total = rows.count().toInt
+    rows.unpersist(false)
+    batch.length should be < total // the budget really dropped rows
+    got.sortBy(_._1) shouldBe batch.toSeq.sortBy(_._1)
+  }
+
+  "ContainmentStream" should "accumulate exactly the batch containmentPairs output across micro-batches (p98)" in {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val outDir = Files.createTempDirectory("graft-contain-out").toString
+    val stateDir = Files.createTempDirectory("graft-contain-state").toString
+    val ckpt = Files.createTempDirectory("graft-contain-ckpt").toString
+    val minC = 0.5 // lower than p94's 0.9 so sf0.001 yields real pairs
+    val q = ContainmentStream.attach(
+      docStream(dumpDocsAsJson()), "doc_id", "text", outDir, stateDir, ckpt,
+      graft.text.TextDedup.MaxDf(0), minContainment = minC)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).drop("batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = graft.text.TextDedup.containmentPairs(docsDf, "doc_id", "text",
+        graft.text.TextDedup.MaxDf(0), minContainment = minC)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    batch.length should be > 0 // real pairs exist at this threshold
+    got.sortBy(t => (t._1, t._2)) shouldBe batch.toSeq
+    // postings state: one anchoring compact + disjoint per-batch deltas
+    // that sum to the corpus's full posting table
+    val dirs = new java.io.File(stateDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    dirs.head shouldBe "c0"
+    all(dirs.tail) should startWith("d")
+    val stateRows = dirs.map(d => spark.read.parquet(s"$stateDir/$d").count()).sum
+    val postings = graft.text.TextDedup.shingleFrame(docsDf, "doc_id", "text", 3)
+      .select(col("id"),
+        org.apache.spark.sql.functions.size(col("sh")).cast("long").as("n"),
+        explode(col("sh")).as("g"))
+      .filter(col("n") >= 5).count()
+    stateRows shouldBe postings
+  }
+
   "NoveltyScoreStream" should "score a doc stream against a frozen model exactly like batch bigramScore (p88)" in {
     val docsDf = graft.sources.Tables.documents(spark, sfDir)
     val model = graft.text.TextStats
