@@ -620,13 +620,29 @@ object TextDedup {
   /** The distributed path: iterative min-label propagation with pointer
     * jumping over the (already persisted) edge list. */
   private def iterativeGroups(e: DataFrame, maxIters: Int): DataFrame = {
-    val nodes = e.select(col("src")).union(e.select(col("dst"))).distinct()
+    val undirected = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // Round-0 labels straight from the undirected edges: lab1 =
+    // min(own id, min in-neighbor) = least(src, min(dst)) — no self-loops
+    // needed at this round, so the former nodes.distinct() (a full
+    // |2·edges|-row exchange whose only purpose was generating one
+    // self-loop per node) is gone from the cold path, and round 0's
+    // aggregate reads 2/3 of the old symmetric table. Persisted because
+    // the loop consumes it as round 0's lab1F AND the self-loop union
+    // below reads its id column (lineage stays rooted at the caller's
+    // persisted `e`, so a lost block recomputes without re-mining).
+    val lab0 = undirected.groupBy(col("src").as("id")).agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("lab1"))
+      .persist()
     // symmetric closure + one self-loop per node, partitioned by dst — the
     // key of EVERY round's edge⋈labels join — so the persisted edges
     // satisfy the join's distribution and each round shuffles only the
-    // label table plus the post-join groupBy(src) stage.
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .union(nodes.select(col("src"), col("src").as("dst")))
+    // label table plus the post-join groupBy(src) stage. The self-loops
+    // ride lab0's key set (every node appears as src in `undirected`, so
+    // lab0's keys ARE the node set); contents and partitioning are
+    // identical to the former nodes.distinct() construction, so rounds
+    // ≥ 1 — the warm steady state — run the exact same plan.
+    val sym = undirected
+      .union(lab0.select(col("id").as("src"), col("id").as("dst")))
       .repartition(col("dst"))
     sym.persist() // convergence loop only — released in the finally below
     try {
@@ -638,10 +654,10 @@ object TextDedup {
         // into the min — lab1 = min(own, in-neighbors') in one stage. Round
         // 0's labels are the identity mapping (label = id), so its
         // edge⋈labels join would only decorate each edge with dl = dst —
-        // fused away: the first round aggregates the edge list directly
-        // (one fewer join+shuffle on the loop's first — largest — input).
+        // fused away entirely: round 0 reads the precomputed lab0 (the
+        // least(src, min dst) aggregate over the raw undirected edges).
         val lab1F =
-          if (round == 0) sym.groupBy(col("src").as("id")).agg(min(col("dst")).as("lab1"))
+          if (round == 0) lab0
           else {
             val byDst = labels.select(col("id").as("dst"), col("label").as("dl"))
             sym.join(byDst, Seq("dst"))
@@ -699,7 +715,9 @@ object TextDedup {
       throw new IllegalStateException(
         s"duplicateGroups did not converge in $maxIters rounds — " +
           "a component has diameter above maxIters; raise it")
-    } finally { sym.unpersist(false) } // e is released by the caller
+    } finally { // e is released by the caller
+      sym.unpersist(false); lab0.unpersist(false)
+    }
   }
 
   private val SimhashBits = 30
