@@ -518,6 +518,86 @@ object OracleSqlDocs {
          |SELECT id, domain, CAST(doc_rank AS BIGINT) AS doc_rank
          |FROM ranked WHERE doc_rank <= 15 ORDER BY id""".stripMargin),
 
+    // SemDeDup twin of Similarity.semanticDedup over the TRAINED quantizer
+    // the p103 query persisted: argmax cell assignment (ties toward the
+    // smallest centroid id — the p38/p50 convention), then drop any vector
+    // with a lower-id same-cell neighbor at cosine ≥ SemDedupMinSim.
+    "p103_semantic_dedup" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |cents AS (SELECT cent_id AS cid, ce FROM read_parquet(
+         |  '${graft.ops.DocAnalytics.P103CentroidsPath}/*.parquet')),
+         |scored AS (
+         |  SELECT v.vec_id, v.e, c.cid, ${cos("v.e", "c.ce")} AS cs
+         |  FROM v CROSS JOIN cents c
+         |),
+         |assigned AS (
+         |  SELECT vec_id, e, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY cs DESC, cid) AS rn
+         |    FROM scored
+         |  ) WHERE rn = 1
+         |)
+         |SELECT a.vec_id, a.cell FROM assigned a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM assigned b
+         |  WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+         |    AND ${cos("b.e", "a.e")} >= ${dblLit(graft.ops.DocAnalytics.SemDedupMinSim)})
+         |ORDER BY a.vec_id""".stripMargin,
+
+    // DSIR twin of ImportanceSampler.dsirSelect (target = lang 'en'):
+    // hashed-bigram buckets (the p88 two-fold window key mod 4096),
+    // per-bucket smoothed log-ratio SIGN via exact HUGEINT
+    // cross-multiplication, Beta-smoothed vote share, deterministic
+    // top-100 under (importance DESC, id). DuckDB sums into HUGEINT —
+    // cast back so schemas match.
+    "p104_dsir_select" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+         |         string_split(${norm("text")}, ' ') AS t FROM documents
+         |), thd AS (
+         |  SELECT id, tgt, list_transform(t, tok -> ${hash("tok")}) AS th FROM toks
+         |), bgd AS (
+         |  SELECT id, tgt, CASE WHEN len(th) >= 2
+         |    THEN [list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+1]),
+         |            (a, b) -> (a*31 + b) % $P) * 998244353
+         |          + list_reduce(list_prepend(CAST(11 AS BIGINT), th[i:i+1]),
+         |            (a, b) -> (a*37 + b) % 998244353)
+         |          for i in range(1, len(th))]
+         |    ELSE CAST([] AS BIGINT[]) END AS bg
+         |  FROM thd
+         |), ex AS (
+         |  SELECT id, tgt, unnest(bg) % 4096 AS b FROM bgd
+         |), model AS (
+         |  SELECT b,
+         |    CAST(sum(CASE WHEN tgt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+         |    CAST(sum(CASE WHEN tgt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_r
+         |  FROM ex GROUP BY b
+         |), totals AS (
+         |  SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+         |         CAST(sum(c_r) AS BIGINT) AS n_r FROM model
+         |), voted AS (
+         |  SELECT b,
+         |    CASE WHEN CAST(c_t + 1 AS HUGEINT) * (n_r + 4096)
+         |            > CAST(c_r + 1 AS HUGEINT) * (n_t + 4096) THEN 1
+         |         WHEN CAST(c_t + 1 AS HUGEINT) * (n_r + 4096)
+         |            < CAST(c_r + 1 AS HUGEINT) * (n_t + 4096) THEN -1
+         |         ELSE 0 END AS v
+         |  FROM model CROSS JOIN totals
+         |), per AS (
+         |  SELECT ex.id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t_votes,
+         |    CAST(sum(CASE WHEN v = -1 THEN 1 ELSE 0 END) AS BIGINT) AS r_votes
+         |  FROM ex JOIN voted USING (b) WHERE tgt = 0 GROUP BY ex.id
+         |), sel AS (
+         |  SELECT id AS doc_id, n_bigrams, t_votes, r_votes,
+         |    CAST(t_votes + 1 AS DOUBLE) / (t_votes + r_votes + 2) AS importance
+         |  FROM per ORDER BY importance DESC, id LIMIT 100
+         |)
+         |SELECT doc_id, n_bigrams, t_votes, r_votes, importance,
+         |  CAST(row_number() OVER (ORDER BY importance DESC, doc_id) AS BIGINT)
+         |    AS sel_rank
+         |FROM sel ORDER BY sel_rank""".stripMargin,
+
     "p14_minhash_neardup" -> minhashSql(graft.text.TextDedup.DefaultMaxBucket),
     // the cap-BITING configuration: at sf0.01 the largest band buckets
     // hold 3 documents, so maxBucket = 2 really drops buckets on both

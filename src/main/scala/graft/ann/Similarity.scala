@@ -342,4 +342,47 @@ object Similarity {
       .filter(col("sim") >= minSim)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** SemDeDup-style semantic deduplication over a trained coarse
+    * quantizer (Abbas et al. 2023): every vector is assigned to its
+    * max-cosine cell, and within a cell any vector with a LOWER-id
+    * neighbor at cosine ≥ `minSim` is dropped — the deterministic
+    * keep-lowest-id analog of the paper's one-representative-per-
+    * epsilon-ball rule (they keep a random member; an RNG choice would
+    * be unverifiable by the oracle). Output: kept (vec_id, cell), by id.
+    *
+    * Scale shape: assignment is the row-local argmax the IVF search uses
+    * (centroids inlined as literals — the corpus never shuffles for it);
+    * the within-cell pair join exchanges (vec_id, cell) ONLY, and the
+    * per-cell quadratic is the algorithm's own bound — a SemDeDup
+    * deployment trains k ∝ corpus size, holding cell populations (and
+    * each cell's pairwise block) constant, which is why the paper scales
+    * to web corpora. Vectors rejoin the candidate pairs by id (AQE
+    * broadcasts the pair side when small), so the codegen'd cosine runs
+    * once per within-cell pair and embeddings never ride an exchange. */
+  /** (vec_id, e, cell): row-local argmax assignment of every vector to
+    * its max-cosine centroid — the shared front half of [[semanticDedup]]
+    * and its streaming twin ([[graft.streaming.SemDedupStream]]), so the
+    * two cannot drift on the assignment rule. */
+  def assignCells(emb: DataFrame, idCol: String, vecCol: String,
+                  cents: Array[(Long, Array[Float])]): DataFrame =
+    emb.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("e"), cellOf(col(vecCol), cents).as("cell"))
+
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[(Long, Array[Float])],
+                    minSim: Double = 0.8): DataFrame = {
+    val assigned = assignCells(emb, idCol, vecCol, cents)
+    val cells = assigned.select("vec_id", "cell")
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+    val v = assigned.select(col("vec_id").as("vid"), col("e"))
+    val dups = pairs
+      .join(v.select(col("vid").as("va"), col("e").as("ea")), Seq("va"))
+      .join(v.select(col("vid").as("vb"), col("e").as("eb")), Seq("vb"))
+      .filter(cosine(col("ea"), col("eb")) >= minSim)
+      .select(col("vb").as("vec_id"))
+    cells.join(dups, Seq("vec_id"), "left_anti").orderBy("vec_id")
+  }
 }

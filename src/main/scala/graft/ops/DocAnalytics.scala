@@ -41,6 +41,13 @@ object DocAnalytics {
     * for the "query set" a real ANN service would broadcast. */
   private val QueryMaxId = 20
 
+  /** p103 within-cell prune threshold — low enough that the synthetic
+    * embedding corpus yields real drops at every test scale (measured
+    * within-cell cosine tops out at ~0.47/0.49/0.53 across sf0.001/0.01/
+    * 0.1), so the prune semantics themselves are oracle-verified (not
+    * vacuous). The p23 LSH miner uses the same 0.4 for the same reason. */
+  val SemDedupMinSim = 0.4
+
   /** Base directory for oracle-replay artifacts (trained centroids etc.),
     * configurable via `-Dgraft.oracle.dir=` so a packaged deployment isn't
     * pinned to this build tree's path; the default resolves against the
@@ -62,11 +69,16 @@ object DocAnalytics {
     * training. */
   def P50CentroidsPath: String = s"$oracleArtifactDir/p50_centroids"
 
+  /** Where the p103 semantic-dedup query persists ITS trained quantizer
+    * (independent of p50's — queries must be runnable in any order, so
+    * neither reads the other's artifact). */
+  def P103CentroidsPath: String = s"$oracleArtifactDir/p103_centroids"
+
   /** Every artifact path this pipeline writes under [[oracleArtifactDir]] —
     * the EXACT set Verify may clear at startup. Kept as an explicit list so
     * a user-pointed `-Dgraft.oracle.dir` at a shared directory never gets
     * recursively wiped; only framework-owned entries are touched. */
-  def oracleArtifactPaths: Seq[String] = Seq(P50CentroidsPath)
+  def oracleArtifactPaths: Seq[String] = Seq(P50CentroidsPath, P103CentroidsPath)
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -81,10 +93,11 @@ object DocAnalytics {
       col("vec_id") < QueryMaxId, cents)
 
   private def persistCentroids(s: SparkSession,
-                               cents: Array[(Long, Array[Float])]): Unit = {
+                               cents: Array[(Long, Array[Float])],
+                               path: String = P50CentroidsPath): Unit = {
     import s.implicits._
     cents.toSeq.toDF("cent_id", "ce").coalesce(1)
-      .write.mode("overwrite").parquet(P50CentroidsPath)
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Synthetic PII planted per document from doc_id — one exact match per
@@ -114,6 +127,16 @@ object DocAnalytics {
       persistCentroids(s, cents)
       onPhase("train")
       p50Search(s, d, cents)
+    }),
+    // SemDeDup: the same bounded-Lloyd trainer, then cell-scoped cosine
+    // pruning; centroids persisted so the oracle replays the assignment
+    // + prune against the exact trained floats (the p50 convention)
+    "p103_semantic_dedup" -> ("dedup", (s, d, onPhase) => {
+      val cents = p50Train(s, d)
+      persistCentroids(s, cents, P103CentroidsPath)
+      onPhase("train")
+      graft.ann.Similarity.semanticDedup(emb(s, d), "vec_id", "embedding",
+        cents, minSim = SemDedupMinSim)
     }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -245,6 +268,16 @@ object DocAnalytics {
       TextCuration.domainCapSample(
         TextCuration.urlParts(withUrl(docs(s, d)), "doc_id", "url"),
         "id", "domain", cap = 15L)),
+    // SemDeDup (train + cell-scoped cosine prune) — a phased pipeline
+    // like p50; the oracle replays against the persisted centroids
+    "p103_semantic_dedup" -> ((s, d) =>
+      phasedQueries("p103_semantic_dedup")._2(s, d, _ => ())),
+    // DSIR-style importance selection: target = the corpus's 'en' slice,
+    // raw = the rest; top-100 most-target-like raw documents (the
+    // domain-matched data-selection step between raw crawl and train mix)
+    "p104_dsir_select" -> ((s, d) =>
+      graft.text.ImportanceSampler.dsirSelect(docs(s, d), "doc_id", "text",
+        col("lang") === "en")),
     "p21_knn_bruteforce" -> ((s, d) =>
       Similarity.knnBruteForce(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     "p22_knn_lsh" -> ((s, d) =>

@@ -108,4 +108,22 @@ class SimilaritySpec extends SparkSpec {
     out should contain(2L)
     out should not contain 4L // opposite vector flips every plane
   }
+
+  "semanticDedup" should "drop exactly the lower-id-witnessed near-dups inside each cell" in {
+    // quantizer: v1 and v3 as cells — v1,v2 land in v1's cell, v3,v4 in v3's
+    val cents = Array((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+                      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+    val kept = Similarity.semanticDedup(emb, "vec_id", "embedding", cents, minSim = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // v2 has the lower-id near-dup v1 in its cell -> dropped; v4 shares
+    // v3's cell (cos(v4,c1) = -1 < cos(v4,c3) = 0) but cos(v3,v4) = 0
+    // < 0.95 -> kept. Cell ids are the centroid ids.
+    kept.toSeq shouldBe Seq((1L, 1L), (3L, 3L), (4L, 3L))
+  }
+
+  it should "keep everything when the threshold exceeds every within-cell cosine" in {
+    val cents = Array((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    val kept = Similarity.semanticDedup(emb, "vec_id", "embedding", cents, minSim = 1.1)
+    kept.count() shouldBe 4
+  }
 }
