@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+
+/** Streaming twin of the p104 DSIR scorer
+  * ([[graft.text.ImportanceSampler.dsirScore]]): score a document STREAM
+  * against a FROZEN voted importance model — the split a production
+  * pipeline actually runs (estimate the target/raw distributions once
+  * offline, score the ingest stream forever). Scoring is per-document
+  * given the model, so each micro-batch runs the exact batch scorer via
+  * `foreachBatch` and writes one overwritten batch=<id> partition
+  * (replay rewrites, never duplicates — readers drop the partition
+  * column). The SELECTION half (top-k) deliberately has no streaming
+  * twin: a global rank does not exist on an unbounded stream — real
+  * deployments threshold the streamed importance instead, which is a
+  * row-local filter on this output. Parity with batch dsirScore is
+  * row-exact by construction and pinned by the replay test. */
+object DsirScoreStream {
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+             model: DataFrame, outDir: String, checkpointDir: String,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.ImportanceSampler.dsirScore(batch, idCol, textCol, model)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+}
+
+/** Streaming twin of the p103 SemDeDup prune
+  * ([[graft.ann.Similarity.semanticDedup]]): vectors arrive as a stream,
+  * each is assigned to its cell from the FROZEN trained quantizer (a
+  * row-local argmax — the quantizer trains offline, the p50/p103
+  * convention), and a vector is kept iff no already-seen vector in its
+  * cell sits at cosine ≥ `minSim`.
+  *
+  * State is the assigned-vector table (vec_id, cell, e) of everything
+  * seen — a [[VersionedState]] parquet table (the [[ContainmentStream]]
+  * shape: pruning needs the batch joined against all same-cell
+  * predecessors, a per-batch distributed join, not a keyed emission).
+  * Each batch appends only its OWN vectors as a delta (vectors are
+  * immutable → deltas disjoint, reader unions without dedup), with a
+  * full compact every `compactEvery` batches and superseded windows
+  * pruned.
+  *
+  * Batch parity (pinned by the parity test): under id-ordered arrival
+  * ACROSS micro-batches (the [[PackingStream]] contract), every
+  * lower-id vector is already seen when a vector arrives, so the keep
+  * decision is final at arrival and the cumulative stream output is
+  * row-identical to batch `semanticDedup` over all vectors seen. */
+object SemDedupStream {
+  import graft.functions.AnnPrims
+
+  private def stateSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("cell", LongType),
+    StructField("e", ArrayType(FloatType))))
+
+  def attach(vecs: DataFrame, idCol: String, vecCol: String,
+             cents: Array[(Long, Array[Float])],
+             outDir: String, stateDir: String, checkpointDir: String,
+             minSim: Double = 0.8,
+             trigger: Trigger = Trigger.AvailableNow(),
+             compactEvery: Int = 8): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // row-local cell assignment against the frozen quantizer —
+        // persisted because the pair join, the keep anti-join, and the
+        // state write all consume it
+        val assignedNew = graft.ann.Similarity
+          .assignCells(batch, idCol, vecCol, cents)
+          .persist()
+        try {
+          // a replayed batch reads its PREDECESSOR's state, never its own
+          // failed attempt's delta (the SpanDedupStream rule)
+          val seen = VersionedState.readSet(spark, stateDir, Some(batchId))
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema))
+          val all = seen.unionByName(assignedNew)
+          // candidate pairs carry ids only; vectors rejoin by id
+          val newCells = assignedNew.select(col("vec_id"), col("cell"))
+          val pairs = all.select(col("vec_id").as("va"), col("cell"))
+            .join(newCells.select(col("vec_id").as("vb"), col("cell")), Seq("cell"))
+            .filter(col("va") < col("vb"))
+            .select("va", "vb")
+          val v = all.select(col("vec_id").as("vid"), col("e"))
+          val dups = pairs
+            .join(v.select(col("vid").as("va"), col("e").as("ea")), Seq("va"))
+            .join(v.select(col("vid").as("vb"), col("e").as("eb")), Seq("vb"))
+            .filter(AnnPrims.cosine(col("ea"), col("eb")) >= minSim)
+            .select(col("vb").as("vec_id"))
+          newCells.join(dups, Seq("vec_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          val delta = assignedNew.select("vec_id", "cell", "e")
+          if (VersionedState.shouldCompact(spark, stateDir, batchId, compactEvery))
+            VersionedState.write(seen.unionByName(delta), stateDir, batchId,
+              compact = true)
+          else
+            VersionedState.write(delta, stateDir, batchId, compact = false)
+        } finally assignedNew.unpersist(false)
+        VersionedState.prune(spark, stateDir, batchId)
+      }
+      .start()
+}

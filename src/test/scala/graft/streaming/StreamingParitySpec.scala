@@ -566,6 +566,68 @@ class StreamingParitySpec extends SparkSpec {
     stateRows shouldBe postings
   }
 
+  "DsirScoreStream" should "score a doc stream against a frozen importance model exactly like batch dsirScore (p104)" in {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val model = graft.text.ImportanceSampler
+      .dsirModel(docsDf, "doc_id", "text", col("lang") === "en")
+      .persist()
+    val outDir = Files.createTempDirectory("graft-dsir-out").toString
+    val ckpt = Files.createTempDirectory("graft-dsir-ckpt").toString
+    val q = DsirScoreStream.attach(
+      docStream(dumpDocsAsJson()), "doc_id", "text", model, outDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).drop("batch").collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = graft.text.ImportanceSampler
+      .dsirScore(docsDf, "doc_id", "text", model)
+      .collect().map(_.toSeq)
+    model.unpersist(false)
+    got.length shouldBe batch.length
+    got shouldBe batch.toSeq
+  }
+
+  "SemDedupStream" should "accumulate exactly the batch semanticDedup keep list across id-ordered micro-batches (p103)" in {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val embDf = graft.sources.Tables.embeddings(spark, sfDir)
+    val cents = graft.ann.Similarity
+      .trainIvfCentroids(embDf, "vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-semdedup-json")
+    val lines = embDf.orderBy("vec_id")
+      .select(to_json(struct(col("vec_id"), col("embedding"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(math.max(1, lines.length / 5)).zipWithIndex.foreach { case (ls, i) =>
+      val f = dir.resolve(f"vecs-$i%03d.json")
+      Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val outDir = Files.createTempDirectory("graft-semdedup-out").toString
+    val stateDir = Files.createTempDirectory("graft-semdedup-state").toString
+    val ckpt = Files.createTempDirectory("graft-semdedup-ckpt").toString
+    val minSim = graft.ops.DocAnalytics.SemDedupMinSim
+    val q = SemDedupStream.attach(stream, "vec_id", "embedding", cents,
+      outDir, stateDir, ckpt, minSim = minSim)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).drop("batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val batch = graft.ann.Similarity
+      .semanticDedup(embDf, "vec_id", "embedding", cents, minSim = minSim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    batch.length.toLong should be < embDf.count() // the prune really bit
+    got.sortBy(_._1) shouldBe batch.toSeq
+    // state: one anchoring compact + disjoint deltas summing to the corpus
+    val dirs = new java.io.File(stateDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    dirs.head shouldBe "c0"
+    val stateRows = dirs.map(d => spark.read.parquet(s"$stateDir/$d").count()).sum
+    stateRows shouldBe embDf.count()
+  }
+
   "NoveltyScoreStream" should "score a doc stream against a frozen model exactly like batch bigramScore (p88)" in {
     val docsDf = graft.sources.Tables.documents(spark, sfDir)
     val model = graft.text.TextStats
