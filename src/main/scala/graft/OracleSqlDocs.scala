@@ -32,6 +32,43 @@ object OracleSqlDocs {
   private def cos(a: String, b: String): String =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
 
+  /** Left-to-right double fold of squared element differences — the twin
+    * of the codegen'd [[graft.functions.L2Sq]] (same index-order
+    * accumulation, so the doubles match bitwise). */
+  private def l2sq(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+      "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * " +
+      "(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, v) -> acc + v)"
+
+  /** Shared PQ CTE tail: given `cb` (m, code, cv) already in scope plus
+    * `v`, rebuilds every vector's codes (argmin L2 per subspace, ties
+    * toward the smaller code — the struct-ordering twin) and its decoded
+    * reconstruction `de` (codebook entries concatenated in subspace
+    * order). Subspace width rides `len(cv)`; subspace count rides the
+    * artifact's DISTINCT m — both pinned by the persisted codebook. */
+  private val pqDecodedCtes: String =
+    s"""sub AS (
+       |  SELECT v.vec_id, ms.m, list_slice(v.e, ms.m * ms.sd + 1, (ms.m + 1) * ms.sd) AS sv
+       |  FROM v CROSS JOIN (SELECT DISTINCT m, len(cv) AS sd FROM cb) ms
+       |),
+       |cscored AS (
+       |  SELECT s.vec_id, s.m, c.code, ${l2sq("s.sv", "c.cv")} AS dd
+       |  FROM sub s JOIN cb c USING (m)
+       |),
+       |codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |                                 ORDER BY dd ASC, code) AS rn
+       |    FROM cscored
+       |  ) WHERE rn = 1
+       |),
+       |decoded AS (
+       |  SELECT vec_id, flatten(list(cv ORDER BY m)) AS de
+       |  FROM (SELECT co.vec_id, co.m, c.cv
+       |        FROM codes co JOIN cb c USING (m, code))
+       |  GROUP BY vec_id
+       |)""".stripMargin
+
   /** One hyperplane as a DOUBLE[] literal — e0-suffixed so DuckDB parses
     * DOUBLE, not DECIMAL. */
   private def planeLit(j: Int): String =
@@ -488,6 +525,36 @@ object OracleSqlDocs {
          |  CAST(sum(CASE WHEN p = label_hiq THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accuracy
          |FROM pred""".stripMargin),
 
+    // threshold sweep twin of QualityScorer.thresholdSweep: the same
+    // filled CTE restricted to the holdout split, cross-joined with the
+    // DefaultThresholds literals (printed from the SAME Scala doubles the
+    // Spark plan inlines), integer confusion sums + guarded divisions
+    "p107_threshold_sweep" -> (scorerFilledCte +
+      s"""
+         |, hold AS (
+         |  SELECT CAST(pos_votes + 1 AS DOUBLE) / (pos_votes + neg_votes + 2)
+         |           AS nb_score,
+         |         label_hiq
+         |  FROM filled WHERE doc_id % 10 = 0
+         |), sweep AS (
+         |  SELECT t.threshold,
+         |    CAST(count(*) AS BIGINT) AS n_holdout,
+         |    CAST(sum(CASE WHEN nb_score >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |    CAST(sum(CASE WHEN nb_score >= t.threshold AND label_hiq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN nb_score >= t.threshold AND label_hiq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN nb_score < t.threshold AND label_hiq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN nb_score < t.threshold AND label_hiq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM hold CROSS JOIN (VALUES ${
+             graft.text.QualityScorer.DefaultThresholds
+               .map(t => s"(${dblLit(t)})").mkString(", ")
+           }) t(threshold)
+         |  GROUP BY t.threshold
+         |)
+         |SELECT threshold, n_holdout, n_keep, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS "precision",
+         |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS "recall"
+         |FROM sweep ORDER BY threshold""".stripMargin),
+
     // URL-curation twins of TextCuration.urlParts / domainCapSample over
     // the synthesized url column (urlSynthSql ≡ DocAnalytics.withUrl)
     "p101_url_parts" -> (urlCtes +
@@ -543,6 +610,97 @@ object OracleSqlDocs {
          |  WHERE b.cell = a.cell AND b.vec_id < a.vec_id
          |    AND ${cos("b.e", "a.e")} >= ${dblLit(graft.ops.DocAnalytics.SemDedupMinSim)})
          |ORDER BY a.vec_id""".stripMargin,
+
+    // IVF-PQ twin of ProductQuantizer.knnIvfPq: codes + reconstructions
+    // replayed from the codebooks the p105 query trained and persisted
+    // (argmin ties toward the smaller code — the p50 convention), coarse
+    // cells = p38's lowest-id quantizer, 2-cell probes, then ADC ranking
+    // by the single left-to-right l2sq fold over the 64-dim decoded
+    // vector under (dist ASC, neighbor_id ASC).
+    "p105_knn_ivfpq" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |cb AS (SELECT m, code, cv FROM read_parquet(
+         |  '${graft.ops.DocAnalytics.P105CodebooksPath}/*.parquet')),
+         |$pqDecodedCtes,
+         |cents AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+         |scored AS (
+         |  SELECT v.vec_id, v.e, c.cid, ${cos("v.e", "c.ce")} AS cs
+         |  FROM v CROSS JOIN cents c
+         |),
+         |assigned AS (
+         |  SELECT vec_id AS neighbor_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY cs DESC, cid) AS rn
+         |    FROM scored
+         |  ) WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT vec_id AS query_id, e AS qe, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY cs DESC, cid) AS rn
+         |    FROM scored WHERE vec_id < 20
+         |  ) WHERE rn <= 2
+         |),
+         |sims AS (
+         |  SELECT query_id, neighbor_id, ${l2sq("qe", "de")} AS dist
+         |  FROM probes JOIN assigned USING (cell)
+         |  JOIN decoded d ON d.vec_id = neighbor_id
+         |  WHERE neighbor_id <> query_id
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY dist ASC, neighbor_id) AS rn
+         |  FROM sims
+         |)
+         |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, dist
+         |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin,
+
+    // PQ recall twin: exhaustive ADC top-5 (from the p106 codebooks)
+    // set-intersected with the exact brute-force top-5 per query —
+    // integer hits, one exact division (the p58 convention, per query).
+    "p106_pq_recall" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |cb AS (SELECT m, code, cv FROM read_parquet(
+         |  '${graft.ops.DocAnalytics.P106CodebooksPath}/*.parquet')),
+         |$pqDecodedCtes,
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20),
+         |bsims AS (
+         |  SELECT query_id, v.vec_id AS neighbor_id, ${cos("qe", "e")} AS sim
+         |  FROM q JOIN v ON v.vec_id <> query_id
+         |),
+         |btop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY sim DESC, neighbor_id) AS rn
+         |    FROM bsims
+         |  ) WHERE rn <= 5
+         |),
+         |psims AS (
+         |  SELECT query_id, d.vec_id AS neighbor_id, ${l2sq("qe", "de")} AS dist
+         |  FROM q JOIN decoded d ON d.vec_id <> query_id
+         |),
+         |ptop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY dist ASC, neighbor_id) AS rn
+         |    FROM psims
+         |  ) WHERE rn <= 5
+         |),
+         |hits AS (
+         |  SELECT query_id, count(*) AS n_hits
+         |  FROM btop JOIN ptop USING (query_id, neighbor_id)
+         |  GROUP BY query_id
+         |),
+         |poss AS (
+         |  SELECT query_id, count(*) AS n_possible FROM btop GROUP BY query_id
+         |)
+         |SELECT p.query_id,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  p.n_possible,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(p.n_possible AS DOUBLE)
+         |    AS recall_at_k
+         |FROM poss p LEFT JOIN hits h USING (query_id)
+         |ORDER BY p.query_id""".stripMargin,
 
     // DSIR twin of ImportanceSampler.dsirSelect (target = lang 'en'):
     // hashed-bigram buckets (the p88 two-fold window key mod 4096),

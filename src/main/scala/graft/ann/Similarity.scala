@@ -193,14 +193,22 @@ object Similarity {
 
   /** (cos, -cent_id) structs: lexicographic struct order makes array_max
     * pick highest cosine with ties broken toward the smallest centroid id
-    * — exactly the oracle's ORDER BY cos DESC, cent_id ASC. */
-  private def scoredCells(vec: Column, cents: Array[(Long, Array[Float])]): Column =
+    * — exactly the oracle's ORDER BY cos DESC, cent_id ASC. Shared with
+    * [[ProductQuantizer.knnIvfPq]] so the IVF-PQ coarse layer cannot
+    * drift from the IVF-flat one. */
+  private[ann] def scoredCellsOf(vec: Column, cents: Array[(Long, Array[Float])]): Column =
     array(cents.map { case (cid, cv) =>
       struct(cosine(vec, typedLit(cv)).as("cs"), lit(-cid).as("nc"))
     }: _*)
 
+  private[ann] def cellOfCents(vec: Column, cents: Array[(Long, Array[Float])]): Column =
+    -array_max(scoredCellsOf(vec, cents)).getField("nc")
+
+  private def scoredCells(vec: Column, cents: Array[(Long, Array[Float])]): Column =
+    scoredCellsOf(vec, cents)
+
   private def cellOf(vec: Column, cents: Array[(Long, Array[Float])]): Column =
-    -array_max(scoredCells(vec, cents)).getField("nc")
+    cellOfCents(vec, cents)
 
   /** IVF search against an explicit quantizer table — the plan shape of
     * [[knnIvf]] with the centroid choice factored out, so a trained

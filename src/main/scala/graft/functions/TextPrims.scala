@@ -198,4 +198,19 @@ object AnnPrims {
         lit(0.0), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
+
+  /** Left-to-right squared L2 distance between two float-vector columns,
+    * all arithmetic in double — bit-identical to the DuckDB twin.
+    * Evaluated by the codegen'd [[L2Sq]] expression; [[l2sqHof]] is the
+    * spec. */
+  def l2sq(a: Column, b: Column): Column = L2Sq(a, b)
+
+  /** The squared distance as pure higher-order functions — the spec twin. */
+  def l2sqHof(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+  }
 }

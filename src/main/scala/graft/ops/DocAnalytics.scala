@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, count, lit, max, pmod, struct, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, count, lit, max, pmod, struct, sum, when}
 import graft.sources.Tables
 import graft.text.{QualityScorer, TextCuration, TextDedup, TextStats}
 import graft.ann.Similarity
@@ -74,11 +74,18 @@ object DocAnalytics {
     * neither reads the other's artifact). */
   def P103CentroidsPath: String = s"$oracleArtifactDir/p103_centroids"
 
+  /** Where the p105/p106 product-quantization queries persist their
+    * trained codebooks — one path each (independent runnability, the
+    * p50/p103 convention). Rows: (m, code, cv float[]). */
+  def P105CodebooksPath: String = s"$oracleArtifactDir/p105_codebooks"
+  def P106CodebooksPath: String = s"$oracleArtifactDir/p106_codebooks"
+
   /** Every artifact path this pipeline writes under [[oracleArtifactDir]] —
     * the EXACT set Verify may clear at startup. Kept as an explicit list so
     * a user-pointed `-Dgraft.oracle.dir` at a shared directory never gets
     * recursively wiped; only framework-owned entries are touched. */
-  def oracleArtifactPaths: Seq[String] = Seq(P50CentroidsPath, P103CentroidsPath)
+  def oracleArtifactPaths: Seq[String] =
+    Seq(P50CentroidsPath, P103CentroidsPath, P105CodebooksPath, P106CodebooksPath)
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -97,6 +104,19 @@ object DocAnalytics {
                                path: String = P50CentroidsPath): Unit = {
     import s.implicits._
     cents.toSeq.toDF("cent_id", "ce").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Persist trained PQ codebooks as (m, code, cv) rows so the DuckDB
+    * oracle replays encode + ADC search against the exact floats the
+    * Spark plan inlined (the p50 centroid convention). */
+  private def persistCodebooks(s: SparkSession,
+                               cb: graft.ann.ProductQuantizer.Codebooks,
+                               path: String): Unit = {
+    import s.implicits._
+    cb.zipWithIndex.flatMap { case (book, m) =>
+      book.zipWithIndex.map { case (cv, code) => (m, code, cv.toSeq) }
+    }.toSeq.toDF("m", "code", "cv").coalesce(1)
       .write.mode("overwrite").parquet(path)
   }
 
@@ -137,6 +157,42 @@ object DocAnalytics {
       onPhase("train")
       graft.ann.Similarity.semanticDedup(emb(s, d), "vec_id", "embedding",
         cents, minSim = SemDedupMinSim)
+    }),
+    // IVF-PQ: per-subspace Lloyd codebooks (train phase, persisted for
+    // oracle replay), then coarse-cell probing + asymmetric-distance
+    // ranking over the 8-byte codes. Coarse layer = p38's deterministic
+    // lowest-id quantizer, so only the codebooks need persisting.
+    "p105_knn_ivfpq" -> ("search", (s, d, onPhase) => {
+      val e = emb(s, d)
+      val cb = graft.ann.ProductQuantizer.trainCodebooks(e, "vec_id", "embedding")
+      persistCodebooks(s, cb, P105CodebooksPath)
+      onPhase("train")
+      val cents = Similarity.lowestIdCentroids(e, "vec_id", "embedding", 8)
+      graft.ann.ProductQuantizer.knnIvfPq(e, "vec_id", "embedding",
+        col("vec_id") < QueryMaxId, cents, cb)
+    }),
+    // PQ compression quality as an oracle-checked QUERY: per-query
+    // recall@5 of the exhaustive ADC scan (IndexPQ) against exact brute
+    // force — integer hits + one exact division per row.
+    "p106_pq_recall" -> ("recall", (s, d, onPhase) => {
+      val e = emb(s, d)
+      val cb = graft.ann.ProductQuantizer.trainCodebooks(e, "vec_id", "embedding")
+      persistCodebooks(s, cb, P106CodebooksPath)
+      onPhase("train")
+      val bf = Similarity.knnBruteForce(e, "vec_id", "embedding",
+        col("vec_id") < QueryMaxId).select("query_id", "neighbor_id")
+      val pq = graft.ann.ProductQuantizer.knnPq(e, "vec_id", "embedding",
+        col("vec_id") < QueryMaxId, cb).select("query_id", "neighbor_id")
+      val hits = bf.join(pq, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      bf.groupBy("query_id").agg(count(lit(1)).as("n_possible"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("n_possible"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_possible")).as("recall_at_k"))
+        .orderBy("query_id")
     }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -254,6 +310,12 @@ object DocAnalytics {
     "p100_scorer_eval" -> ((s, d) =>
       QualityScorer.scorerEval(
         QualityScorer.qualityScorer(docs(s, d), "doc_id", "text"))),
+    // the scorer's operating curve: per-threshold keep counts, confusion
+    // cells and precision/recall on the holdout split — the calibration
+    // table that picks the production filter threshold
+    "p107_threshold_sweep" -> ((s, d) =>
+      QualityScorer.thresholdSweep(
+        QualityScorer.qualityScorer(docs(s, d), "doc_id", "text"))),
     // URL curation (RefinedWeb/C4 family) over a deterministically
     // synthesized url column (the driver corpus carries none — scheme,
     // www-prefix, path depth, and query string vary by doc_id residues so
@@ -295,6 +357,12 @@ object DocAnalytics {
     // with the centroid CTE swapped to read_parquet).
     "p50_knn_ivf_trained" -> ((s, d) =>
       phasedQueries("p50_knn_ivf_trained")._2(s, d, _ => ())),
+    // IVF-PQ compressed-index search and PQ recall@5 — phased pipelines
+    // like p50; oracles replay encode + ADC against persisted codebooks
+    "p105_knn_ivfpq" -> ((s, d) =>
+      phasedQueries("p105_knn_ivfpq")._2(s, d, _ => ())),
+    "p106_pq_recall" -> ((s, d) =>
+      phasedQueries("p106_pq_recall")._2(s, d, _ => ())),
     // ANN quality as an oracle-checked QUERY: recall@k of the LSH and IVF
     // approximate paths against the exact brute-force top-k, one row per
     // method — integer hit counts plus one exact division, so the DuckDB

@@ -196,6 +196,48 @@ object QualityScorer {
     scoreFrame(df, idCol, occurrences(labeled(df, idCol, textCol)), model,
       withLabel = false)
 
+  /** Threshold sweep (the p107 query): the scorer's operating curve on
+    * the holdout split — for each candidate keep-threshold, the kept-doc
+    * count, confusion counts, and null-guarded precision/recall. This is
+    * the calibration table a pipeline reads to pick its filter threshold
+    * (the "what do we trade at 0.6 vs 0.7" question every quality-filter
+    * deployment answers before a full-corpus run). `scored` must be a
+    * [[qualityScorer]] frame. Docs with a null label (no tokens) stay in
+    * `n_holdout` but join no confusion cell, on both engines.
+    *
+    * Scale shape: ONE narrow pass — the ≤|thresholds|-fold explode
+    * multiplies only the holdout rows and the per-threshold aggregate
+    * partial-combines to ≤|thresholds| rows per task before a tiny
+    * shuffle; integer counts + exact divisions, so the DuckDB twin
+    * matches bitwise. */
+  def thresholdSweep(scored: DataFrame,
+                     thresholds: Seq[Double] = DefaultThresholds): DataFrame = {
+    val keep = col("nb_score") >= col("threshold")
+    scored
+      .filter(pmod(col("doc_id"), lit(HoldoutMod.toLong)) === 0L)
+      .select(col("nb_score"), col("label_hiq"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        count(lit(1)).as("n_holdout"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_keep"),
+        sum(when(keep && col("label_hiq") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(keep && col("label_hiq") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(!keep && col("label_hiq") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(!keep && col("label_hiq") === 0, 1L).otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("n_holdout"), col("n_keep"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0L,
+          col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
+        when(col("tp") + col("fn") > 0L,
+          col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"))
+      .orderBy("threshold")
+  }
+
+  /** p107's candidate keep-thresholds: deciles 0.1..0.9. Exact double
+    * literals shared with the oracle printer. */
+  val DefaultThresholds: Seq[Double] = (1 to 9).map(_ / 10.0)
+
   /** Held-out evaluation (the p100 query): confusion counts + accuracy of
     * the scorer's predictions against the heuristic labels on the
     * holdout split, one row. `scored` must be a [[qualityScorer]] frame

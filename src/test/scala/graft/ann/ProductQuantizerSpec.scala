@@ -1,0 +1,108 @@
+package graft.ann
+
+import graft.SparkSpec
+import graft.functions.AnnPrims
+import org.apache.spark.sql.functions._
+
+class ProductQuantizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Four 8-d vectors, quantized as m=2 subspaces of 4 dims. v1 and v2 are
+  // close (differ by 0.01 in one dim), v3 is far, v4 is opposite v1.
+  private def emb = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.99f, 0.01f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f, -1.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  "lowestIdCodebooks" should "seed each subspace from the k lowest-id subvectors" in {
+    val cb = ProductQuantizer.lowestIdCodebooks(emb, "vec_id", "embedding", m = 2, k = 2)
+    cb.length shouldBe 2
+    cb(0).length shouldBe 2
+    cb(0)(0).toSeq shouldBe Seq(1.0f, 0.0f, 0.0f, 0.0f) // v1's first subvector
+    cb(0)(1).toSeq shouldBe Seq(0.99f, 0.01f, 0.0f, 0.0f) // v2's
+    cb(1)(0).toSeq shouldBe Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    cb(1)(1).toSeq shouldBe Seq(1.0f, 0.0f, 0.0f, 0.0f) // v2's second = v1's
+  }
+
+  "encode" should "assign each seed vector its own code (ties toward the smaller code)" in {
+    val cb = ProductQuantizer.lowestIdCodebooks(emb, "vec_id", "embedding", m = 2, k = 2)
+    val codes = ProductQuantizer.encode(emb, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    codes(1L) shouldBe Seq(0, 0)
+    // v2's first subvector matches its own seed entry exactly; its second
+    // subvector ties between the two identical entries → smaller code 0.
+    codes(2L) shouldBe Seq(1, 0)
+    // every code is in range for every vector
+    codes.values.foreach { cs =>
+      cs.length shouldBe 2
+      cs.foreach(c => c should (be >= 0 and be < 2))
+    }
+  }
+
+  "decode" should "reconstruct a vector exactly when its subvectors are codebook entries" in {
+    val cb = ProductQuantizer.lowestIdCodebooks(emb, "vec_id", "embedding", m = 2, k = 2)
+    val rec = ProductQuantizer.encode(emb, "vec_id", "embedding", cb)
+      .filter(col("vec_id") === 1L)
+      .select(ProductQuantizer.decode(col("codes"), cb).as("de"))
+      .collect().head.getSeq[Float](0)
+    rec shouldBe Seq(1.0f, 0.0f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f, 0.0f)
+  }
+
+  "trainCodebooks" should "be deterministic and not increase reconstruction error" in {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def err(cb: ProductQuantizer.Codebooks): Double =
+      ProductQuantizer.encode(corpus, "vec_id", "embedding", cb)
+        .join(corpus.select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding")), "vec_id")
+        .select(AnnPrims.l2sq(col("embedding"),
+          ProductQuantizer.decode(col("codes"), cb)).as("e"))
+        .agg(sum(col("e"))).collect().head.getDouble(0)
+    val seed = ProductQuantizer.lowestIdCodebooks(corpus, "vec_id", "embedding")
+    val t1 = ProductQuantizer.trainCodebooks(corpus, "vec_id", "embedding")
+    val t2 = ProductQuantizer.trainCodebooks(corpus, "vec_id", "embedding")
+    t1.zip(t2).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => x.toSeq shouldBe y.toSeq }
+    }
+    val (e0, e1) = (err(seed), err(t1))
+    info(f"reconstruction error: seed $e0%.2f -> trained $e1%.2f")
+    e1 should be <= e0
+  }
+
+  "knnPq" should "rank by exact distance when the codebook reconstructs exactly" in {
+    // k = 4 seeds every distinct subvector -> decode is the identity on
+    // this corpus, so ADC distances are the true L2 distances and the
+    // ranking is fully determined: from v1, v2 is nearest, then v3, v4.
+    val cb = ProductQuantizer.lowestIdCodebooks(emb, "vec_id", "embedding", m = 2, k = 4)
+    val out = ProductQuantizer.knnPq(emb, "vec_id", "embedding",
+      col("vec_id") === 1L, cb, k = 3).collect()
+    out.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(2L, 3L, 4L)
+    out.head.getAs[Double]("dist") shouldBe (0.01 * 0.01 + 0.01 * 0.01) +- 1e-9
+    out.last.getAs[Double]("dist") shouldBe 8.0 +- 1e-9
+  }
+
+  "knnIvfPq" should "equal the exhaustive ADC scan when every cell is probed" in {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = col("vec_id") < 5
+    val cb = ProductQuantizer.trainCodebooks(corpus, "vec_id", "embedding")
+    val cents = Similarity.lowestIdCentroids(corpus, "vec_id", "embedding", 4)
+    val full = ProductQuantizer.knnPq(corpus, "vec_id", "embedding", pred, cb)
+      .collect().map(_.toSeq).toSeq
+    val ivf = ProductQuantizer.knnIvfPq(corpus, "vec_id", "embedding", pred,
+      cents, cb, nProbe = 4).collect().map(_.toSeq).toSeq
+    ivf shouldBe full
+  }
+
+  it should "restrict candidates to the probed cells" in {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = col("vec_id") < 5
+    val cb = ProductQuantizer.trainCodebooks(corpus, "vec_id", "embedding")
+    val cents = Similarity.lowestIdCentroids(corpus, "vec_id", "embedding", 4)
+    val oneProbe = ProductQuantizer.knnIvfPq(corpus, "vec_id", "embedding", pred,
+      cents, cb, nProbe = 1)
+    val fourProbe = ProductQuantizer.knnIvfPq(corpus, "vec_id", "embedding", pred,
+      cents, cb, nProbe = 4)
+    oneProbe.count() should be <= fourProbe.count()
+  }
+}

@@ -83,4 +83,26 @@ class QualityScorerSpec extends SparkSpec {
     eval.getAs[Double]("accuracy") shouldBe (tp + tn).toDouble / n
     n shouldBe docs.filter(pmod(col("doc_id"), lit(10)) === 0).count()
   }
+
+  "thresholdSweep" should "be monotone in threshold and agree with scorerEval at 0.5" in {
+    val scored = QualityScorer.qualityScorer(docs, "doc_id", "text")
+    val sweep = QualityScorer.thresholdSweep(scored).collect()
+      .map(r => r.getAs[Double]("threshold") -> r).toMap
+    sweep.size shouldBe QualityScorer.DefaultThresholds.size
+    // keep counts shrink (weakly) as the bar rises; tp+fn (the labeled
+    // positives) is threshold-invariant
+    val byT = QualityScorer.DefaultThresholds.map(sweep)
+    byT.map(_.getAs[Long]("n_keep")).sliding(2).foreach {
+      case Seq(a, b) => a should be >= b
+      case _ =>
+    }
+    byT.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn")).distinct.size shouldBe 1
+    // the 0.5 row IS scorerEval's confusion matrix (predicted_hiq is
+    // defined as nb_score >= 0.5)
+    val eval = QualityScorer.scorerEval(scored).collect()(0)
+    val at05 = sweep(0.5)
+    Seq("tp", "fp", "fn", "tn").foreach { c =>
+      at05.getAs[Long](c) shouldBe eval.getAs[Long](c)
+    }
+  }
 }
