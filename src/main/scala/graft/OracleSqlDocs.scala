@@ -555,6 +555,37 @@ object OracleSqlDocs {
          |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS "recall"
          |FROM sweep ORDER BY threshold""".stripMargin),
 
+    // Bloom-probe twin of TextCuration.bloomSeenProbe: fingerprints =
+    // the whole-text polynomial hash, bit positions from the SAME
+    // (multiplier, offset) families mod 64, membership = all k probe
+    // positions present in the seen set's distinct positions; is_seen is
+    // the exact fingerprint match, so false positives verify explicitly
+    "p108_bloom_probe" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id AS id, ${hash(norm("text"))} AS f, doc_id < 25 AS seen
+         |  FROM documents
+         |), hs AS (
+         |  SELECT * FROM (VALUES ${
+             graft.text.TextCuration.BloomHashes
+               .map { case (a, b) => s"(CAST($a AS BIGINT), CAST($b AS BIGINT))" }
+               .mkString(", ")
+           }) h(a, b)
+         |), seenpos AS (
+         |  SELECT DISTINCT ((s.f * h.a + h.b) % $P) % 64 AS pos
+         |  FROM fp s CROSS JOIN hs h WHERE s.seen
+         |), probe AS (
+         |  SELECT fp.id, ((fp.f * h.a + h.b) % $P) % 64 AS pos
+         |  FROM fp CROSS JOIN hs h
+         |), hits AS (
+         |  SELECT id, count(*) AS nh FROM probe JOIN seenpos USING (pos)
+         |  GROUP BY id
+         |), seenfp AS (SELECT DISTINCT f FROM fp WHERE seen)
+         |SELECT fp.id,
+         |  COALESCE(h.nh, 0) = ${graft.text.TextCuration.BloomHashes.size}
+         |    AS maybe_seen,
+         |  COALESCE(fp.f IN (SELECT f FROM seenfp), FALSE) AS is_seen
+         |FROM fp LEFT JOIN hits h USING (id) ORDER BY fp.id""".stripMargin,
+
     // URL-curation twins of TextCuration.urlParts / domainCapSample over
     // the synthesized url column (urlSynthSql ≡ DocAnalytics.withUrl)
     "p101_url_parts" -> (urlCtes +

@@ -316,6 +316,13 @@ object DocAnalytics {
     "p107_threshold_sweep" -> ((s, d) =>
       QualityScorer.thresholdSweep(
         QualityScorer.qualityScorer(docs(s, d), "doc_id", "text"))),
+    // Bloom-filter seen-set probe: doc_id < 25 as the absorbed set (the
+    // p42 convention), 64-bit filter so false positives occur at test
+    // scale and their semantics are oracle-pinned (maybe_seen vs the
+    // exact is_seen ground truth)
+    "p108_bloom_probe" -> ((s, d) =>
+      TextCuration.bloomSeenProbe(docs(s, d), "doc_id", "text",
+        col("doc_id") < 25)),
     // URL curation (RefinedWeb/C4 family) over a deterministically
     // synthesized url column (the driver corpus carries none — scheme,
     // www-prefix, path depth, and query string vary by doc_id residues so

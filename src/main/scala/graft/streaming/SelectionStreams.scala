@@ -111,3 +111,58 @@ object SemDedupStream {
       }
       .start()
 }
+
+/** Streaming twin of the p99/p107 quality scorer's SCORE half
+  * ([[graft.text.QualityScorer.qualityScore]]): score a document stream
+  * against a FROZEN [[graft.text.QualityScorer.qualityModel]] table — the
+  * production split (train the classifier once offline, score the ingest
+  * stream forever; retraining is a new frozen table, not stream state).
+  * Scoring is per-document given the model, so each micro-batch runs the
+  * exact batch scorer via `foreachBatch` into one overwritten batch=<id>
+  * partition (replay rewrites, never duplicates — the [[DsirScoreStream]]
+  * shape). Parity with batch qualityScore is row-exact by construction
+  * and pinned by the replay test. */
+object QualityScoreStream {
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+             model: DataFrame, outDir: String, checkpointDir: String,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.QualityScorer.qualityScore(batch, idCol, textCol, model)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+}
+
+/** Streaming twin of the p108 Bloom probe's PROBE half
+  * ([[graft.text.TextCuration.bloomSeenProbe]]): probe a document stream
+  * against a FROZEN seen-position set — the crawl-frontier deployment
+  * (the filter over yesterday's corpus is built offline and shipped to
+  * every ingest worker; absorbing the stream into the filter is a state
+  * update real deployments batch up separately). `seenPos` is the ≤mBits-
+  * row distinct-position table and `seenFp` the distinct seen
+  * fingerprints (both tiny, broadcast in every batch); output rows are
+  * (id, maybe_seen, is_seen), one overwritten batch=<id> partition each.
+  * Probing is per-document given the filter, so cumulative output is
+  * row-exact batch parity by construction, pinned by the replay test. */
+object BloomProbeStream {
+  import graft.functions.TextPrims._
+
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+             seenPos: DataFrame, seenFp: DataFrame, mBits: Long,
+             outDir: String, checkpointDir: String,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.TextCuration
+          .bloomProbeAgainst(batch, idCol, textCol, seenPos, seenFp, mBits)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+}

@@ -399,6 +399,89 @@ object TextCuration {
     * never text. A document with zero overlapping grams still reports
     * n_hits = 0. Output: (id, n_grams, n_hits, contamination_ratio,
     * is_contaminated). */
+  /** The (multiplier, offset) families of the p108 Bloom filter's hash
+    * functions: pos_i(f) = ((f·aᵢ + bᵢ) mod P) mod mBits. Knuth
+    * multiplicative constants — fixed, so any engine recomputes the bit
+    * positions exactly. */
+  val BloomHashes: Seq[(Long, Long)] =
+    Seq((2654435761L, 17L), (2246822519L, 31L))
+
+  /** Bloom-filter membership probe (the p108 query) — the fixed-size
+    * "seen set" primitive of crawl-scale dedup (a URL/content filter that
+    * must fit in RAM no matter how many documents it has absorbed): every
+    * document's content fingerprint sets `BloomHashes.size` bit positions
+    * in an `mBits`-bit filter built over `seenPred` rows; a document is
+    * `maybe_seen` iff ALL its positions are set (Bloom semantics: false
+    * positives possible, false negatives impossible). `is_seen` is the
+    * exact fingerprint-match ground truth, so the oracle verifies the
+    * false-positive behavior itself, not just the happy path.
+    *
+    * Scale shape: the distinct-position table IS the Bloom bitset in
+    * relational form — bounded at `mBits` rows by construction, so it
+    * broadcasts at ANY seen-set size (a 100 TB deployment ships it as
+    * mBits/8 bytes); the probe is a narrow explode (k fixed-width longs
+    * per doc) into a BroadcastHashJoin + per-doc count, and the exact
+    * ground-truth join broadcasts the distinct seen fingerprints. No
+    * corpus shuffle anywhere before the final per-id rollup, whose
+    * partial aggregate collapses each doc's k rows task-locally.
+    *
+    * `mBits` is RESULT-affecting (a smaller filter admits more false
+    * positives), so the query pins it: the p108 config (64 bits, 2
+    * hashes over a 25-doc seen set, load ≈ 0.5) is deliberately TINY so
+    * false positives actually occur at every test scale and the oracle
+    * pins their semantics — the p91 cap-biting convention. A production
+    * filter sizes mBits ≈ 10–15 bits/key for ~1% FP. */
+  def bloomSeenProbe(df: DataFrame, idCol: String, textCol: String,
+                     seenPred: Column, mBits: Long = 64L): DataFrame = {
+    val fp = Barrier.once(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("__t"),
+        seenPred.as("__seen")),
+      Seq("id", "__seen"), "f" -> charHash(normText(col("__t"))))
+    val seen = fp.filter(col("__seen"))
+    val (seenPos, seenFp) = bloomSeenTables(seen.select(col("f")), mBits)
+    probeFrame(fp, seenPos, seenFp, mBits)
+  }
+
+  /** The `BloomHashes.size` bit positions of a fingerprint column. */
+  private def bloomPositions(f: Column, mBits: Long): Column =
+    array(BloomHashes.map { case (a, b) =>
+      pmod(pmod(f * lit(a) + lit(b), lit(P)), lit(mBits))
+    }: _*)
+
+  /** The filter's two frozen tables from a seen-fingerprint frame `fps`
+    * (column `f`): the ≤mBits-row distinct position set (the relational
+    * bitset) and the distinct fingerprints (the exact ground truth). The
+    * build half a deployment runs offline and ships to ingest workers —
+    * shared with [[graft.streaming.BloomProbeStream]] so batch and stream
+    * cannot drift on the position rule. */
+  def bloomSeenTables(fps: DataFrame, mBits: Long = 64L): (DataFrame, DataFrame) = (
+    fps.select(explode(bloomPositions(col("f"), mBits)).as("pos")).distinct(),
+    fps.select(col("f")).distinct().select(col("f"), lit(true).as("__hit")))
+
+  /** Probe `df` against frozen [[bloomSeenTables]] — the PROBE half. */
+  def bloomProbeAgainst(df: DataFrame, idCol: String, textCol: String,
+                        seenPos: DataFrame, seenFp: DataFrame,
+                        mBits: Long = 64L): DataFrame =
+    probeFrame(
+      Barrier.once(
+        df.select(col(idCol).cast("long").as("id"), col(textCol).as("__t")),
+        Seq("id"), "f" -> charHash(normText(col("__t")))),
+      seenPos, seenFp, mBits)
+
+  private def probeFrame(fp: DataFrame, seenPos: DataFrame,
+                         seenFp: DataFrame, mBits: Long): DataFrame = {
+    val k = BloomHashes.size
+    val hits = fp.select(col("id"), explode(bloomPositions(col("f"), mBits)).as("pos"))
+      .join(broadcast(seenPos), Seq("pos"))
+      .groupBy("id").agg(count(lit(1)).as("__nh"))
+    fp.join(hits, Seq("id"), "left")
+      .join(broadcast(seenFp), Seq("f"), "left")
+      .select(col("id"),
+        (coalesce(col("__nh"), lit(0L)) === k).as("maybe_seen"),
+        coalesce(col("__hit"), lit(false)).as("is_seen"))
+      .orderBy("id")
+  }
+
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, k: Int = 5,
                     minHits: Int = 1): DataFrame = {

@@ -587,6 +587,53 @@ class StreamingParitySpec extends SparkSpec {
     got shouldBe batch.toSeq
   }
 
+  "QualityScoreStream" should "score a doc stream against a frozen quality model exactly like batch qualityScore (p99)" in {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val model = graft.text.QualityScorer
+      .qualityModel(
+        docsDf.withColumn("hiq", (col("doc_id") % 2 === 0).cast("int")),
+        "doc_id", "text", "hiq")
+      .persist()
+    val outDir = Files.createTempDirectory("graft-qscore-out").toString
+    val ckpt = Files.createTempDirectory("graft-qscore-ckpt").toString
+    val q = QualityScoreStream.attach(
+      docStream(dumpDocsAsJson()), "doc_id", "text", model, outDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).drop("batch").collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = graft.text.QualityScorer
+      .qualityScore(docsDf, "doc_id", "text", model)
+      .collect().map(_.toSeq)
+    model.unpersist(false)
+    got.length shouldBe batch.length
+    got shouldBe batch.toSeq
+  }
+
+  "BloomProbeStream" should "probe a doc stream against a frozen seen-position set exactly like batch bloomSeenProbe (p108)" in {
+    import graft.functions.TextPrims
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val fps = docsDf.filter(col("doc_id") < 25)
+      .select(TextPrims.charHash(TextPrims.normText(col("text"))).as("f"))
+    val (seenPos, seenFp) = graft.text.TextCuration.bloomSeenTables(fps)
+    val pos = seenPos.persist(); val sfp = seenFp.persist()
+    val outDir = Files.createTempDirectory("graft-bloom-out").toString
+    val ckpt = Files.createTempDirectory("graft-bloom-ckpt").toString
+    val q = BloomProbeStream.attach(
+      docStream(dumpDocsAsJson()), "doc_id", "text", pos, sfp, 64L,
+      outDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).drop("batch").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    val batch = graft.text.TextCuration
+      .bloomSeenProbe(docsDf, "doc_id", "text", col("doc_id") < 25)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    pos.unpersist(false); sfp.unpersist(false)
+    batch.count(t => t._2 && !t._3) should be > 0 // FPs really occur
+    got.sortBy(_._1) shouldBe batch.toSeq
+  }
+
   "SemDedupStream" should "accumulate exactly the batch semanticDedup keep list across id-ordered micro-batches (p103)" in {
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
     val embDf = graft.sources.Tables.embeddings(spark, sfDir)

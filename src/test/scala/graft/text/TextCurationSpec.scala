@@ -289,4 +289,37 @@ class TextCurationSpec extends SparkSpec {
     kept.count() should be < total // the cap must actually drop documents
     kept.groupBy("domain").count().agg(max("count")).collect()(0).getLong(0) should be <= 15L
   }
+
+  "bloomSeenProbe" should "never produce a false negative and flag exact matches" in {
+    // doc 1 is the seen set; doc 2 normalizes to the same text -> same
+    // fingerprint -> is_seen (content identity, the dedup semantics)
+    val out = TextCuration.bloomSeenProbe(docs, "doc_id", "text",
+        col("doc_id") === 1L)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    out(1L) shouldBe ((true, true))
+    out(2L) shouldBe ((true, true))
+    // Bloom invariant: is_seen -> maybe_seen on every row
+    out.values.foreach { case (maybe, is) => if (is) maybe shouldBe true }
+  }
+
+  it should "produce false positives when the filter saturates, never false negatives" in {
+    // mBits = 1: every position is bit 0, so one seen doc sets the whole
+    // filter and every distinct text becomes a false positive
+    val out = TextCuration.bloomSeenProbe(docs, "doc_id", "text",
+        col("doc_id") === 1L, mBits = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    out(3L) shouldBe ((true, false)) // saturated filter: maybe, not seen
+    out(4L) shouldBe ((true, false))
+    out(1L) shouldBe ((true, true))
+  }
+
+  it should "report real false positives at the p108 config on the test corpus" in {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextCuration.bloomSeenProbe(corpus, "doc_id", "text",
+      col("doc_id") < 25)
+    out.filter(col("is_seen") && !col("maybe_seen")).count() shouldBe 0L
+    // the 64-bit filter must be small enough that FP semantics are
+    // exercised (not vacuously green) at the smallest test scale
+    out.filter(col("maybe_seen") && !col("is_seen")).count() should be > 0L
+  }
 }
