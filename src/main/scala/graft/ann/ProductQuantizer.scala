@@ -68,11 +68,27 @@ object ProductQuantizer {
   /** Argmin code for subvector `sv` over one subspace codebook:
     * array_min over (dist, code) structs — lexicographic struct order
     * picks the smallest distance with ties toward the smaller code id,
-    * exactly the oracle's ORDER BY d ASC, code ASC. */
+    * exactly the oracle's ORDER BY d ASC, code ASC. This declarative
+    * form is the executable SPEC of the fused
+    * [[graft.functions.PqEncode]] expression (pinned equal in
+    * ProductQuantizerSpec); the hot paths run the fused one. */
   private def codeOf(sv: Column, book: Array[Array[Float]]): Column =
     array_min(array(book.zipWithIndex.map { case (cv, code) =>
       struct(l2sq(sv, typedLit(cv.toSeq)).as("d"), lit(code).as("c"))
     }: _*)).getField("c")
+
+  /** All-subspace codes via the fused codegen'd encoder. */
+  private def codesOf(vec: Column, cb: Codebooks): Column =
+    graft.functions.PqEncode(vec, cb)
+
+  /** The declarative per-subspace construction of the codes column — the
+    * spec twin of [[codesOf]], public for the pinning test. */
+  def encodeSpec(vec: Column, cb: Codebooks): Column = {
+    val sd = subDim(cb)
+    array(cb.zipWithIndex.map { case (book, mi) =>
+      codeOf(sub(vec, mi, sd), book)
+    }: _*)
+  }
 
   /** Seed codebooks: subspace m's entries are the `k` lowest-id vectors'
     * m-th subvectors, codes assigned 0..k-1 in id order — deterministic,
@@ -99,10 +115,12 @@ object ProductQuantizer {
     var cb = lowestIdCodebooks(emb, idCol, vecCol, m, k)
     val sd = subDim(cb)
     for (_ <- 0 until iters) {
-      val assigned = emb.select(
-        explode(array((0 until m).map { mi =>
-          val sv = sub(col(vecCol), mi, sd)
-          struct(lit(mi).as("m"), codeOf(sv, cb(mi)).as("code"), sv.as("sv"))
+      val assigned = emb
+        .select(col(vecCol).as("__v"), codesOf(col(vecCol), cb).as("__c"))
+        .select(explode(array((0 until m).map { mi =>
+          struct(lit(mi).as("m"),
+            element_at(col("__c"), mi + 1).as("code"),
+            sub(col("__v"), mi, sd).as("sv"))
         }: _*)).as("a"))
         .select(col("a.m"), col("a.code"), col("a.sv"))
       val aggs = count(lit(1)).as("n") +:
@@ -127,13 +145,9 @@ object ProductQuantizer {
     * row-local argmin projection per subspace against the codebook
     * literals; the corpus never shuffles. */
   def encode(emb: DataFrame, idCol: String, vecCol: String,
-             cb: Codebooks): DataFrame = {
-    val sd = subDim(cb)
+             cb: Codebooks): DataFrame =
     emb.select(col(idCol).cast("long").as("vec_id"),
-      array(cb.zipWithIndex.map { case (book, mi) =>
-        codeOf(sub(col(vecCol), mi, sd), book)
-      }: _*).as("codes"))
-  }
+      codesOf(col(vecCol), cb).as("codes"))
 
   /** The decoded reconstruction of a codes column: subspace entries
     * looked up in the codebook literals and concatenated back to a
@@ -149,7 +163,7 @@ object ProductQuantizer {
     * Queries keep raw vectors (asymmetric); candidates carry only their
     * 8-byte codes, and each candidate's reconstruction is decoded ONCE at
     * scan time (the ADC table lookup) — never per (query, candidate) pair
-    * (the per-pair decode this replaced measured 9.2 s vs 0.9 s for the
+    * (the per-pair decode this replaced measured 9.2 s vs 3.0 s for the
     * whole p106 recall phase at sf0.1: 20× fewer 64-float allocations).
     * Output: (query_id, knn_rank, neighbor_id, dist). */
   def knnPq(emb: DataFrame, idCol: String, vecCol: String,
@@ -173,12 +187,9 @@ object ProductQuantizer {
   def knnIvfPq(emb: DataFrame, idCol: String, vecCol: String,
                queryPred: Column, cents: Array[(Long, Array[Float])],
                cb: Codebooks, k: Int = 5, nProbe: Int = 2): DataFrame = {
-    val sd = subDim(cb)
     val assigned = emb.select(
       col(idCol).cast("long").as("vec_id"),
-      array(cb.zipWithIndex.map { case (book, mi) =>
-        codeOf(sub(col(vecCol), mi, sd), book)
-      }: _*).as("codes"),
+      codesOf(col(vecCol), cb).as("codes"),
       Similarity.cellOfCents(col(vecCol), cents).as("cell"))
       .withColumn("de", decode(col("codes"), cb))
     val probes = emb.filter(queryPred).select(

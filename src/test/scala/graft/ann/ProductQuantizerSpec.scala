@@ -50,6 +50,31 @@ class ProductQuantizerSpec extends SparkSpec {
     rec shouldBe Seq(1.0f, 0.0f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f, 0.0f)
   }
 
+  "PqEncode" should "equal the declarative array_min construction on real embeddings, in both eval modes" in {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = ProductQuantizer.trainCodebooks(corpus, "vec_id", "embedding")
+    def check(): Unit = {
+      val rows = corpus.select(
+        graft.functions.PqEncode(col("embedding"), cb).as("fast"),
+        ProductQuantizer.encodeSpec(col("embedding"), cb).as("spec"))
+        .collect()
+      rows.length should be > 10
+      rows.foreach(r => r.getSeq[Int](0) shouldBe r.getSeq[Int](1))
+    }
+    check()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check()
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
+  it should "return null for a length-mismatched vector" in {
+    val cb = ProductQuantizer.lowestIdCodebooks(emb, "vec_id", "embedding", m = 2, k = 2)
+    val r = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f))).toDF("v")
+      .select(graft.functions.PqEncode(col("v"), cb).as("c"))
+      .collect().head
+    r.isNullAt(0) shouldBe true
+  }
+
   "trainCodebooks" should "be deterministic and not increase reconstruction error" in {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def err(cb: ProductQuantizer.Codebooks): Double =
