@@ -76,9 +76,37 @@ object ScaleAnnBench {
           planesPerTable = graft.ops.Adaptive.Auto)
         multi = multi.persist(); multi.count()
       }
+      // PQ tier (round 12): train-once cost, one-pass encode throughput
+      // (the index-build step a deployment pays once and stores), then
+      // exhaustive-ADC and IVF-PQ search at the p105/p106 config (m=8,
+      // k=16) — recall quoted beside every speed number like the rest of
+      // the ladder. Coarse cells follow the sqrt rule the IVF rung uses.
+      import graft.ann.ProductQuantizer
+      var cb: ProductQuantizer.Codebooks = null
+      val tPqTrain = time {
+        cb = ProductQuantizer.trainCodebooks(emb, "vec_id", "embedding")
+      }
+      val tPqEncode = time {
+        DevBench.mat(ProductQuantizer.encode(emb, "vec_id", "embedding", cb))
+      }
+      var pq: DataFrame = null
+      val tPq = time {
+        pq = ProductQuantizer.knnPq(emb, "vec_id", "embedding", pred, cb)
+        pq = pq.persist(); pq.count()
+      }
+      var ivfpq: DataFrame = null
+      val nCellsPq = graft.ops.Adaptive.ivfCells(n)
+      val tIvfPq = time {
+        val cents = Similarity.lowestIdCentroids(emb, "vec_id", "embedding", nCellsPq)
+        ivfpq = ProductQuantizer.knnIvfPq(emb, "vec_id", "embedding", pred,
+          cents, cb, nProbe = 2)
+        ivfpq = ivfpq.persist(); ivfpq.count()
+      }
       val rLsh = recall(exact, lsh)
       val rIvf = recall(exact, ivf)
       val rMulti = recall(exact, multi)
+      val rPq = recall(exact, pq)
+      val rIvfPq = recall(exact, ivfpq)
       // adaptive-plane bucket occupancy: with lshPlanes(n) the expected
       // members per bucket must stay ~flat across rungs (a fixed plane
       // count would grow it linearly — the round-8 parameter bound)
@@ -97,8 +125,13 @@ object ScaleAnnBench {
       val mTables = graft.ops.Adaptive.lshMultiTables(planes)
       println(f"""{"op":"knn_lsh_multi_auto","vecs":$n,"sec":$tMulti%.2f,""" +
         f""""recall":$rMulti%.3f,"tables":$mTables,"planes_per_table":$planes}""")
+      println(f"""{"op":"pq_train","vecs":$n,"sec":$tPqTrain%.2f}""")
+      println(f"""{"op":"pq_encode","vecs":$n,"sec":$tPqEncode%.2f}""")
+      println(f"""{"op":"knn_pq_adc","vecs":$n,"sec":$tPq%.2f,"recall":$rPq%.3f}""")
+      println(f"""{"op":"knn_ivfpq","vecs":$n,"sec":$tIvfPq%.2f,""" +
+        f""""recall":$rIvfPq%.3f,"cells":$nCellsPq,"nprobe":2}""")
       exact.unpersist(false); lsh.unpersist(false); ivf.unpersist(false)
-      multi.unpersist(false)
+      multi.unpersist(false); pq.unpersist(false); ivfpq.unpersist(false)
       emb.unpersist(false)
     }
     spark.stop()
