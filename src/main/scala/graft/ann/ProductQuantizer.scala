@@ -186,19 +186,42 @@ object ProductQuantizer {
     * projection; probes broadcast; per-partition top-k before shuffle. */
   def knnIvfPq(emb: DataFrame, idCol: String, vecCol: String,
                queryPred: Column, cents: Array[(Long, Array[Float])],
-               cb: Codebooks, k: Int = 5, nProbe: Int = 2): DataFrame = {
-    val assigned = emb.select(
+               cb: Codebooks, k: Int = 5, nProbe: Int = 2): DataFrame =
+    searchIndex(
+      pqIndex(emb, idCol, vecCol, cents, cb),
+      emb.filter(queryPred).select(
+        col(idCol).cast("long").as("query_id"), col(vecCol).as("qe")),
+      cents, k, nProbe)
+
+  /** The stored IVF-PQ index: (vec_id, cell, codes, de) — the one-pass
+    * row-local projection a deployment materializes at INGEST (8-byte
+    * codes + cell id per vector; `de` is the decoded reconstruction the
+    * ADC ranking reads, cheap to re-derive from codes if only the codes
+    * are stored). [[knnIvfPq]] is exactly [[searchIndex]] over this
+    * frame, so the verified query and the deployment split cannot
+    * drift; persist/bucket this frame by `cell` and repeated searches
+    * skip the corpus entirely outside their probed cells. */
+  def pqIndex(emb: DataFrame, idCol: String, vecCol: String,
+              cents: Array[(Long, Array[Float])], cb: Codebooks): DataFrame =
+    emb.select(
       col(idCol).cast("long").as("vec_id"),
       codesOf(col(vecCol), cb).as("codes"),
       Similarity.cellOfCents(col(vecCol), cents).as("cell"))
       .withColumn("de", decode(col("codes"), cb))
-    val probes = emb.filter(queryPred).select(
-        col(idCol).cast("long").as("query_id"), col(vecCol).as("qe"),
+
+  /** ADC search over a prebuilt [[pqIndex]] frame: queries (query_id,
+    * qe) probe their `nProbe` max-cosine cells and rank the candidates
+    * inside them — the per-query-batch cost a deployment pays after the
+    * index exists (nProbe/nCells of the corpus per query, no encode). */
+  def searchIndex(index: DataFrame, queries: DataFrame,
+                  cents: Array[(Long, Array[Float])],
+                  k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val probes = queries.select(col("query_id"), col("qe"),
         explode(slice(reverse(array_sort(
-          Similarity.scoredCellsOf(col(vecCol), cents))), 1, nProbe)).as("pc"))
+          Similarity.scoredCellsOf(col("qe"), cents))), 1, nProbe)).as("pc"))
       .select(col("query_id"), col("qe"), (-col("pc.nc")).as("cell"))
     rankAdc(
-      assigned.join(broadcast(probes), Seq("cell"))
+      index.join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id")),
       k)
   }
