@@ -46,10 +46,10 @@ object OracleSqlDocs {
     * reconstruction `de` (codebook entries concatenated in subspace
     * order). Subspace width rides `len(cv)`; subspace count rides the
     * artifact's DISTINCT m — both pinned by the persisted codebook. */
-  private val pqDecodedCtes: String =
+  private def pqDecodedCtesOver(src: String, vc: String): String =
     s"""sub AS (
-       |  SELECT v.vec_id, ms.m, list_slice(v.e, ms.m * ms.sd + 1, (ms.m + 1) * ms.sd) AS sv
-       |  FROM v CROSS JOIN (SELECT DISTINCT m, len(cv) AS sd FROM cb) ms
+       |  SELECT $src.vec_id, ms.m, list_slice($src.$vc, ms.m * ms.sd + 1, (ms.m + 1) * ms.sd) AS sv
+       |  FROM $src CROSS JOIN (SELECT DISTINCT m, len(cv) AS sd FROM cb) ms
        |),
        |cscored AS (
        |  SELECT s.vec_id, s.m, c.code, ${l2sq("s.sv", "c.cv")} AS dd
@@ -67,6 +67,58 @@ object OracleSqlDocs {
        |  FROM (SELECT co.vec_id, co.m, c.cv
        |        FROM codes co JOIN cb c USING (m, code))
        |  GROUP BY vec_id
+       |)""".stripMargin
+
+  private val pqDecodedCtes: String = pqDecodedCtesOver("v", "e")
+
+  /** Exact float32 elementwise subtraction of two REAL lists: a float
+    * difference computed in double rounds to the identical float, so this
+    * is bit-identical to Spark-side float subtraction (zip_with x − c and
+    * the fused CellResidual loop). */
+  private def fsub(a: String, b: String): String =
+    s"list_transform(list_zip($a, $b), " +
+      "z -> CAST(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE) AS REAL))"
+
+  /** Shared CTE chain of the residual-PQ twins (p109/p110): coarse
+    * lowest-id-8 assignment (ties toward the smaller centroid id),
+    * float32 residuals, residual codes + decoded reconstructions from
+    * the persisted codebooks, per-cell query residuals for `nProbe`
+    * probes, and the residual-ADC candidate distances `sims(query_id,
+    * neighbor_id, dist)`. */
+  private def pqResidualCtes(cbPath: String, nProbe: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |cb AS (SELECT m, code, cv FROM read_parquet('$cbPath/*.parquet')),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+       |scored AS (
+       |  SELECT v.vec_id, v.e, c.cid, c.ce, ${cos("v.e", "c.ce")} AS cs
+       |  FROM v CROSS JOIN cents c
+       |),
+       |assigned AS (
+       |  SELECT vec_id, e, cid AS cell, ce FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY cs DESC, cid) AS rn
+       |    FROM scored
+       |  ) WHERE rn = 1
+       |),
+       |rv AS (
+       |  SELECT vec_id, cell, ${fsub("e", "ce")} AS r FROM assigned
+       |),
+       |${pqDecodedCtesOver("rv", "r")},
+       |probes AS (
+       |  SELECT vec_id AS query_id, e AS qe, cid AS cell, ce FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY cs DESC, cid) AS rn
+       |    FROM scored WHERE vec_id < 20
+       |  ) WHERE rn <= $nProbe
+       |),
+       |qres AS (
+       |  SELECT query_id, cell, ${fsub("qe", "ce")} AS qr FROM probes
+       |),
+       |sims AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id, ${l2sq("q.qr", "d.de")} AS dist
+       |  FROM qres q JOIN (SELECT vec_id, cell FROM assigned) a USING (cell)
+       |  JOIN decoded d ON d.vec_id = a.vec_id
+       |  WHERE a.vec_id <> q.query_id
        |)""".stripMargin
 
   /** One hyperplane as a DOUBLE[] literal — e0-suffixed so DuckDB parses
@@ -733,6 +785,62 @@ object OracleSqlDocs {
          |FROM poss p LEFT JOIN hits h USING (query_id)
          |ORDER BY p.query_id""".stripMargin,
 
+    // Residual IVF-PQ twin of ProductQuantizer.knnIvfPqResidual: coarse
+    // lowest-id-8 cells, float32 residuals, 8-bit codes replayed from the
+    // persisted p109 codebooks, per-cell query residuals, 2-cell probes,
+    // ADC ranking under (dist ASC, neighbor_id ASC).
+    "p109_knn_ivfpq_residual" ->
+      (pqResidualCtes(graft.ops.DocAnalytics.P109CodebooksPath, 2) +
+      s""",
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY dist ASC, neighbor_id) AS rn
+         |  FROM sims
+         |)
+         |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, dist
+         |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin),
+
+    // residual-PQ recall twin: residual ADC probing ALL 8 cells (the
+    // exhaustive residual ranking) set-intersected with exact brute-force
+    // top-5 per query — the p106 rollup over the residual tier.
+    "p110_pqr_recall" ->
+      (pqResidualCtes(graft.ops.DocAnalytics.P110CodebooksPath, 8) +
+      s""",
+         |q2 AS (SELECT vec_id AS query_id, e AS qe2 FROM v WHERE vec_id < 20),
+         |bsims AS (
+         |  SELECT query_id, v.vec_id AS neighbor_id, ${cos("qe2", "v.e")} AS sim
+         |  FROM q2 JOIN v ON v.vec_id <> query_id
+         |),
+         |btop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY sim DESC, neighbor_id) AS rn
+         |    FROM bsims
+         |  ) WHERE rn <= 5
+         |),
+         |ptop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY dist ASC, neighbor_id) AS rn
+         |    FROM sims
+         |  ) WHERE rn <= 5
+         |),
+         |hits AS (
+         |  SELECT query_id, count(*) AS n_hits
+         |  FROM btop JOIN ptop USING (query_id, neighbor_id)
+         |  GROUP BY query_id
+         |),
+         |poss AS (
+         |  SELECT query_id, count(*) AS n_possible FROM btop GROUP BY query_id
+         |)
+         |SELECT p.query_id,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  p.n_possible,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(p.n_possible AS DOUBLE)
+         |    AS recall_at_k
+         |FROM poss p LEFT JOIN hits h USING (query_id)
+         |ORDER BY p.query_id""".stripMargin),
+
     // DSIR twin of ImportanceSampler.dsirSelect (target = lang 'en'):
     // hashed-bigram buckets (the p88 two-fold window key mod 4096),
     // per-bucket smoothed log-ratio SIGN via exact HUGEINT
@@ -1281,6 +1389,42 @@ object OracleSqlDocs {
     // ordered L-R fold seeded with the absent registers — double math
     // order-identical to the Spark side; alpha·m² printed from the same
     // Scala double.
+    // KMV bottom-k quantile-sketch twin of Sketches.kmvQuantiles: same
+    // hash-priority sample (pr ASC, id ASC — the negated-heap order),
+    // lower discrete quantile of the sample at rank max(1, ceil(q·k)),
+    // exact twin at the same rank rule over the full corpus.
+    "p111_quantile_sketch" ->
+      s"""WITH vals AS (
+         |  SELECT doc_id AS id,
+         |         CAST(len(string_split(${norm("text")}, ' ')) AS BIGINT) AS v
+         |  FROM documents
+         |), pri AS (
+         |  SELECT id, v, (id * 2654435761) % 1000000007 AS pr FROM vals
+         |), samp AS (
+         |  SELECT id, v FROM pri ORDER BY pr, id LIMIT 256
+         |), sv AS (
+         |  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+         |         count(*) OVER () AS kk
+         |  FROM samp
+         |), ex AS (
+         |  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+         |         count(*) OVER () AS n
+         |  FROM vals
+         |), probes AS (
+         |  SELECT unnest([0.1e0, 0.25e0, 0.5e0, 0.75e0, 0.9e0, 0.99e0]) AS q
+         |), est AS (
+         |  SELECT q, kk AS sample_k, v AS est_value FROM probes JOIN sv
+         |    ON rn = greatest(1, CAST(ceil(q * kk) AS BIGINT))
+         |), exq AS (
+         |  SELECT q, n AS n_rows, v AS exact_value FROM probes JOIN ex
+         |    ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT))
+         |)
+         |SELECT e.q, CAST(e.sample_k AS BIGINT) AS sample_k,
+         |  CAST(x.n_rows AS BIGINT) AS n_rows,
+         |  e.est_value, x.exact_value,
+         |  e.est_value - x.exact_value AS abs_error
+         |FROM est e JOIN exq x ON e.q = x.q ORDER BY e.q""".stripMargin,
+
     "p66_hll_cardinality" -> (shingleCtes +
       s""",
          |grams AS (SELECT unnest(sh) AS g FROM shn),

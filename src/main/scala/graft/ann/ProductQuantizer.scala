@@ -16,7 +16,12 @@ import graft.functions.AnnPrims.l2sq
   * each candidate's decoded reconstruction, so quantization error is paid
   * once (corpus side), not twice.
   *
-  * Everything is deterministic and oracle-replayable, the p50 convention:
+  * Everything is deterministic GIVEN A FIXED PARTITIONING and
+  * oracle-replayable, the p50 convention (training's per-cell means are
+  * double `sum` aggregates whose result bits depend on the partial-
+  * aggregation order, like [[Similarity.trainIvfCentroids]] — which is
+  * exactly why the TRAINED floats are persisted and every oracle replays
+  * against the persisted copy rather than re-deriving them):
   *  - codebooks initialize from the `k` lowest-id vectors' subvectors and
   *    train with bounded Lloyd iterations; the TRAINED floats are
   *    persisted, and the DuckDB twin replays encode + search against the
@@ -31,7 +36,7 @@ import graft.functions.AnnPrims.l2sq
   *    both engines.
   *
   * Scale shape: codebooks are `m`×`k`×`subDim` floats (4 KB here) —
-  * collected once, inlined as literals, so encode is a row-local argmin
+  * collected once, carried as a codegen reference object, so encode is a row-local argmin
   * projection (the corpus NEVER shuffles for it, same as IVF cell
   * assignment). Search broadcasts the query set onto the (vec_id, codes)
   * frame — fixed-width rows 32× smaller than the raw vectors — and the
@@ -98,6 +103,10 @@ object ProductQuantizer {
     val seeds = emb.select(col(idCol).cast("long"), col(vecCol))
       .orderBy(col(idCol)).limit(k)
       .collect().map(_.getSeq[Float](1).toArray)
+    // a non-divisible m would silently floor subDim and every encode would
+    // return null (length != m*subDim) — fail fast instead (round-12 advice)
+    seeds.headOption.foreach(v => require(v.length % m == 0,
+      s"embedding dim ${v.length} is not divisible by m=$m subspaces"))
     val sd = seeds.headOption.map(_.length / m).getOrElse(0)
     Array.tabulate(m)(mi => seeds.map(v => v.slice(mi * sd, (mi + 1) * sd)))
   }
@@ -108,12 +117,16 @@ object ProductQuantizer {
     * codebook literals — no shuffle for assignment), and the per-(m, code)
     * mean reduction partial-aggregates to ≤ m·k rows per task before the
     * shuffle — only (m·k × subDim) partial sums ever ride an exchange,
-    * never vectors. Empty codes keep their previous entry. */
+    * never vectors. Empty codes keep their previous entry. The mean's
+    * double-sum bits depend on partition order (see the object scaladoc)
+    * — callers persist the result and verify against the persisted copy. */
   def trainCodebooks(emb: DataFrame, idCol: String, vecCol: String,
                      m: Int = DefaultM, k: Int = DefaultK,
                      iters: Int = 2): Codebooks = {
     var cb = lowestIdCodebooks(emb, idCol, vecCol, m, k)
     val sd = subDim(cb)
+    // a corpus smaller than k seeds fewer codes — train what exists
+    val kEff = cb.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until iters) {
       val assigned = emb
         .select(col(vecCol).as("__v"), codesOf(col(vecCol), cb).as("__c"))
@@ -128,7 +141,7 @@ object ProductQuantizer {
       val byCell = assigned.groupBy("m", "code").agg(aggs.head, aggs.tail: _*)
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
       cb = Array.tabulate(m) { mi =>
-        Array.tabulate(k) { code =>
+        Array.tabulate(kEff) { code =>
           byCell.get((mi, code)) match {
             case Some(r) =>
               val n = r.getLong(2).toDouble
@@ -217,14 +230,94 @@ object ProductQuantizer {
                   cents: Array[(Long, Array[Float])],
                   k: Int = 5, nProbe: Int = 2): DataFrame = {
     val probes = queries.select(col("query_id"), col("qe"),
-        explode(slice(reverse(array_sort(
-          Similarity.scoredCellsOf(col("qe"), cents))), 1, nProbe)).as("pc"))
-      .select(col("query_id"), col("qe"), (-col("pc.nc")).as("cell"))
+        explode(Similarity.probeCellsOf(col("qe"), cents, nProbe)).as("cell"))
     rankAdc(
       index.join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id")),
       k)
   }
+
+  /** Codes per subspace for the residual (8-bit) tier: one byte per
+    * subspace, the production codebook size of Jégou et al. and FAISS's
+    * default — 64 floats (256 B) → 8 bytes, with quantization error paid
+    * on the residual, not the raw vector. */
+  val ResidualK = 256
+
+  /** (vec_id, cell, r): every vector's coarse cell and its RESIDUAL
+    * against that cell's centroid — by_residual=true's encode input. One
+    * fused row-local pass ([[graft.functions.CellResidual]]): the corpus
+    * never shuffles and never joins the centroid table; the float32
+    * subtraction is exactly replayable in SQL (see the expression doc). */
+  def residuals(emb: DataFrame, idCol: String, vecCol: String,
+                cents: Array[(Long, Array[Float])]): DataFrame =
+    emb.select(col(idCol).cast("long").as("vec_id"),
+        graft.functions.CellResidual(col(vecCol), cents).as("cr"))
+      .select(col("vec_id"), col("cr.cell").as("cell"), col("cr.r").as("r"))
+
+  /** Bounded-Lloyd codebooks over the RESIDUALS (by_residual=true, Jégou
+    * et al. §IV): same trainer as [[trainCodebooks]], fed the residual
+    * frame — quantization centers on the residual distribution, which is
+    * what lets small codebooks reach recall the raw-vector codes can't
+    * WHEN the data clusters (the technique's premise — the spec
+    * demonstrates 0.27-vs-0.00 recall on a planted-cluster corpus at a
+    * starved code budget; on an unclustered uniform corpus residual ≈
+    * raw, measured 0.70 vs 0.76 at m=16/k=256). Same determinism
+    * qualification as [[trainCodebooks]]; callers persist the result for
+    * oracle replay. */
+  def trainResidualCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                             cents: Array[(Long, Array[Float])],
+                             m: Int = DefaultM, k: Int = ResidualK,
+                             iters: Int = 2): Codebooks =
+    trainCodebooks(residuals(emb, idCol, vecCol, cents), "vec_id", "r",
+      m, k, iters)
+
+  /** The stored residual IVF-PQ index: (vec_id, cell, codes, de) where
+    * codes quantize the residual and `de` is the decoded RESIDUAL
+    * reconstruction — the by_residual ingest projection ([[pqIndex]]'s
+    * sibling; same one-pass row-local shape, same persist-by-cell
+    * deployment contract). */
+  def residualIndex(emb: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[(Long, Array[Float])],
+                    cb: Codebooks): DataFrame =
+    residuals(emb, idCol, vecCol, cents)
+      .select(col("vec_id"), col("cell"), codesOf(col("r"), cb).as("codes"))
+      .withColumn("de", decode(col("codes"), cb))
+
+  /** ADC search over a prebuilt [[residualIndex]]: each probe carries the
+    * QUERY residual against the probed cell (qr = qe − c_cell, float32),
+    * and candidates rank by l2sq(qr, decoded residual) — algebraically
+    * ‖(q − c) − (v − c)‖² = ‖q − v‖² up to quantization, so the residual
+    * tier needs no new ranking math. The probe frame is (queries ×
+    * nProbe) rows joined against the nCells-row centroid table — both
+    * broadcast-sized at any corpus scale. */
+  def searchResidualIndex(index: DataFrame, queries: DataFrame,
+                          cents: Array[(Long, Array[Float])],
+                          k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val cdf = cents.toSeq.toDF("cell", "ce")
+    val probes = queries.select(col("query_id"), col("qe"),
+        explode(Similarity.probeCellsOf(col("qe"), cents, nProbe)).as("cell"))
+      .join(broadcast(cdf), "cell")
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qe"), col("ce"), (x, c) => x - c).as("qe"))
+    rankAdc(
+      index.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id")),
+      k)
+  }
+
+  /** Residual IVF-PQ search (FAISS IndexIVFPQ, by_residual=true):
+    * [[searchResidualIndex]] over [[residualIndex]], the verified-query
+    * twin of the deployment split. */
+  def knnIvfPqResidual(emb: DataFrame, idCol: String, vecCol: String,
+                       queryPred: Column, cents: Array[(Long, Array[Float])],
+                       cb: Codebooks, k: Int = 5, nProbe: Int = 2): DataFrame =
+    searchResidualIndex(
+      residualIndex(emb, idCol, vecCol, cents, cb),
+      emb.filter(queryPred).select(
+        col(idCol).cast("long").as("query_id"), col(vecCol).as("qe")),
+      cents, k, nProbe)
 
   /** Shared ADC ranking tail: candidates (query_id, qe, vec_id, de) →
     * top-k per query by (dist ASC, neighbor_id ASC), via the k-bounded

@@ -93,7 +93,7 @@ object Similarity {
     *
     * Scale shape — the reason IVF beats sign-bucket LSH at high recall:
     * the quantizer is collected once (nCells × dim floats, a few KB) and
-    * inlined as literals, so cell assignment is a narrow per-row argmax —
+    * carried as one reference object by the fused assignment expression, so cell assignment is a narrow per-row argmax —
     * the corpus NEVER shuffles: not for assignment (row-local
     * expression), not for search (probes broadcast onto the assigned
     * corpus), not for ranking (the per-partition top-k tournament). Probe
@@ -193,19 +193,40 @@ object Similarity {
 
   /** (cos, -cent_id) structs: lexicographic struct order makes array_max
     * pick highest cosine with ties broken toward the smallest centroid id
-    * — exactly the oracle's ORDER BY cos DESC, cent_id ASC. Shared with
-    * [[ProductQuantizer.knnIvfPq]] so the IVF-PQ coarse layer cannot
-    * drift from the IVF-flat one. */
+    * — exactly the oracle's ORDER BY cos DESC, cent_id ASC. This literal
+    * form builds one expression node PER CENTROID, so it is kept only as
+    * the executable SPEC of the fused assignment (pinned bit-equal in
+    * CellAssignSpec): the hot paths run [[graft.functions.CellArgmax]] /
+    * [[graft.functions.CellProbes]], whose centroid table rides codegen
+    * as one reference object and therefore scales in CELL count (a 10⁵-
+    * cell quantizer is a plan-size catastrophe as literals, a flat array
+    * scan as data — round-12's one flagged weakness). */
   private[ann] def scoredCellsOf(vec: Column, cents: Array[(Long, Array[Float])]): Column =
     array(cents.map { case (cid, cv) =>
       struct(cosine(vec, typedLit(cv)).as("cs"), lit(-cid).as("nc"))
     }: _*)
 
-  private[ann] def cellOfCents(vec: Column, cents: Array[(Long, Array[Float])]): Column =
+  /** Declarative argmax assignment — the spec twin of the fused path. */
+  def cellOfSpec(vec: Column, cents: Array[(Long, Array[Float])]): Column =
     -array_max(scoredCellsOf(vec, cents)).getField("nc")
 
-  private def scoredCells(vec: Column, cents: Array[(Long, Array[Float])]): Column =
-    scoredCellsOf(vec, cents)
+  /** Declarative probe list — the spec twin of the fused path. */
+  def probeCellsSpec(vec: Column, cents: Array[(Long, Array[Float])],
+                     nProbe: Int): Column =
+    transform(
+      slice(reverse(array_sort(scoredCellsOf(vec, cents))), 1, nProbe),
+      pc => -pc.getField("nc"))
+
+  /** Fused argmax cell assignment (see [[scoredCellsOf]]). Shared with
+    * [[ProductQuantizer.knnIvfPq]] so the IVF-PQ coarse layer cannot
+    * drift from the IVF-flat one. */
+  private[ann] def cellOfCents(vec: Column, cents: Array[(Long, Array[Float])]): Column =
+    graft.functions.CellArgmax(vec, cents)
+
+  /** Fused (cos DESC, cent_id ASC) probe list (see [[scoredCellsOf]]). */
+  private[ann] def probeCellsOf(vec: Column, cents: Array[(Long, Array[Float])],
+                                nProbe: Int): Column =
+    graft.functions.CellProbes(vec, cents, nProbe)
 
   private def cellOf(vec: Column, cents: Array[(Long, Array[Float])]): Column =
     cellOfCents(vec, cents)
@@ -213,9 +234,10 @@ object Similarity {
   /** IVF search against an explicit quantizer table — the plan shape of
     * [[knnIvf]] with the centroid choice factored out, so a trained
     * quantizer ([[trainIvfCentroids]]) slots in without touching the
-    * search: the centroid array is inlined as literals, cell assignment
-    * stays a narrow row-local argmax, and the corpus still never
-    * shuffles. Centroid ids are only a deterministic tiebreak token. */
+    * search: the centroid table rides the fused assignment expression as
+    * one reference object, cell assignment stays a narrow row-local
+    * argmax, and the corpus still never shuffles. Centroid ids are only
+    * a deterministic tiebreak token. */
   def knnIvfWith(emb: DataFrame, idCol: String, vecCol: String,
                  queryPred: Column, cents: Array[(Long, Array[Float])],
                  k: Int = 5, nProbe: Int = 2): DataFrame = {
@@ -224,8 +246,7 @@ object Similarity {
       cellOf(col(vecCol), cents).as("cell"))
     val probes = emb.filter(queryPred).select(
         col(idCol).as("query_id"), col(vecCol).as("qe"),
-        explode(slice(reverse(array_sort(scoredCells(col(vecCol), cents))), 1, nProbe)).as("pc"))
-      .select(col("query_id"), col("qe"), (-col("pc.nc")).as("cell"))
+        explode(probeCellsOf(col(vecCol), cents, nProbe)).as("cell"))
     val cands = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("sim"))
@@ -237,7 +258,7 @@ object Similarity {
     * share — the "how balanced is my index" diagnostic every IVF
     * deployment watches (an unbalanced quantizer turns nProbe into a
     * full scan of the hot cell). Scale shape: assignment is the same
-    * row-local argmax the search uses (centroids inlined as literals —
+    * row-local argmax the search uses (the fused reference-object expression —
     * no corpus shuffle), the profile is one partial-agg groupBy on an
     * `nCells`-ary key, and the share window runs over nCells rows. */
   def cellProfile(emb: DataFrame, idCol: String, vecCol: String,
@@ -264,7 +285,7 @@ object Similarity {
     * end-to-end: init = the `nCells` lowest-id vectors, then `iters`
     * rounds of (assign by max-cosine, recompute per-cell means). Each
     * round is ONE distributed pass: assignment is the same row-local
-    * argmax the search uses (centroids inlined as literals — the corpus
+    * argmax the search uses (the fused reference-object expression — the corpus
     * never shuffles for it) and the mean reduction is a per-dimension
     * `sum` aggregate, so only (nCells × dim) partial sums ride the
     * shuffle — never vectors. The driver holds nCells × dim floats per
@@ -360,7 +381,7 @@ object Similarity {
     * be unverifiable by the oracle). Output: kept (vec_id, cell), by id.
     *
     * Scale shape: assignment is the row-local argmax the IVF search uses
-    * (centroids inlined as literals — the corpus never shuffles for it);
+    * (the fused reference-object expression — the corpus never shuffles for it);
     * the within-cell pair join exchanges (vec_id, cell) ONLY, and the
     * per-cell quadratic is the algorithm's own bound — a SemDeDup
     * deployment trains k ∝ corpus size, holding cell populations (and

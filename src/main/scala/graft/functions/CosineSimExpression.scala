@@ -15,7 +15,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * float→double casts per element, so fusing the three folds into one loop
   * changes no accumulator's operation sequence. Length-mismatched inputs
   * return null (the HOF spec's zip_with null-padding propagates to null
-  * the same way).
+  * the same way), and so does a null ELEMENT on either side (the HOF's
+  * aggregate turns any null term into a null accumulator) — the element
+  * checks are emitted only when the input array types admit null
+  * elements, so contract-pinned non-null vectors pay nothing.
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -23,6 +26,12 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "cosine_sim"
   // length mismatch yields null even for non-null inputs
   override def nullable: Boolean = true
+
+  private def elemsNullable(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_, cn) => cn
+    case _ => true
+  }
+  private lazy val checkNulls = elemsNullable(left) || elemsNullable(right)
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -32,6 +41,7 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     var i = 0
     val n = a.numElements()
     while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
@@ -49,6 +59,9 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val nullGuard = if (checkNulls)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -56,11 +69,14 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
          |    double $x = (double) $a.getFloat($i);
          |    double $y = (double) $b.getFloat($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

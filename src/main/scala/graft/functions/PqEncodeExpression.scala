@@ -22,8 +22,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * 0.84–0.95 s; p105 total 5.2 → 1.8–2.0 s).
   *
   * A vector whose length differs from m·subDim returns null, like the
-  * slice-fed L2Sq chain it replaces. Codebooks ride codegen as a
-  * reference object (they are driver-collected literals, a few KB).
+  * slice-fed L2Sq chain it replaces, and so does a vector carrying a null
+  * ELEMENT (the [[L2Sq]] convention — the element checks are emitted only
+  * when the input array type admits null elements). Codebooks ride
+  * codegen as a reference object (they are driver-collected literals, a
+  * few KB); equality/hashCode compare the codebook CONTENTS (not array
+  * identity), so structurally identical encoders canonicalize together
+  * and subexpression elimination can reuse them.
   */
 case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
     extends UnaryExpression {
@@ -36,9 +41,31 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
   override def prettyName: String = "pq_encode"
   override def nullable: Boolean = true
 
+  // case-class equals/hashCode would use array REFERENCE identity for the
+  // codebooks field, defeating canonicalization between structurally equal
+  // encoders built from different collect() calls (round-12 advice)
+  override def equals(other: Any): Boolean = other match {
+    case PqEncode(c, cb) =>
+      c == child && java.util.Arrays.deepEquals(
+        cb.asInstanceOf[Array[AnyRef]], codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])
+
+  private lazy val checkNulls = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     if (v.numElements() != m * sd) return null
+    if (checkNulls) {
+      var i = 0
+      while (i < m * sd) { if (v.isNullAt(i)) return null; i += 1 }
+    }
     val codes = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -76,10 +103,20 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       val cv = ctx.freshName("cv")
+      val nullGuard = if (checkNulls) {
+        val gi = ctx.freshName("gi")
+        s"""else {
+           |  for (int $gi = 0; $gi < ${m * sd}; $gi++) {
+           |    if ($v.isNullAt($gi)) { ${ev.isNull} = true; break; }
+           |  }
+           |}""".stripMargin
+      } else ""
       s"""
          |if ($v.numElements() != ${m * sd}) {
          |  ${ev.isNull} = true;
-         |} else {
+         |}
+         |$nullGuard
+         |if (!${ev.isNull}) {
          |  int[] $codes = new int[$m];
          |  for (int $mi = 0; $mi < $m; $mi++) {
          |    double $best = Double.POSITIVE_INFINITY;

@@ -80,12 +80,18 @@ object DocAnalytics {
   def P105CodebooksPath: String = s"$oracleArtifactDir/p105_codebooks"
   def P106CodebooksPath: String = s"$oracleArtifactDir/p106_codebooks"
 
+  /** Residual-PQ (8-bit) codebook artifacts — one path per query, the
+    * p105/p106 convention. */
+  def P109CodebooksPath: String = s"$oracleArtifactDir/p109_codebooks"
+  def P110CodebooksPath: String = s"$oracleArtifactDir/p110_codebooks"
+
   /** Every artifact path this pipeline writes under [[oracleArtifactDir]] —
     * the EXACT set Verify may clear at startup. Kept as an explicit list so
     * a user-pointed `-Dgraft.oracle.dir` at a shared directory never gets
     * recursively wiped; only framework-owned entries are touched. */
   def oracleArtifactPaths: Seq[String] =
-    Seq(P50CentroidsPath, P103CentroidsPath, P105CodebooksPath, P106CodebooksPath)
+    Seq(P50CentroidsPath, P103CentroidsPath, P105CodebooksPath,
+      P106CodebooksPath, P109CodebooksPath, P110CodebooksPath)
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -170,6 +176,48 @@ object DocAnalytics {
       val cents = Similarity.lowestIdCentroids(e, "vec_id", "embedding", 8)
       graft.ann.ProductQuantizer.knnIvfPq(e, "vec_id", "embedding",
         col("vec_id") < QueryMaxId, cents, cb)
+    }),
+    // Residual IVF-PQ (by_residual=true, the production 8-bit config):
+    // codebooks trained on coarse-cell RESIDUALS with k=256 codes per
+    // subspace; search carries the query residual per probed cell. The
+    // coarse layer stays p38's deterministic lowest-id quantizer so only
+    // the codebooks need persisting.
+    "p109_knn_ivfpq_residual" -> ("search", (s, d, onPhase) => {
+      val e = emb(s, d)
+      val cents = Similarity.lowestIdCentroids(e, "vec_id", "embedding", 8)
+      val cb = graft.ann.ProductQuantizer.trainResidualCodebooks(
+        e, "vec_id", "embedding", cents, m = 16)
+      persistCodebooks(s, cb, P109CodebooksPath)
+      onPhase("train")
+      graft.ann.ProductQuantizer.knnIvfPqResidual(e, "vec_id", "embedding",
+        col("vec_id") < QueryMaxId, cents, cb)
+    }),
+    // the residual tier's compression quality: recall@5 of residual ADC
+    // probing ALL 8 cells (= exhaustive, since the residual distance is
+    // defined per candidate cell) against exact brute force — the
+    // apples-to-apples upgrade measure over p106's raw-vector 4-bit codes
+    "p110_pqr_recall" -> ("recall", (s, d, onPhase) => {
+      val e = emb(s, d)
+      val cents = Similarity.lowestIdCentroids(e, "vec_id", "embedding", 8)
+      val cb = graft.ann.ProductQuantizer.trainResidualCodebooks(
+        e, "vec_id", "embedding", cents, m = 16)
+      persistCodebooks(s, cb, P110CodebooksPath)
+      onPhase("train")
+      val bf = Similarity.knnBruteForce(e, "vec_id", "embedding",
+        col("vec_id") < QueryMaxId).select("query_id", "neighbor_id")
+      val pq = graft.ann.ProductQuantizer.knnIvfPqResidual(e, "vec_id",
+        "embedding", col("vec_id") < QueryMaxId, cents, cb, nProbe = 8)
+        .select("query_id", "neighbor_id")
+      val hits = bf.join(pq, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      bf.groupBy("query_id").agg(count(lit(1)).as("n_possible"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("n_possible"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_possible")).as("recall_at_k"))
+        .orderBy("query_id")
     }),
     // PQ compression quality as an oracle-checked QUERY: per-query
     // recall@5 of the exhaustive ADC scan (IndexPQ) against exact brute
@@ -370,6 +418,12 @@ object DocAnalytics {
       phasedQueries("p105_knn_ivfpq")._2(s, d, _ => ())),
     "p106_pq_recall" -> ((s, d) =>
       phasedQueries("p106_pq_recall")._2(s, d, _ => ())),
+    // residual 8-bit PQ (train on coarse residuals + search / recall) —
+    // phased pipelines like p105/p106
+    "p109_knn_ivfpq_residual" -> ((s, d) =>
+      phasedQueries("p109_knn_ivfpq_residual")._2(s, d, _ => ())),
+    "p110_pqr_recall" -> ((s, d) =>
+      phasedQueries("p110_pqr_recall")._2(s, d, _ => ())),
     // ANN quality as an oracle-checked QUERY: recall@k of the LSH and IVF
     // approximate paths against the exact brute-force top-k, one row per
     // method — integer hit counts plus one exact division, so the DuckDB
@@ -558,6 +612,11 @@ object DocAnalytics {
       graft.text.Sketches.hllShingleCardinality(docs(s, d), "doc_id", "text")),
     "p67_cms_frequency" -> ((s, d) =>
       graft.text.Sketches.cmsTokenFrequency(docs(s, d), "doc_id", "text")),
+    // the sketch family's third leg: KMV bottom-k quantile sketch over
+    // per-doc token counts, estimates beside their exact rank-select
+    // twins (the p66 n_exact convention)
+    "p111_quantile_sketch" -> ((s, d) =>
+      graft.text.Sketches.kmvQuantiles(docs(s, d), "doc_id", "text")),
     "p23_embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding")),
     // cross-modality operator COMPOSITION: connected components over the

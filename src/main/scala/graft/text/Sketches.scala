@@ -152,6 +152,118 @@ object Sketches {
       .groupBy("row", "cell").agg(count(lit(1)).as("c"))
   }
 
+  /** KMV bottom-k sample size for the quantile sketch: 256 ids, the same
+    * fixed-state budget as the HLL register table. */
+  val KmvK = 256
+
+  /** Hash-priority of a row id for the KMV sample — the p63 scramble
+    * (id · 2654435761 mod P): deterministic, uniform, trivially
+    * replayable in SQL. */
+  private val KmvP = 1000000007L
+  private def kmvPriority(id: Column): Column =
+    (id * lit(2654435761L)) % lit(KmvP)
+
+  /** The quantile sketch STATE: the `k` corpus rows with the smallest
+    * hash priority, as (id, v) where v is the document's token count —
+    * a KMV/bottom-k sample (Cohen & Kaplan's bottom-k sketch family).
+    * MERGEABLE: bottom-k of a union is the bottom-k of the two bottom-k
+    * states (the heap order is total), which SketchesSpec pins by
+    * split-merge parity; partial-aggregable via the same k-bounded
+    * [[graft.functions.TopKAgg]] heap the ANN rankers use, so each scan
+    * task crosses the shuffle with ≤ k entries whatever the corpus size.
+    * Priorities stay below 2^30 so the negated double heap key is exact. */
+  def kmvState(df: DataFrame, idCol: String, textCol: String,
+               k: Int = KmvK): DataFrame = {
+    val vals = df.select(col(idCol).cast("long").as("id"),
+      size(tokens(col(textCol))).cast("long").as("v"))
+    val sampled = vals
+      .select(col("id"), (-kmvPriority(col("id"))).cast("double").as("negPr"))
+      .agg(graft.functions.TopKAgg.topk(col("negPr"), col("id"), k).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.neighbor_id").as("id"))
+    sampled.join(vals, "id")
+  }
+
+  /** Quantile estimates from the KMV sample beside their exact
+    * verification twins, one row per probe:
+    * `(q, sample_k, n_rows, est_value, exact_value, abs_error)`.
+    *
+    * The estimate is the lower discrete quantile OF THE SAMPLE (the value
+    * at ascending sample rank max(1, ceil(q·k)) — a uniform-sample order
+    * statistic, error O(1/√k)); `exact_value` is the same rank rule over
+    * the full corpus and exists as the verification harness (the HLL
+    * `n_exact` convention — at 100 TB you run only the sketch side). All
+    * outputs are integers plus one exact subtraction, so the DuckDB twin
+    * compares value-for-value.
+    *
+    * Scale shape: the sketch side folds ≤ k sampled values into one row
+    * (bounded like the HLL 256-register collect); the exact side uses the
+    * [[graft.ops.Percentiles]] bucketed rank-select plan — a bounded
+    * histogram collect (numRanges rows) locates each probe's bin, and
+    * row_number runs only inside target bins keyed by probe, never a
+    * global sort window. */
+  def kmvQuantiles(df: DataFrame, idCol: String, textCol: String,
+                   probes: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+                   k: Int = KmvK): DataFrame = {
+    require(probes.nonEmpty && probes.forall(q => q > 0 && q <= 1),
+      "probes must be in (0, 1]")
+    val vals = df.select(col(idCol).cast("long").as("id"),
+      size(tokens(col(textCol))).cast("long").as("v"))
+    val est = kmvState(df, idCol, textCol, k)
+      .agg(sort_array(collect_list(col("v"))).as("vs"),
+        count(lit(1)).as("sample_k"))
+      .select(explode(array(probes.map(lit): _*)).as("q"),
+        col("vs"), col("sample_k"))
+      .select(col("q"), col("sample_k"),
+        element_at(col("vs"),
+          greatest(lit(1L), ceil(col("q") * col("sample_k"))).cast("int"))
+          .as("est_value"))
+    val exact = exactRankSelectFlat(vals, "v", probes)
+    est.join(exact, "q")
+      .select(col("q"), col("sample_k"), col("n_rows"),
+        col("est_value"), col("exact_value"),
+        (col("est_value") - col("exact_value")).as("abs_error"))
+      .orderBy("q")
+  }
+
+  /** Keyless exact rank-select — [[graft.ops.Percentiles.exactRankSelect]]
+    * with the per-key machinery dropped (a constant key would fold into an
+    * unpartitioned window): one 1-row bounds aggregate, row-local monotone
+    * binning, a bounded-histogram collect locating each probe's target
+    * bin + residual rank on the driver, then row_number ONLY inside
+    * target bins partitioned BY PROBE — bounded sorts, probe-way
+    * parallelism, never a global sort. */
+  private def exactRankSelectFlat(vals: DataFrame, value: String,
+                                  probes: Seq[Double]): DataFrame = {
+    val spark = vals.sparkSession
+    val bounds = vals
+      .agg(min(value).cast("double"), max(value).cast("double"), count(lit(1)))
+      .collect().head
+    val (loD, hiD, nRows) = (bounds.getDouble(0), bounds.getDouble(1), bounds.getLong(2))
+    val nBuckets = graft.ops.Adaptive.numRanges(nRows, floor = 64)
+    val binned = vals.withColumn("__bin", least(lit(nBuckets - 1),
+      floor((col(value).cast("double") - loD) * nBuckets / (hiD - loD + 1.0)))
+      .cast("int"))
+    // bounded: ≤ nBuckets rows, the Percentiles histogram-collect shape
+    val hist = binned.groupBy("__bin").agg(count(lit(1)).as("__c"))
+      .orderBy("__bin").collect().map(r => r.getInt(0) -> r.getLong(1))
+    val cum = hist.scanLeft((0, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }.drop(1)
+    val targets = probes.map { q =>
+      val r = math.max(1L, math.ceil(q * nRows).toLong)
+      val (bin, cumAt) = cum.find(_._2 >= r).get
+      val below = cum.takeWhile(_._1 < bin).lastOption.map(_._2).getOrElse(0L)
+      (q, bin, r - below)
+    }
+    import spark.implicits._
+    val tdf = targets.toDF("q", "__bin", "__rk")
+    val wBin = org.apache.spark.sql.expressions.Window
+      .partitionBy("q").orderBy(value)
+    binned.join(broadcast(tdf), Seq("__bin"))
+      .withColumn("__rn", row_number().over(wBin))
+      .filter(col("__rn") === col("__rk"))
+      .select(col("q"), col(value).as("exact_value"), lit(nRows).as("n_rows"))
+  }
+
   def cmsTokenFrequency(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 10): DataFrame = {
     // ONE token-count aggregate feeds both the cell table (cell counts =

@@ -119,6 +119,103 @@ class ProductQuantizerSpec extends SparkSpec {
     ivf shouldBe full
   }
 
+  "residuals" should "be the exact float32 difference against the assigned centroid" in {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.lowestIdCentroids(corpus, "vec_id", "embedding", 4)
+    val centById = cents.toMap
+    val joined = ProductQuantizer.residuals(corpus, "vec_id", "embedding", cents)
+      .join(corpus.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding")), "vec_id")
+      .collect()
+    joined.length should be > 100
+    joined.foreach { r =>
+      val cell = r.getAs[Long]("cell")
+      val res = r.getSeq[Float](r.fieldIndex("r"))
+      val v = r.getSeq[Float](r.fieldIndex("embedding"))
+      val cv = centById(cell)
+      res.indices.foreach { i =>
+        java.lang.Float.floatToRawIntBits(res(i)) shouldBe
+          java.lang.Float.floatToRawIntBits(v(i) - cv(i))
+      }
+    }
+  }
+
+  "trainResidualCodebooks" should "not increase residual reconstruction error" in {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.lowestIdCentroids(corpus, "vec_id", "embedding", 4)
+    val rv = ProductQuantizer.residuals(corpus, "vec_id", "embedding", cents)
+    def err(cb: ProductQuantizer.Codebooks): Double =
+      rv.select(AnnPrims.l2sq(col("r"),
+          ProductQuantizer.decode(
+            graft.functions.PqEncode(col("r"), cb), cb)).as("e"))
+        .agg(sum(col("e"))).collect().head.getDouble(0)
+    val seed = ProductQuantizer.lowestIdCodebooks(rv, "vec_id", "r")
+    val trained = ProductQuantizer.trainResidualCodebooks(
+      corpus, "vec_id", "embedding", cents)
+    val (e0, e1) = (err(seed), err(trained))
+    info(f"residual reconstruction error: seed $e0%.2f -> trained $e1%.2f")
+    e1 should be <= e0
+  }
+
+  "knnIvfPqResidual" should "rank by exact distance when residuals reconstruct exactly" in {
+    // one coarse cell + k=4 residual codes seed every distinct residual
+    // subvector -> decode is the identity on residuals, so ADC distances
+    // are (q-c)-(v-c) folds of the true differences: from v1, v2 nearest,
+    // then v3, then v4 — the knnPq ordering.
+    val cents = Similarity.lowestIdCentroids(emb, "vec_id", "embedding", 1)
+    val rv = ProductQuantizer.residuals(emb, "vec_id", "embedding", cents)
+    val cb = ProductQuantizer.lowestIdCodebooks(rv, "vec_id", "r", m = 2, k = 4)
+    val out = ProductQuantizer.knnIvfPqResidual(emb, "vec_id", "embedding",
+      col("vec_id") === 1L, cents, cb, k = 3, nProbe = 1).collect()
+    out.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(2L, 3L, 4L)
+    out.head.getAs[Double]("dist") shouldBe (0.01 * 0.01 + 0.01 * 0.01) +- 1e-9
+    out.last.getAs[Double]("dist") shouldBe 8.0 +- 1e-9
+  }
+
+  it should "beat raw-vector codes on clustered data at the same tiny (m, k) budget" in {
+    // The residual tier's premise (Jégou et al. §IV): when data clusters,
+    // residuals against the cluster centers have far less variance than
+    // the raw vectors, so a small codebook spends its codes on the noise
+    // instead of re-describing cluster geometry. Deterministic clustered
+    // corpus: 4 well-separated centers + small hash noise; k=4 codes per
+    // subspace is deliberately starved so raw PQ must burn codes on the
+    // centers. (On an UNCLUSTERED corpus residual ≈ raw by construction —
+    // measured 0.70 vs 0.76 on the uniform sf0.01 synthetic — which is
+    // why this property needs planted structure to test.)
+    val dim = 64
+    val centers = Array.tabulate(4) { c =>
+      Array.tabulate(dim)(j => if (j % 4 == c) 1.0f else 0.0f)
+    }
+    val rows = (0L until 800L).map { id =>
+      val c = (id % 4).toInt
+      val v = Array.tabulate(dim) { j =>
+        val h = ((id * 1315423911L + j * 2654435761L) % 1000003L).toFloat / 1000003.0f
+        centers(c)(j) + 0.05f * (h - 0.5f)
+      }
+      (id, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val pred = col("vec_id") < 20
+    val bf = Similarity.knnBruteForce(corpus, "vec_id", "embedding", pred)
+      .select("query_id", "neighbor_id").persist()
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      bf.join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count().toDouble / bf.count()
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
+      nCells = 4, iters = 3)
+    val rawCb = ProductQuantizer.trainCodebooks(corpus, "vec_id", "embedding",
+      m = 8, k = 4)
+    val resCb = ProductQuantizer.trainResidualCodebooks(corpus, "vec_id",
+      "embedding", cents, m = 8, k = 4)
+    val rRaw = recall(ProductQuantizer.knnPq(corpus, "vec_id", "embedding",
+      pred, rawCb))
+    val rRes = recall(ProductQuantizer.knnIvfPqResidual(corpus, "vec_id",
+      "embedding", pred, cents, resCb, nProbe = 4))
+    bf.unpersist(false)
+    info(f"recall@5 on clustered corpus: raw $rRaw%.3f residual $rRes%.3f")
+    rRes should be > rRaw
+  }
+
   it should "restrict candidates to the probed cells" in {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pred = col("vec_id") < 5
