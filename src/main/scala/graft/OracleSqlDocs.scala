@@ -207,6 +207,63 @@ object OracleSqlDocs {
        |  FROM documents d LEFT JOIN per ON d.doc_id = per.id
        |)""".stripMargin
 
+  /** Shared CTE chain of the trained language-id twins (p112/p113), up to
+    * the per-document frame `lfilled`: hashed-bucket occurrences labeled
+    * by the metadata lang, per-(bucket, lang) NB counts over the
+    * id % 10 <> 0 train split, the zero-filled class grid, the
+    * (smoothed-likelihood DESC, lang ASC) per-bucket argmax vote —
+    * (c+1)/(n+4096) in double, correctly rounded on both engines — and
+    * the per-document vote rollup with '__oov' abstentions and the 'und'
+    * zero-vote fallback. Constants mirror [[graft.text.LangClassifier]]. */
+  private val langScoredCte: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, lang AS label_lang,
+       |         string_split(${norm("text")}, ' ') AS t
+       |  FROM documents
+       |), ex AS (
+       |  SELECT id, label_lang,
+       |         unnest(list_transform(t, tok -> ${hash("tok")} % 4096)) AS b
+       |  FROM toks
+       |), model AS (
+       |  SELECT b, label_lang AS lang, CAST(count(*) AS BIGINT) AS c
+       |  FROM ex WHERE id % 10 <> 0 GROUP BY b, label_lang
+       |), totals AS (
+       |  SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM model GROUP BY lang
+       |), grid AS (
+       |  SELECT g.b, t.lang, t.n, COALESCE(m.c, 0) AS c
+       |  FROM (SELECT DISTINCT b FROM model) g CROSS JOIN totals t
+       |  LEFT JOIN model m ON m.b = g.b AND m.lang = t.lang
+       |), voted AS (
+       |  SELECT b, lang AS vlang FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY b ORDER BY
+       |      (CAST(c + 1 AS DOUBLE) / CAST(n + 4096 AS DOUBLE)) DESC, lang) AS rn
+       |    FROM grid) WHERE rn = 1
+       |), occ AS (
+       |  SELECT e.id, e.label_lang, COALESCE(v.vlang, '__oov') AS vl
+       |  FROM ex e LEFT JOIN voted v USING (b)
+       |), votes AS (
+       |  SELECT id, label_lang, vl, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM occ GROUP BY id, label_lang, vl
+       |), per AS (
+       |  SELECT id, label_lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN vl = '__oov' THEN cnt ELSE 0 END) AS BIGINT) AS n_oov
+       |  FROM votes GROUP BY id, label_lang
+       |), best AS (
+       |  SELECT id, vl, cnt FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id
+       |                                 ORDER BY cnt DESC, vl) AS rn
+       |    FROM votes WHERE vl <> '__oov') WHERE rn = 1
+       |), lfilled AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(p.n_tokens, 0) AS n_tokens,
+       |    COALESCE(p.n_oov, 0) AS n_oov,
+       |    COALESCE(bb.cnt, 0) AS top_votes,
+       |    COALESCE(bb.vl, 'und') AS predicted_lang,
+       |    d.lang AS label_lang
+       |  FROM documents d LEFT JOIN per p ON d.doc_id = p.id
+       |  LEFT JOIN best bb ON d.doc_id = bb.id
+       |)""".stripMargin
+
   /** The synthesized url of [[graft.ops.DocAnalytics.withUrl]], character
     * for character (scheme/www/extra-segment/query vary by doc_id
     * residues). */
@@ -1389,6 +1446,62 @@ object OracleSqlDocs {
     // ordered L-R fold seeded with the absent registers — double math
     // order-identical to the Spark side; alpha·m² printed from the same
     // Scala double.
+    // BPE apply twin of BpeTokenizer.tokenize: the persisted merge table
+    // drives a recursive CTE replaying the IDENTICAL delimited-symbol
+    // replace chain (delimiters chr(1)/chr(2) fully consumed per match →
+    // left-to-right non-overlapping replace is exactly the BPE merge
+    // pass on both engines). Training itself is spec-pinned (integer
+    // argmax — BpeTokenizerSpec's hand-computed Sennrich fixture).
+    "p114_bpe_tokenize" ->
+      s"""WITH RECURSIVE m AS (
+         |  SELECT merge_rank, l, r FROM read_parquet(
+         |    '${graft.ops.DocAnalytics.P114MergesPath}/*.parquet')
+         |), mx AS (SELECT CAST(coalesce(max(merge_rank), 0) AS INT) AS mm FROM m),
+         |d0 AS (
+         |  SELECT doc_id, ${norm("text")} AS norm FROM documents
+         |), r0 AS (
+         |  SELECT doc_id, norm,
+         |    array_to_string(list_transform(string_split(norm, ' '), w ->
+         |      array_to_string(list_transform(string_split(w, ''),
+         |        c -> chr(1) || c || chr(2)), '')
+         |      || chr(1) || '</w>' || chr(2)), '') AS repr
+         |  FROM d0
+         |), steps AS (
+         |  SELECT doc_id, norm, repr, 0 AS i FROM r0
+         |  UNION ALL
+         |  SELECT s.doc_id, s.norm,
+         |    replace(s.repr,
+         |      chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
+         |      chr(1) || m.l || m.r || chr(2)),
+         |    s.i + 1
+         |  FROM steps s JOIN m ON m.merge_rank = s.i + 1
+         |), fin AS (
+         |  SELECT doc_id, norm, repr,
+         |    CAST(len(string_split(substring(repr, 2, length(repr) - 2),
+         |      chr(2) || chr(1))) AS BIGINT) AS n_bpe_tokens
+         |  FROM steps, mx WHERE i = mm
+         |)
+         |SELECT doc_id,
+         |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
+         |  CAST(length(norm) AS BIGINT) AS n_chars,
+         |  n_bpe_tokens,
+         |  CAST(length(norm) AS DOUBLE) / n_bpe_tokens AS chars_per_token
+         |FROM fin ORDER BY doc_id""".stripMargin,
+
+    // trained language-id twin of LangClassifier.langScorer
+    "p112_langid_trained" -> (langScoredCte +
+      s"""
+         |SELECT doc_id, n_tokens, n_oov, top_votes, predicted_lang, label_lang
+         |FROM lfilled ORDER BY doc_id""".stripMargin),
+
+    // its held-out confusion matrix (LangClassifier.langConfusion)
+    "p113_langid_confusion" -> (langScoredCte +
+      s"""
+         |SELECT label_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM lfilled WHERE doc_id % 10 = 0
+         |GROUP BY label_lang, predicted_lang
+         |ORDER BY label_lang, predicted_lang""".stripMargin),
+
     // KMV bottom-k quantile-sketch twin of Sketches.kmvQuantiles: same
     // hash-priority sample (pr ASC, id ASC — the negated-heap order),
     // lower discrete quantile of the sample at rank max(1, ceil(q·k)),

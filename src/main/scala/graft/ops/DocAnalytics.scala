@@ -85,13 +85,18 @@ object DocAnalytics {
   def P109CodebooksPath: String = s"$oracleArtifactDir/p109_codebooks"
   def P110CodebooksPath: String = s"$oracleArtifactDir/p110_codebooks"
 
+  /** BPE merge-table artifact: (merge_rank, l, r, pair_count) rows the
+    * p114 apply oracle replays through its recursive replace chain. */
+  def P114MergesPath: String = s"$oracleArtifactDir/p114_merges"
+
   /** Every artifact path this pipeline writes under [[oracleArtifactDir]] —
     * the EXACT set Verify may clear at startup. Kept as an explicit list so
     * a user-pointed `-Dgraft.oracle.dir` at a shared directory never gets
     * recursively wiped; only framework-owned entries are touched. */
   def oracleArtifactPaths: Seq[String] =
     Seq(P50CentroidsPath, P103CentroidsPath, P105CodebooksPath,
-      P106CodebooksPath, P109CodebooksPath, P110CodebooksPath)
+      P106CodebooksPath, P109CodebooksPath, P110CodebooksPath,
+      P114MergesPath)
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -218,6 +223,21 @@ object DocAnalytics {
           (coalesce(col("n_hits"), lit(0L)).cast("double") /
             col("n_possible")).as("recall_at_k"))
         .orderBy("query_id")
+    }),
+    // BPE subword tokenizer: merge rules trained on the word vocabulary
+    // (deterministic integer argmax — spec-pinned against the hand-
+    // computed Sennrich fixture), persisted, then applied as a row-local
+    // replace fold; the oracle replays the identical chain via a
+    // recursive CTE over the persisted merges.
+    "p114_bpe_tokenize" -> ("apply", (s, d, onPhase) => {
+      val ds = docs(s, d)
+      val merges = graft.text.BpeTokenizer.trainMerges(ds, "text")
+      import s.implicits._
+      merges.map(m => (m.merge_rank, m.left, m.right, m.pair_count))
+        .toDF("merge_rank", "l", "r", "pair_count").coalesce(1)
+        .write.mode("overwrite").parquet(P114MergesPath)
+      onPhase("train")
+      graft.text.BpeTokenizer.tokenize(ds, "doc_id", "text", merges)
     }),
     // PQ compression quality as an oracle-checked QUERY: per-query
     // recall@5 of the exhaustive ADC scan (IndexPQ) against exact brute
@@ -395,6 +415,17 @@ object DocAnalytics {
     "p104_dsir_select" -> ((s, d) =>
       graft.text.ImportanceSampler.dsirSelect(docs(s, d), "doc_id", "text",
         col("lang") === "en")),
+    // TRAINED language-id (fastText-langid archetype): multi-class NB
+    // over hashed tokens, metadata-lang labels on the pmod(id,10)≠0
+    // split, exact double-ratio argmax votes; p19's marker heuristic is
+    // the bootstrap this distills away
+    "p112_langid_trained" -> ((s, d) =>
+      graft.text.LangClassifier.langScorer(docs(s, d), "doc_id", "text", "lang")),
+    // its held-out confusion matrix — model evaluation as a first-class
+    // oracle-gated step (the p100 convention, C×C cells)
+    "p113_langid_confusion" -> ((s, d) =>
+      graft.text.LangClassifier.langConfusion(
+        graft.text.LangClassifier.langScorer(docs(s, d), "doc_id", "text", "lang"))),
     "p21_knn_bruteforce" -> ((s, d) =>
       Similarity.knnBruteForce(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     "p22_knn_lsh" -> ((s, d) =>
@@ -424,6 +455,9 @@ object DocAnalytics {
       phasedQueries("p109_knn_ivfpq_residual")._2(s, d, _ => ())),
     "p110_pqr_recall" -> ((s, d) =>
       phasedQueries("p110_pqr_recall")._2(s, d, _ => ())),
+    // BPE tokenizer (train + persist merges, row-local apply) — phased
+    "p114_bpe_tokenize" -> ((s, d) =>
+      phasedQueries("p114_bpe_tokenize")._2(s, d, _ => ())),
     // ANN quality as an oracle-checked QUERY: recall@k of the LSH and IVF
     // approximate paths against the exact brute-force top-k, one row per
     // method — integer hit counts plus one exact division, so the DuckDB
