@@ -1911,6 +1911,65 @@ object OracleSqlDocs {
          |  FROM lh, poss
          |) ORDER BY method""".stripMargin,
 
+    // perceptual near-dup twin of Media.perceptualNearDup over the
+    // planted-variant corpus: rasters regenerated from the closed form
+    // (base + every-64th-byte-offset-1 perturbed variants), aHash bit =
+    // pixel·64 > Σ pixels (integer cross-multiplication), dHash bit =
+    // gradient sign, 4 × 16-bit bands each, band-blocked candidates,
+    // XOR+bit_count Hamming verify at threshold 6.
+    "p115_perceptual_neardup" -> {
+      def aband(j: Int): String =
+        "CAST(" + (0 until 16).map { k =>
+          s"(CASE WHEN raster[${16 * j + k + 1}] * 64 > s THEN ${1 << k} ELSE 0 END)"
+        }.mkString(" + ") + s" AS INT) AS a$j"
+      def dband(j: Int): String =
+        "CAST(" + (0 until 16).map { k =>
+          s"(CASE WHEN raster[${16 * j + k + 1}] > raster[${16 * j + k + 2}] THEN ${1 << k} ELSE 0 END)"
+        }.mkString(" + ") + s" AS INT) AS d$j"
+      val bands = ((0 until 4).map(aband) ++ (0 until 4).map(dband)).mkString(",\n    ")
+      val bandedUnion = (0 until 4).map(j =>
+        s"SELECT asset_id, $j AS bi, a$j AS bv FROM hb").mkString(" UNION ALL ")
+      def ham(p: String): String =
+        "CAST(" + (0 until 4).map(j =>
+          s"bit_count(xor(hx.$p$j, hy.$p$j))").mkString(" + ") + " AS BIGINT)"
+      s"""WITH base AS (
+         |  SELECT vec_id AS asset_id,
+         |    [(vec_id*31 + 7*i*i + (vec_id % 13)*i) % 256 for i in range(0, 65)] AS raster
+         |  FROM embeddings
+         |), pert AS (
+         |  SELECT vec_id + ${graft.multimodal.Media.VariantOffset} AS asset_id,
+         |    [CASE WHEN i % 64 = 1
+         |          THEN ((vec_id*31 + 7*i*i + (vec_id % 13)*i) % 256 + 16) % 256
+         |          ELSE (vec_id*31 + 7*i*i + (vec_id % 13)*i) % 256 END
+         |     for i in range(0, 65)] AS raster
+         |  FROM embeddings WHERE vec_id % 4 = 0
+         |), gen AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+         |hs AS (
+         |  SELECT asset_id, raster,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), raster[1:64]),
+         |      (a, b) -> a + b) AS s
+         |  FROM gen
+         |), hb AS (
+         |  SELECT asset_id,
+         |    $bands
+         |  FROM hs
+         |), banded AS (
+         |  $bandedUnion
+         |), cand AS (
+         |  SELECT DISTINCT x.asset_id AS asset_a, y.asset_id AS asset_b
+         |  FROM banded x JOIN banded y
+         |    ON x.bi = y.bi AND x.bv = y.bv AND x.asset_id < y.asset_id
+         |)
+         |SELECT c.asset_a, c.asset_b,
+         |  ${ham("a")} AS hamming_a,
+         |  ${ham("d")} AS hamming_d
+         |FROM cand c
+         |JOIN hb hx ON hx.asset_id = c.asset_a
+         |JOIN hb hy ON hy.asset_id = c.asset_b
+         |WHERE ${ham("a")} <= 6
+         |ORDER BY c.asset_a, c.asset_b""".stripMargin
+    },
+
     "p30_media_stats" ->
       s"""WITH gen AS (
          |  SELECT vec_id AS asset_id,

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -157,5 +157,125 @@ object Media {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions(decoder.decode)
+  }
+
+  /** Planted-variant id offset for [[perceptualCorpus]]. */
+  val VariantOffset = 1000000L
+
+  /** Which byte positions a planted variant perturbs (+16 mod 256 — a
+    * full histogram bin, so the exact-feature pass always sees a
+    * different histogram, while only ≤ 2 of 64 raster pixels move). */
+  private def perturbed(i: Int): Boolean = i % 64 == 1
+
+  /** Raster bytes for the perceptual corpus:
+    * (id·31 + 7i² + (id mod 13)·i) mod 256. DELIBERATELY NOT
+    * [[mkAsset]]'s formula: that one makes every asset the same
+    * quadratic pattern offset by id·31 — i.e. a pure brightness shift of
+    * one image — and aHash is brightness-shift-INVARIANT by design, so
+    * near-all-pairs matched (measured 20.9k pairs over 625 assets). The
+    * per-id gradient term (id mod 13)·i breaks the shift family while
+    * staying closed-form for the oracle. */
+  private[multimodal] def mkPerceptual(id: Long): MediaAsset = {
+    val base = mkAsset(id)
+    val bytes = Array.tabulate(base.content.length)(i =>
+      ((id * 31 + 7L * i * i + (id % 13) * i) % 256).toByte)
+    base.copy(content = bytes)
+  }
+
+  private[multimodal] def mkVariant(id: Long): MediaAsset = {
+    val base = mkPerceptual(id)
+    val bytes = base.content.zipWithIndex.map { case (b, i) =>
+      if (perturbed(i)) (((b & 0xFF) + 16) % 256).toByte else b
+    }
+    base.copy(asset_id = id + VariantOffset, content = bytes)
+  }
+
+  /** The perceptual-dedup corpus: every asset (perceptual raster
+    * formula), plus a PLANTED near-duplicate variant for each id ≡ 0
+    * (mod 4) — the base content with a handful of bytes nudged by +16
+    * (every 64th, offset 1). A variant's byte HISTOGRAM differs (so
+    * [[exactFeatureDedup]] misses it — its charter) while its perceptual
+    * hashes stay within a few bits (what [[perceptualNearDup]] exists to
+    * catch). Deterministic, so the oracle regenerates both populations
+    * from the closed form. */
+  def perceptualCorpus(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    val ids = Tables.embeddings(spark, dir).select(col("vec_id")).as[Long]
+    ids.mapPartitions(_.map(mkPerceptual))
+      .union(ids.filter(_ % 4 == 0).mapPartitions(_.map(mkVariant)))
+  }
+
+  /** aHash + dHash over the asset's leading 8×8 byte raster, packed as
+    * 4 × 16-bit bands each (the SimHash banding convention, sized so a
+    * near-duplicate — a few flipped bits — still agrees on ≥ 1 band):
+    *
+    *  - aHash (average hash): bit i set iff raster(i)·64 > Σ raster —
+    *    the integer cross-multiplied form of "pixel above mean", no
+    *    division, so the oracle replays it exactly;
+    *  - dHash (difference hash): bit i set iff raster(i) > raster(i+1)
+    *    (gradient sign — robust to uniform brightness shifts).
+    *
+    * Both are the DCT-free members of the standard perceptual-hash
+    * family (pHash's DCT needs float transforms an oracle can't replay
+    * bit-exactly). Row-local integer work in the per-partition batch
+    * shape; at a real deployment the raster comes from the decoder seam
+    * (resize-to-8×8 grayscale) instead of the leading bytes. */
+  def perceptualHashes(assets: Dataset[MediaAsset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val r = Array.tabulate(65)(i => a.content(i) & 0xFF)
+      var s = 0L
+      var i = 0
+      while (i < 64) { s += r(i); i += 1 }
+      def band(bit: Int => Boolean, j: Int): Int = {
+        var v = 0
+        var k = 0
+        while (k < 16) { if (bit(16 * j + k)) v |= 1 << k; k += 1 }
+        v
+      }
+      val ab = Array.tabulate(4)(band(i => r(i) * 64L > s, _))
+      val db = Array.tabulate(4)(band(i => r(i) > r(i + 1), _))
+      (a.asset_id, ab(0), ab(1), ab(2), ab(3), db(0), db(1), db(2), db(3))
+    }).toDF("asset_id", "a0", "a1", "a2", "a3", "d0", "d1", "d2", "d3")
+  }
+
+  /** Perceptual near-duplicate pairs: candidates share at least one
+    * aHash band (Hamming-banded blocking — a pair within `maxHamming`
+    * of 64 bits must agree on ≥ 1 of 4 bands whenever maxHamming < 4·16
+    * is concentrated, the SimHash OR-construction), verified by the full
+    * 64-bit Hamming distance via XOR + bit_count per band. Output:
+    * (asset_a, asset_b, hamming_a, hamming_d) for hamming_a ≤
+    * `maxHamming`, ordered.
+    *
+    * Scale shape: the banded frame carries (id, band_idx, band_val)
+    * only; the self-join keys on the band pair, hashes rejoin by id for
+    * the surviving deduped candidates (the nearDupPairs plan shape), and
+    * the Hamming verify is 8 codegen'd XOR+popcounts per pair. */
+  def perceptualNearDup(assets: Dataset[MediaAsset],
+                        maxHamming: Int = 6): DataFrame = {
+    val h = perceptualHashes(assets)
+    val banded = h.select(col("asset_id"), explode(array(
+      (0 until 4).map(j => struct(lit(j).as("bi"), col(s"a$j").as("bv"))): _*))
+      .as("b"))
+      .select(col("asset_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val pairs = banded.as("x").join(banded.as("y"), Seq("bi", "bv"))
+      .filter(col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"))
+      .distinct()
+    def ham(p: String): Column =
+      (0 until 4).map(j => bit_count(col(s"$p${j}_x").bitwiseXOR(col(s"$p${j}_y"))))
+        .reduce(_ + _).cast("long")
+    val hx = h.columns.foldLeft(h)((d, c) =>
+      if (c == "asset_id") d else d.withColumnRenamed(c, c + "_x"))
+    val hy = h.columns.foldLeft(h)((d, c) =>
+      if (c == "asset_id") d else d.withColumnRenamed(c, c + "_y"))
+    pairs
+      .join(hx.withColumnRenamed("asset_id", "asset_a"), Seq("asset_a"))
+      .join(hy.withColumnRenamed("asset_id", "asset_b"), Seq("asset_b"))
+      .select(col("asset_a"), col("asset_b"),
+        ham("a").as("hamming_a"), ham("d").as("hamming_d"))
+      .filter(col("hamming_a") <= maxHamming)
+      .orderBy("asset_a", "asset_b")
   }
 }

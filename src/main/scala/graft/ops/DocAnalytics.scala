@@ -704,5 +704,11 @@ object DocAnalytics {
     "p80_frame_windows" -> ((s, d) =>
       graft.multimodal.Media.frameWindowStats(graft.multimodal.Media.assets(s, d))),
     "p31_media_dedup" -> ((s, d) =>
-      graft.multimodal.Media.exactFeatureDedup(graft.multimodal.Media.assets(s, d))))
+      graft.multimodal.Media.exactFeatureDedup(graft.multimodal.Media.assets(s, d))),
+    // perceptual near-dup over the planted-variant corpus: aHash/dHash
+    // 16-bit bands, band-blocked candidates, full-Hamming verify — what
+    // p31's exact-histogram dedup structurally misses
+    "p115_perceptual_neardup" -> ((s, d) =>
+      graft.multimodal.Media.perceptualNearDup(
+        graft.multimodal.Media.perceptualCorpus(s, d))))
 }

@@ -59,4 +59,51 @@ class MediaSpec extends SparkSpec {
     val video = out.find(_.asset_id == 5L).get
     video.nFrames shouldBe (Media.mkAsset(5L).meta.durationMs / 40L).toInt
   }
+
+  "perceptualNearDup" should "recover every planted variant within the threshold" in {
+    val pairs = Media.perceptualNearDup(Media.perceptualCorpus(spark, sfDir))
+      .collect()
+    val planted = pairs.filter(r =>
+      r.getAs[Long]("asset_b") - r.getAs[Long]("asset_a") == Media.VariantOffset)
+    // one variant per id ≡ 0 (mod 4) over 500 ids → 125 planted pairs
+    planted.length shouldBe 125
+    // the +16 nudge moves ≤2 raster pixels and shifts the mean by 32/64,
+    // so a few borderline pixels may flip too — all stay well inside the
+    // band-blocked threshold
+    planted.foreach { r =>
+      r.getAs[Long]("hamming_a") should be <= 6L
+      r.getAs[Long]("hamming_d") should be <= 6L
+    }
+  }
+
+  it should "catch what exact-histogram dedup structurally misses" in {
+    // a planted variant moves a few bytes between histogram bins, so the
+    // exact-feature pass (p31's semantics) sees base and variant as
+    // DIFFERENT — while the perceptual pass pairs them (previous test)
+    val corpus = Media.perceptualCorpus(spark, sfDir)
+    val feats = Media.histogramFeatures(corpus)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val bases = feats.keys.filter(_ < Media.VariantOffset)
+      .filter(id => feats.contains(id + Media.VariantOffset))
+    // the +16 nudge moves every perturbed byte a full histogram bin, so
+    // EVERY variant's histogram differs from its base — the exact pass
+    // misses all 125, the perceptual pass catches all 125 (previous test)
+    bases should have size 125
+    bases.foreach(id => feats(id) should not equal feats(id + Media.VariantOffset))
+  }
+
+  "perceptualHashes" should "pack band bits in ascending bit order" in {
+    // asset whose raster is known: verify band packing against a direct
+    // recomputation in the test
+    val h = Media.perceptualHashes(Media.perceptualCorpus(spark, sfDir))
+      .filter($"asset_id" === 3L).collect().head
+    val r = Array.tabulate(65)(i => Media.mkPerceptual(3L).content(i) & 0xFF)
+    val s = r.take(64).map(_.toLong).sum
+    def band(bit: Int => Boolean, j: Int): Int =
+      (0 until 16).foldLeft(0)((v, k) => if (bit(16 * j + k)) v | (1 << k) else v)
+    (0 until 4).foreach { j =>
+      h.getAs[Int](s"a$j") shouldBe band(i => r(i) * 64L > s, j)
+      h.getAs[Int](s"d$j") shouldBe band(i => r(i) > r(i + 1), j)
+    }
+  }
 }
