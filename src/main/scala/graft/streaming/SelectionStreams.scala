@@ -137,6 +137,30 @@ object QualityScoreStream {
       .start()
 }
 
+/** Streaming twin of the p112 language-id scorer's SCORE half
+  * ([[graft.text.LangClassifier.langScore]]): classify a document stream
+  * against a FROZEN [[graft.text.LangClassifier.langVotedModel]] table —
+  * the fastText-langid deployment split (train on the labeled corpus
+  * once, classify the ingest stream forever). Per-document given the
+  * model, so each micro-batch runs the exact batch scorer via
+  * `foreachBatch` into one overwritten batch=<id> partition (the
+  * [[QualityScoreStream]] shape); parity with batch langScore is
+  * row-exact by construction and pinned by the replay test. */
+object LangIdStream {
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+             voted: DataFrame, outDir: String, checkpointDir: String,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.LangClassifier.langScore(batch, idCol, textCol, voted)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+}
+
 /** Streaming twin of the p108 Bloom probe's PROBE half
   * ([[graft.text.TextCuration.bloomSeenProbe]]): probe a document stream
   * against a FROZEN seen-position set — the crawl-frontier deployment

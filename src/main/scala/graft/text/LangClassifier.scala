@@ -72,14 +72,15 @@ object LangClassifier {
   /** The per-bucket vote table (b, oov, vlang): language with the highest
     * smoothed likelihood at that bucket, ties toward the lexicographically
     * smallest language. `classTotals` is the driver-collected (lang,
-    * n_train_occurrences) list — C rows. */
-  private def votedTable(ex: DataFrame,
-                         classTotals: Seq[(String, Long)]): DataFrame = {
-    // conditional sums, not a WHERE (the p88 canonical-plan lesson); a
-    // (b, lang) pair seen only in holdout rows keeps a c=0 row, which the
-    // class grid below erases any difference of
+    * n_train_occurrences) list — C rows; `trainCond` picks the training
+    * rows (folded into the aggregate as conditional sums, not a WHERE —
+    * the p88 canonical-plan lesson). */
+  private def votedTable(ex: DataFrame, classTotals: Seq[(String, Long)],
+                         trainCond: Column): DataFrame = {
+    // a (b, lang) pair seen only in holdout rows keeps a c=0 row, which
+    // the class grid below erases any difference of
     val model0 = ex.groupBy("b", "label_lang")
-      .agg(sum(when(trainRow, 1L).otherwise(0L)).as("c"))
+      .agg(sum(when(trainCond, 1L).otherwise(0L)).as("c"))
     val perB = model0.groupBy("b")
       .agg(collect_list(struct(col("label_lang").as("lang"), col("c"))).as("present"),
         sum("c").as("total"))
@@ -113,13 +114,7 @@ object LangClassifier {
   def langScorer(df: DataFrame, idCol: String, textCol: String,
                  langCol: String): DataFrame = {
     val ex = occurrences(df, idCol, textCol, langCol)
-    // bounded: one row per language in the train split (C rows)
-    val classTotals = graft.ops.Adaptive.boundedCollect(
-      ex.filter(trainRow).groupBy("label_lang").agg(count(lit(1)).as("n")),
-      "langScorer class cardinality (column '" + langCol + "')",
-      "a lower-cardinality label column — classes must be enumerable")
-      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    val voted = votedTable(ex, classTotals)
+    val voted = votedFrom(ex, langCol, trainRow)
     val occ = ex.join(broadcast(voted), Seq("b"), "left")
       .select(col("id"), col("label_lang"),
         when(coalesce(col("oov"), lit(true)), lit("__oov"))
@@ -141,6 +136,60 @@ object LangClassifier {
         coalesce(-col("best.neg"), lit(0L)).as("top_votes"),
         coalesce(col("best.lang"), lit(Unknown)).as("predicted_lang"),
         col("label_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared: class totals (bounded collect, C rows) + the vote table for
+    * a given training condition. */
+  private def votedFrom(ex: DataFrame, langCol: String,
+                        trainCond: Column): DataFrame = {
+    val classTotals = graft.ops.Adaptive.boundedCollect(
+      ex.filter(trainCond).groupBy("label_lang").agg(count(lit(1)).as("n")),
+      "langScorer class cardinality (column '" + langCol + "')",
+      "a lower-cardinality label column — classes must be enumerable")
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    votedTable(ex, classTotals, trainCond)
+  }
+
+  /** The frozen model as a standalone table (b, oov, vlang), trained on
+    * ALL of `df` — the caller picks the training corpus, as a production
+    * pipeline does (train once offline, score any stream against the
+    * frozen table; the [[QualityScorer.qualityModel]] convention). */
+  def langVotedModel(df: DataFrame, idCol: String, textCol: String,
+                     langCol: String): DataFrame =
+    votedFrom(occurrences(df, idCol, textCol, langCol), langCol, lit(true))
+
+  /** Score `df` against a frozen [[langVotedModel]] table — no labels
+    * needed. Output: (doc_id, n_tokens, n_oov, top_votes,
+    * predicted_lang) by doc_id. */
+  def langScore(df: DataFrame, idCol: String, textCol: String,
+                voted: DataFrame): DataFrame = {
+    val n = Barrier.once(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("__t")),
+      Seq("id"), "norm" -> normText(col("__t")))
+    val t = Barrier.once(n, Seq("id"), "t" -> split(col("norm"), " "))
+    val bs = Barrier.once(t, Seq("id"),
+      "bs" -> transform(col("t"), tok => pmod(charHash(tok), lit(NumBuckets))))
+    val ex = bs.select(col("id"), explode(col("bs")).as("b"))
+      .filter(col("id").isNotNull)
+    val occ = ex.join(broadcast(voted), Seq("b"), "left")
+      .select(col("id"),
+        when(coalesce(col("oov"), lit(true)), lit("__oov"))
+          .otherwise(col("vlang")).as("vl"))
+    val votes = occ.groupBy("id", "vl").agg(count(lit(1)).as("cnt"))
+    val per = votes.groupBy("id").agg(
+      sum(col("cnt")).as("n_tokens"),
+      sum(when(col("vl") === "__oov", col("cnt")).otherwise(0L)).as("n_oov"),
+      min(when(col("vl") =!= "__oov",
+        struct((-col("cnt")).as("neg"), col("vl").as("lang")))).as("best"))
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .join(per.select(col("id").as("doc_id"), col("n_tokens"),
+        col("n_oov"), col("best")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(-col("best.neg"), lit(0L)).as("top_votes"),
+        coalesce(col("best.lang"), lit(Unknown)).as("predicted_lang"))
       .orderBy("doc_id")
   }
 

@@ -184,6 +184,21 @@ object Sketches {
     sampled.join(vals, "id")
   }
 
+  /** Merge KMV states (the sketch-union operation): bottom-k of the
+    * union of bottom-k states equals the bottom-k of the union of the
+    * raw inputs — the mergeability SketchesSpec pins by split-merge
+    * parity. Priorities re-derive from the ids (a pure function), so a
+    * state is just its (id, v) rows and merging is re-selection. */
+  def kmvMerge(k: Int, states: Seq[DataFrame]): DataFrame = {
+    val u = states.reduce(_ unionByName _)
+    val sampled = u
+      .select(col("id"), (-kmvPriority(col("id"))).cast("double").as("negPr"))
+      .agg(graft.functions.TopKAgg.topk(col("negPr"), col("id"), k).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.neighbor_id").as("id"))
+    sampled.join(u, "id")
+  }
+
   /** Quantile estimates from the KMV sample beside their exact
     * verification twins, one row per probe:
     * `(q, sample_k, n_rows, est_value, exact_value, abs_error)`.

@@ -610,6 +610,26 @@ class StreamingParitySpec extends SparkSpec {
     got shouldBe batch.toSeq
   }
 
+  "LangIdStream" should "classify a doc stream against a frozen vote table exactly like batch langScore (p112)" in {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val model = graft.text.LangClassifier
+      .langVotedModel(docsDf, "doc_id", "text", "lang").persist()
+    val outDir = Files.createTempDirectory("graft-langid-out").toString
+    val ckpt = Files.createTempDirectory("graft-langid-ckpt").toString
+    val q = LangIdStream.attach(
+      docStream(dumpDocsAsJson()), "doc_id", "text", model, outDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).drop("batch").collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = graft.text.LangClassifier
+      .langScore(docsDf, "doc_id", "text", model)
+      .collect().map(_.toSeq)
+    model.unpersist(false)
+    got.length shouldBe batch.length
+    got shouldBe batch.toSeq
+  }
+
   "BloomProbeStream" should "probe a doc stream against a frozen seen-position set exactly like batch bloomSeenProbe (p108)" in {
     import graft.functions.TextPrims
     val docsDf = graft.sources.Tables.documents(spark, sfDir)

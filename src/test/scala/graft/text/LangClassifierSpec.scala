@@ -62,6 +62,17 @@ class LangClassifierSpec extends SparkSpec {
     scored(30L)._2 shouldBe 2L
   }
 
+  "langScore" should "equal the fused scorer given the train-split model (minus labels)" in {
+    val scoredFused = LangClassifier.langScorer(planted, "doc_id", "text", "lang")
+      .drop("label_lang").collect().map(_.toSeq)
+    val model = LangClassifier.langVotedModel(
+      planted.filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
+      "doc_id", "text", "lang")
+    val scoredSplit = LangClassifier.langScore(planted, "doc_id", "text", model)
+      .collect().map(_.toSeq)
+    scoredSplit shouldBe scoredFused
+  }
+
   "langConfusion" should "partition the holdout split across its cells" in {
     val scored = LangClassifier.langScorer(planted, "doc_id", "text", "lang")
     val cells = LangClassifier.langConfusion(scored)

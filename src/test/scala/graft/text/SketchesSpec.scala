@@ -90,6 +90,39 @@ class SketchesSpec extends SparkSpec {
       toMap(Sketches.cmsCells(docs, "text").collect())
   }
 
+  "kmvState" should "merge: split halves re-selected equal the full-corpus state" in {
+    import org.apache.spark.sql.functions._
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = Sketches.kmvMerge(Sketches.KmvK, Seq(
+        Sketches.kmvState(half1, "doc_id", "text"),
+        Sketches.kmvState(half2, "doc_id", "text")))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("v"))).toSet
+    val full = Sketches.kmvState(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("v"))).toSet
+    merged shouldBe full
+    full.size shouldBe Sketches.KmvK
+  }
+
+  it should "keep every row when the corpus is smaller than k" in {
+    val tiny = docs.limit(10)
+    Sketches.kmvState(tiny, "doc_id", "text").count() shouldBe 10L
+  }
+
+  "kmvQuantiles" should "estimate within the uniform-sample error band" in {
+    val rows = Sketches.kmvQuantiles(docs, "doc_id", "text").collect()
+    rows.length shouldBe 6
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_value")
+      val exact = r.getAs[Long]("exact_value")
+      exact should be > 0L
+      // k=256 uniform sample: order-stat standard error ~1/sqrt(k) of the
+      // local density; token counts span ~15-100, allow a generous band
+      math.abs(est - exact).toDouble / exact should be < 0.25
+      r.getAs[Long]("abs_error") shouldBe est - exact
+    }
+  }
+
   "cmsTokenFrequency" should "never underestimate and bound the collision error" in {
     val rows = Sketches.cmsTokenFrequency(docs, "doc_id", "text").collect()
     rows.length shouldBe 10
