@@ -264,6 +264,40 @@ object OracleSqlDocs {
        |  LEFT JOIN best bb ON d.doc_id = bb.id
        |)""".stripMargin
 
+  /** Shared CTE chain of the BPE-apply twins (p114/p117), up to `fin`
+    * (doc_id, norm, repr, n_bpe_tokens): the persisted merge table drives
+    * a recursive CTE replaying the delimited-symbol replace chain — one
+    * recursion step per merge rank, each the identical
+    * `replace(⟨1⟩l⟨2⟩⟨1⟩r⟨2⟩ → ⟨1⟩lr⟨2⟩)` the Spark fold applies. */
+  private def bpeApplyCtes(mergesPath: String): String =
+    s"""WITH RECURSIVE m AS (
+       |  SELECT merge_rank, l, r FROM read_parquet('$mergesPath/*.parquet')
+       |), mx AS (SELECT CAST(coalesce(max(merge_rank), 0) AS INT) AS mm FROM m),
+       |d0 AS (
+       |  SELECT doc_id, ${norm("text")} AS norm FROM documents
+       |), r0 AS (
+       |  SELECT doc_id, norm,
+       |    array_to_string(list_transform(string_split(norm, ' '), w ->
+       |      array_to_string(list_transform(string_split(w, ''),
+       |        c -> chr(1) || c || chr(2)), '')
+       |      || chr(1) || '</w>' || chr(2)), '') AS repr
+       |  FROM d0
+       |), steps AS (
+       |  SELECT doc_id, norm, repr, 0 AS i FROM r0
+       |  UNION ALL
+       |  SELECT s.doc_id, s.norm,
+       |    replace(s.repr,
+       |      chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
+       |      chr(1) || m.l || m.r || chr(2)),
+       |    s.i + 1
+       |  FROM steps s JOIN m ON m.merge_rank = s.i + 1
+       |), fin AS (
+       |  SELECT doc_id, norm, repr,
+       |    CAST(len(string_split(substring(repr, 2, length(repr) - 2),
+       |      chr(2) || chr(1))) AS BIGINT) AS n_bpe_tokens
+       |  FROM steps, mx WHERE i = mm
+       |)""".stripMargin
+
   /** The synthesized url of [[graft.ops.DocAnalytics.withUrl]], character
     * for character (scheme/www/extra-segment/query vary by doc_id
     * residues). */
@@ -1452,41 +1486,49 @@ object OracleSqlDocs {
     // left-to-right non-overlapping replace is exactly the BPE merge
     // pass on both engines). Training itself is spec-pinned (integer
     // argmax — BpeTokenizerSpec's hand-computed Sennrich fixture).
-    "p114_bpe_tokenize" ->
-      s"""WITH RECURSIVE m AS (
-         |  SELECT merge_rank, l, r FROM read_parquet(
-         |    '${graft.ops.DocAnalytics.P114MergesPath}/*.parquet')
-         |), mx AS (SELECT CAST(coalesce(max(merge_rank), 0) AS INT) AS mm FROM m),
-         |d0 AS (
-         |  SELECT doc_id, ${norm("text")} AS norm FROM documents
-         |), r0 AS (
-         |  SELECT doc_id, norm,
-         |    array_to_string(list_transform(string_split(norm, ' '), w ->
-         |      array_to_string(list_transform(string_split(w, ''),
-         |        c -> chr(1) || c || chr(2)), '')
-         |      || chr(1) || '</w>' || chr(2)), '') AS repr
-         |  FROM d0
-         |), steps AS (
-         |  SELECT doc_id, norm, repr, 0 AS i FROM r0
-         |  UNION ALL
-         |  SELECT s.doc_id, s.norm,
-         |    replace(s.repr,
-         |      chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
-         |      chr(1) || m.l || m.r || chr(2)),
-         |    s.i + 1
-         |  FROM steps s JOIN m ON m.merge_rank = s.i + 1
-         |), fin AS (
-         |  SELECT doc_id, norm, repr,
-         |    CAST(len(string_split(substring(repr, 2, length(repr) - 2),
-         |      chr(2) || chr(1))) AS BIGINT) AS n_bpe_tokens
-         |  FROM steps, mx WHERE i = mm
-         |)
+    "p114_bpe_tokenize" -> (bpeApplyCtes(graft.ops.DocAnalytics.P114MergesPath) +
+      s"""
          |SELECT doc_id,
          |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
          |  CAST(length(norm) AS BIGINT) AS n_chars,
          |  n_bpe_tokens,
          |  CAST(length(norm) AS DOUBLE) / n_bpe_tokens AS chars_per_token
-         |FROM fin ORDER BY doc_id""".stripMargin,
+         |FROM fin ORDER BY doc_id""".stripMargin),
+
+    // BPE-token mixture budget twin (p117): the recursive apply chain
+    // from p117's own persisted merges, then the p97 keyed prefix-sum
+    // budget window over n_bpe_tokens keyed by the metadata lang.
+    "p117_bpe_budget" -> (bpeApplyCtes(graft.ops.DocAnalytics.P117MergesPath) +
+      s"""
+         |, lx AS (
+         |  SELECT f.doc_id AS id, d.lang, f.n_bpe_tokens
+         |  FROM fin f JOIN documents d USING (doc_id)
+         |), w AS (
+         |  SELECT id, lang, n_bpe_tokens,
+         |    CAST(sum(n_bpe_tokens) OVER (PARTITION BY lang ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_lang_tokens
+         |  FROM lx
+         |)
+         |SELECT id, lang, n_bpe_tokens, cum_lang_tokens FROM w
+         |WHERE cum_lang_tokens - n_bpe_tokens < 8000
+         |ORDER BY id""".stripMargin),
+
+    // mixture sampling keyed by the TRAINED prediction (p116): the
+    // lang-id chain's lfilled frame, then the p97 budget window keyed by
+    // predicted_lang (lfilled.n_tokens = the p18 token count).
+    "p116_mixture_trained" -> (langScoredCte +
+      s"""
+         |, w AS (
+         |  SELECT doc_id AS id, predicted_lang, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY predicted_lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_lang_tokens
+         |  FROM lfilled
+         |)
+         |SELECT id, predicted_lang, n_tokens, cum_lang_tokens FROM w
+         |WHERE cum_lang_tokens - n_tokens < 4000
+         |ORDER BY id""".stripMargin),
 
     // trained language-id twin of LangClassifier.langScorer
     "p112_langid_trained" -> (langScoredCte +

@@ -89,6 +89,10 @@ object DocAnalytics {
     * p114 apply oracle replays through its recursive replace chain. */
   def P114MergesPath: String = s"$oracleArtifactDir/p114_merges"
 
+  /** p117's own merge table (independent runnability, the p50/p105
+    * convention). */
+  def P117MergesPath: String = s"$oracleArtifactDir/p117_merges"
+
   /** Every artifact path this pipeline writes under [[oracleArtifactDir]] —
     * the EXACT set Verify may clear at startup. Kept as an explicit list so
     * a user-pointed `-Dgraft.oracle.dir` at a shared directory never gets
@@ -96,7 +100,7 @@ object DocAnalytics {
   def oracleArtifactPaths: Seq[String] =
     Seq(P50CentroidsPath, P103CentroidsPath, P105CodebooksPath,
       P106CodebooksPath, P109CodebooksPath, P110CodebooksPath,
-      P114MergesPath)
+      P114MergesPath, P117MergesPath)
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -238,6 +242,27 @@ object DocAnalytics {
         .write.mode("overwrite").parquet(P114MergesPath)
       onPhase("train")
       graft.text.BpeTokenizer.tokenize(ds, "doc_id", "text", merges)
+    }),
+    // BPE-token mixture budgets: the p96/p97 keyed-prefix-sum budget
+    // fill weighted by REAL subword token counts instead of whitespace
+    // words — what a training-mix planner actually budgets on
+    "p117_bpe_budget" -> ("budget", (s, d, onPhase) => {
+      val ds = docs(s, d)
+      val merges = graft.text.BpeTokenizer.trainMerges(ds, "text")
+      import s.implicits._
+      merges.map(m => (m.merge_rank, m.left, m.right, m.pair_count))
+        .toDF("merge_rank", "l", "r", "pair_count").coalesce(1)
+        .write.mode("overwrite").parquet(P117MergesPath)
+      onPhase("train")
+      val tok = graft.text.BpeTokenizer.tokenize(ds, "doc_id", "text", merges)
+        .select(col("doc_id").as("id"), col("n_bpe_tokens"))
+      val langs = ds.select(col("doc_id").as("id"), col("lang"))
+      TextCuration.tokenBudgetSample(langs.join(tok, "id"),
+          "id", "lang", "n_bpe_tokens", budget = 8000L)
+        .select(col("id"), col("key").as("lang"),
+          col("weight").as("n_bpe_tokens"),
+          col("cum_weight").as("cum_lang_tokens"))
+        .orderBy("id")
     }),
     // PQ compression quality as an oracle-checked QUERY: per-query
     // recall@5 of the exhaustive ADC scan (IndexPQ) against exact brute
@@ -458,6 +483,24 @@ object DocAnalytics {
     // BPE tokenizer (train + persist merges, row-local apply) — phased
     "p114_bpe_tokenize" -> ((s, d) =>
       phasedQueries("p114_bpe_tokenize")._2(s, d, _ => ())),
+    "p117_bpe_budget" -> ((s, d) =>
+      phasedQueries("p117_bpe_budget")._2(s, d, _ => ())),
+    // mixture sampling keyed by the TRAINED lang-id prediction — the
+    // trained-config variant of p96 (heuristic) / p97 (metadata)
+    "p116_mixture_trained" -> ((s, d) => {
+      val ds = docs(s, d)
+      val scored = graft.text.LangClassifier
+        .langScorer(ds, "doc_id", "text", "lang")
+        .select(col("doc_id").as("id"), col("predicted_lang"))
+      val ntok = TextStats.stats(ds, "doc_id", "text")
+        .select(col("id"), col("n_tokens"))
+      TextCuration.tokenBudgetSample(scored.join(ntok, "id"),
+          "id", "predicted_lang", "n_tokens", budget = 4000L)
+        .select(col("id"), col("key").as("predicted_lang"),
+          col("weight").as("n_tokens"),
+          col("cum_weight").as("cum_lang_tokens"))
+        .orderBy("id")
+    }),
     // ANN quality as an oracle-checked QUERY: recall@k of the LSH and IVF
     // approximate paths against the exact brute-force top-k, one row per
     // method — integer hit counts plus one exact division, so the DuckDB
