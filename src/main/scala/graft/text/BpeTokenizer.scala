@@ -94,6 +94,9 @@ object BpeTokenizer {
     * at least twice (merging a hapax pair compresses nothing). */
   def trainMerges(df: DataFrame, textCol: String,
                   nMerges: Int = DefaultMerges): Seq[Merge] = {
+    // note: collapsing a small vocab to one partition was tried and
+    // REVERTED — serializing the per-iteration aggregates cost more than
+    // the scheduler floor it saved (7.7 s → 10.4 s at sf0.1)
     var vocab = vocabulary(df, textCol).persist()
     vocab.count()
     val merges = Seq.newBuilder[Merge]
