@@ -932,6 +932,67 @@ object OracleSqlDocs {
          |FROM poss p LEFT JOIN hits h USING (query_id)
          |ORDER BY p.query_id""".stripMargin),
 
+    // LUT-ADC twin of ProductQuantizer.knnIvfPqResidualLut: same coarse/
+    // residual/encode chain as p109, but the distance is the m-term
+    // ORDER BY m fold of per-subspace L2 partials (the LUT contract) —
+    // each partial computed between the query residual's subvector and
+    // the candidate's codebook entry, never via a decoded reconstruction.
+    "p118_knn_ivfpq_lut" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |cb AS (SELECT m, code, cv FROM read_parquet(
+         |  '${graft.ops.DocAnalytics.P118CodebooksPath}/*.parquet')),
+         |cents AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+         |scored AS (
+         |  SELECT v.vec_id, v.e, c.cid, c.ce, ${cos("v.e", "c.ce")} AS cs
+         |  FROM v CROSS JOIN cents c
+         |),
+         |assigned AS (
+         |  SELECT vec_id, e, cid AS cell, ce FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY cs DESC, cid) AS rn
+         |    FROM scored
+         |  ) WHERE rn = 1
+         |),
+         |rv AS (
+         |  SELECT vec_id, cell, ${fsub("e", "ce")} AS r FROM assigned
+         |),
+         |${pqDecodedCtesOver("rv", "r")},
+         |probes AS (
+         |  SELECT vec_id AS query_id, e AS qe, cid AS cell, ce FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY cs DESC, cid) AS rn
+         |    FROM scored WHERE vec_id < 20
+         |  ) WHERE rn <= 2
+         |),
+         |qres AS (
+         |  SELECT query_id, cell, ${fsub("qe", "ce")} AS qr FROM probes
+         |),
+         |psub AS (
+         |  SELECT q.query_id, co.vec_id AS neighbor_id, co.m,
+         |    ${l2sq(
+               "list_slice(q.qr, ms.m * ms.sd + 1, (ms.m + 1) * ms.sd)",
+               "c.cv")} AS pd
+         |  FROM qres q
+         |  JOIN (SELECT vec_id, cell FROM rv) a USING (cell)
+         |  JOIN codes co ON co.vec_id = a.vec_id
+         |  JOIN (SELECT DISTINCT m, len(cv) AS sd FROM cb) ms ON ms.m = co.m
+         |  JOIN cb c ON c.m = co.m AND c.code = co.code
+         |  WHERE a.vec_id <> q.query_id
+         |),
+         |sims AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(pd ORDER BY m)),
+         |      (a, b) -> a + b) AS dist
+         |  FROM psub GROUP BY query_id, neighbor_id
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY dist ASC, neighbor_id) AS rn
+         |  FROM sims
+         |)
+         |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, dist
+         |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin,
+
     // DSIR twin of ImportanceSampler.dsirSelect (target = lang 'en'):
     // hashed-bigram buckets (the p88 two-fold window key mod 4096),
     // per-bucket smoothed log-ratio SIGN via exact HUGEINT

@@ -118,6 +118,54 @@ object ScaleAnnBench {
         idxSearch = ProductQuantizer.searchIndex(pqIdx, qset, centsPq, nProbe = 2)
         idxSearch = idxSearch.persist(); idxSearch.count()
       }
+      // LUT-ADC deployment split (round 13): codes-only residual index +
+      // per-probe m·k distance tables, candidates cost m lookups — at the
+      // SAME (m, k) budget as the decode-ADC rung above, and at the
+      // production m=16/k=256 residual config
+      var lutSearch: DataFrame = null
+      var lutSearch256: DataFrame = null
+      val resCb = ProductQuantizer.trainResidualCodebooks(emb, "vec_id",
+        "embedding", centsPq, m = ProductQuantizer.DefaultM,
+        k = ProductQuantizer.DefaultK)
+      var resIdx: DataFrame = null
+      val tResIdx = time {
+        resIdx = ProductQuantizer.residualCodesIndex(emb, "vec_id",
+          "embedding", centsPq, resCb).persist()
+        resIdx.count()
+      }
+      val tLutSearch = time {
+        lutSearch = ProductQuantizer.searchResidualIndexLut(resIdx, qset,
+          centsPq, resCb, nProbe = 2)
+        lutSearch = lutSearch.persist(); lutSearch.count()
+      }
+      // decode-ADC over the SAME residual config — the apples-to-apples
+      // LUT-vs-decode comparison (the raw-codes pq_index_search rung
+      // above quantizes different vectors, so its recall differs)
+      var decSearch: DataFrame = null
+      var decIdx: DataFrame = null
+      val tDecIdx = time {
+        decIdx = ProductQuantizer.residualIndex(emb, "vec_id", "embedding",
+          centsPq, resCb).persist()
+        decIdx.count()
+      }
+      val tDecSearch = time {
+        decSearch = ProductQuantizer.searchResidualIndex(decIdx, qset,
+          centsPq, nProbe = 2)
+        decSearch = decSearch.persist(); decSearch.count()
+      }
+      val resCb256 = ProductQuantizer.trainResidualCodebooks(emb, "vec_id",
+        "embedding", centsPq, m = 16, k = 256)
+      var resIdx256: DataFrame = null
+      val tResIdx256 = time {
+        resIdx256 = ProductQuantizer.residualCodesIndex(emb, "vec_id",
+          "embedding", centsPq, resCb256).persist()
+        resIdx256.count()
+      }
+      val tLutSearch256 = time {
+        lutSearch256 = ProductQuantizer.searchResidualIndexLut(resIdx256,
+          qset, centsPq, resCb256, nProbe = 2)
+        lutSearch256 = lutSearch256.persist(); lutSearch256.count()
+      }
       val rLsh = recall(exact, lsh)
       val rIvf = recall(exact, ivf)
       val rMulti = recall(exact, multi)
@@ -149,9 +197,21 @@ object ScaleAnnBench {
       println(f"""{"op":"pq_index_build","vecs":$n,"sec":$tPqIndex%.2f}""")
       println(f"""{"op":"pq_index_search","vecs":$n,"sec":$tIdxSearch%.2f,""" +
         f""""recall":${recall(exact, idxSearch)}%.3f,"cells":$nCellsPq,"nprobe":2}""")
+      println(f"""{"op":"pqr_codes_index_build","vecs":$n,"sec":$tResIdx%.2f,"m":8,"k":16}""")
+      println(f"""{"op":"pqr_lut_search","vecs":$n,"sec":$tLutSearch%.2f,""" +
+        f""""recall":${recall(exact, lutSearch)}%.3f,"m":8,"k":16,"cells":$nCellsPq,"nprobe":2}""")
+      println(f"""{"op":"pqr_decode_index_build","vecs":$n,"sec":$tDecIdx%.2f,"m":8,"k":16}""")
+      println(f"""{"op":"pqr_decode_search","vecs":$n,"sec":$tDecSearch%.2f,""" +
+        f""""recall":${recall(exact, decSearch)}%.3f,"m":8,"k":16,"cells":$nCellsPq,"nprobe":2}""")
+      println(f"""{"op":"pqr_codes_index_build_256","vecs":$n,"sec":$tResIdx256%.2f,"m":16,"k":256}""")
+      println(f"""{"op":"pqr_lut_search_256","vecs":$n,"sec":$tLutSearch256%.2f,""" +
+        f""""recall":${recall(exact, lutSearch256)}%.3f,"m":16,"k":256,"cells":$nCellsPq,"nprobe":2}""")
       exact.unpersist(false); lsh.unpersist(false); ivf.unpersist(false)
       multi.unpersist(false); pq.unpersist(false); ivfpq.unpersist(false)
       pqIdx.unpersist(false); qset.unpersist(false); idxSearch.unpersist(false)
+      resIdx.unpersist(false); lutSearch.unpersist(false)
+      decIdx.unpersist(false); decSearch.unpersist(false)
+      resIdx256.unpersist(false); lutSearch256.unpersist(false)
       emb.unpersist(false)
     }
     spark.stop()

@@ -307,6 +307,65 @@ object ProductQuantizer {
       k)
   }
 
+  /** The codes-only residual index (vec_id, cell, codes) — what LUT-ADC
+    * actually stores: 1 byte per subspace per vector and nothing else
+    * (no decoded reconstruction column), the memory shape that lets a
+    * 100 TB float corpus live in cluster RAM. */
+  def residualCodesIndex(emb: DataFrame, idCol: String, vecCol: String,
+                         cents: Array[(Long, Array[Float])],
+                         cb: Codebooks): DataFrame =
+    residuals(emb, idCol, vecCol, cents)
+      .select(col("vec_id"), col("cell"), codesOf(col("r"), cb).as("codes"))
+
+  /** LUT-ADC search over a [[residualCodesIndex]] (Jégou et al. §V, the
+    * production ADC): each probe row carries its per-cell query residual
+    * AND the m·k distance TABLE ([[graft.functions.PqLut]] — computed
+    * once per probe; probes broadcast), and each candidate costs m table
+    * lookups ([[graft.functions.AdcLutSum]]) instead of a dim-wide float
+    * fold — dim/m× less arithmetic per candidate and no per-row decode
+    * allocation at all.
+    *
+    * NOTE the float contract differs from [[searchResidualIndex]]: the
+    * distance is the m-term LEFT-TO-RIGHT SUM of per-subspace L2
+    * partials, not one dim-wide fold — a different (equally exact)
+    * association, mirrored by the oracle's ORDER BY m fold. Values are
+    * equal in exact arithmetic; last-ulp double bits can differ, which
+    * is why the LUT path is its own oracle-pinned query rather than a
+    * drop-in swap under p109. */
+  def searchResidualIndexLut(index: DataFrame, queries: DataFrame,
+                             cents: Array[(Long, Array[Float])],
+                             cb: Codebooks,
+                             k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val cdf = cents.toSeq.toDF("cell", "ce")
+    val probes = queries.select(col("query_id"), col("qe"),
+        explode(Similarity.probeCellsOf(col("qe"), cents, nProbe)).as("cell"))
+      .join(broadcast(cdf), "cell")
+      .select(col("query_id"), col("cell"),
+        graft.functions.PqLut(
+          zip_with(col("qe"), col("ce"), (x, c) => x - c), cb).as("lut"))
+    rankDist(
+      index.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.AdcLutSum(col("codes"), col("lut")).as("dist")),
+      k)
+  }
+
+  /** Residual LUT-ADC IVF-PQ — [[searchResidualIndexLut]] over
+    * [[residualCodesIndex]], the p118 query. */
+  def knnIvfPqResidualLut(emb: DataFrame, idCol: String, vecCol: String,
+                          queryPred: Column,
+                          cents: Array[(Long, Array[Float])],
+                          cb: Codebooks, k: Int = 5,
+                          nProbe: Int = 2): DataFrame =
+    searchResidualIndexLut(
+      residualCodesIndex(emb, idCol, vecCol, cents, cb),
+      emb.filter(queryPred).select(
+        col(idCol).cast("long").as("query_id"), col(vecCol).as("qe")),
+      cents, cb, k, nProbe)
+
   /** Residual IVF-PQ search (FAISS IndexIVFPQ, by_residual=true):
     * [[searchResidualIndex]] over [[residualIndex]], the verified-query
     * twin of the deployment split. */
@@ -324,10 +383,16 @@ object ProductQuantizer {
     * heap with sim = −dist. `de` is the candidate's pre-decoded
     * reconstruction (one decode per candidate row, not per pair). */
   private def rankAdc(cands: DataFrame, k: Int): DataFrame =
-    cands
-      .select(col("query_id"),
+    rankDist(
+      cands.select(col("query_id"),
         col("vec_id").as("neighbor_id"),
-        l2sq(col("qe"), col("de")).as("dist"))
+        l2sq(col("qe"), col("de")).as("dist")),
+      k)
+
+  /** Rank a (query_id, neighbor_id, dist) frame: top-k per query under
+    * (dist ASC, neighbor_id ASC) via the k-bounded heap. */
+  private def rankDist(cands: DataFrame, k: Int): DataFrame =
+    cands
       .groupBy("query_id")
       .agg(graft.functions.TopKAgg.topk(
         -col("dist"), col("neighbor_id"), k).as("top"))

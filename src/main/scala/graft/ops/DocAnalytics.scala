@@ -93,6 +93,9 @@ object DocAnalytics {
     * convention). */
   def P117MergesPath: String = s"$oracleArtifactDir/p117_merges"
 
+  /** p118's codebooks (LUT-ADC residual search). */
+  def P118CodebooksPath: String = s"$oracleArtifactDir/p118_codebooks"
+
   /** Every artifact path this pipeline writes under [[oracleArtifactDir]] —
     * the EXACT set Verify may clear at startup. Kept as an explicit list so
     * a user-pointed `-Dgraft.oracle.dir` at a shared directory never gets
@@ -100,7 +103,7 @@ object DocAnalytics {
   def oracleArtifactPaths: Seq[String] =
     Seq(P50CentroidsPath, P103CentroidsPath, P105CodebooksPath,
       P106CodebooksPath, P109CodebooksPath, P110CodebooksPath,
-      P114MergesPath, P117MergesPath)
+      P114MergesPath, P117MergesPath, P118CodebooksPath)
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -199,6 +202,21 @@ object DocAnalytics {
       persistCodebooks(s, cb, P109CodebooksPath)
       onPhase("train")
       graft.ann.ProductQuantizer.knnIvfPqResidual(e, "vec_id", "embedding",
+        col("vec_id") < QueryMaxId, cents, cb)
+    }),
+    // LUT-ADC over the codes-only residual index (Jégou §V, the
+    // production ADC): per-probe m·k distance tables, per-candidate
+    // m lookups; dist = the m-term ordered sum of subspace partials
+    // (its own float contract — see the operator doc), oracle-mirrored
+    // with an ORDER BY m fold.
+    "p118_knn_ivfpq_lut" -> ("search", (s, d, onPhase) => {
+      val e = emb(s, d)
+      val cents = Similarity.lowestIdCentroids(e, "vec_id", "embedding", 8)
+      val cb = graft.ann.ProductQuantizer.trainResidualCodebooks(
+        e, "vec_id", "embedding", cents, m = 16)
+      persistCodebooks(s, cb, P118CodebooksPath)
+      onPhase("train")
+      graft.ann.ProductQuantizer.knnIvfPqResidualLut(e, "vec_id", "embedding",
         col("vec_id") < QueryMaxId, cents, cb)
     }),
     // the residual tier's compression quality: recall@5 of residual ADC
@@ -480,6 +498,8 @@ object DocAnalytics {
       phasedQueries("p109_knn_ivfpq_residual")._2(s, d, _ => ())),
     "p110_pqr_recall" -> ((s, d) =>
       phasedQueries("p110_pqr_recall")._2(s, d, _ => ())),
+    "p118_knn_ivfpq_lut" -> ((s, d) =>
+      phasedQueries("p118_knn_ivfpq_lut")._2(s, d, _ => ())),
     // BPE tokenizer (train + persist merges, row-local apply) — phased
     "p114_bpe_tokenize" -> ((s, d) =>
       phasedQueries("p114_bpe_tokenize")._2(s, d, _ => ())),

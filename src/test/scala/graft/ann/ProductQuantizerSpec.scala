@@ -216,6 +216,35 @@ class ProductQuantizerSpec extends SparkSpec {
     rRes should be > rRaw
   }
 
+  "knnIvfPqResidualLut" should "agree with the decode-ADC residual search up to float association" in {
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val pred = col("vec_id") < 20
+    val cents = Similarity.lowestIdCentroids(corpus, "vec_id", "embedding", 8)
+    val cb = ProductQuantizer.trainResidualCodebooks(corpus, "vec_id",
+      "embedding", cents, m = 16)
+    val dec = ProductQuantizer.knnIvfPqResidual(corpus, "vec_id", "embedding",
+      pred, cents, cb).select("query_id", "neighbor_id", "dist")
+    val lut = ProductQuantizer.knnIvfPqResidualLut(corpus, "vec_id",
+      "embedding", pred, cents, cb).select("query_id", "neighbor_id", "dist")
+    val joined = dec.as("d").join(lut.as("l"), Seq("query_id", "neighbor_id"))
+      .select(col("d.dist").as("dd"), col("l.dist").as("dl")).collect()
+    // same candidates, same per-pair distance up to the m-term vs dim-term
+    // association difference (exact arithmetic would be equal)
+    joined.length should be >= 95 // of 100; boundary ties may swap rank 5
+    joined.foreach(r =>
+      math.abs(r.getDouble(0) - r.getDouble(1)) should be < 1e-9)
+  }
+
+  it should "rank exactly when residuals reconstruct exactly" in {
+    val cents = Similarity.lowestIdCentroids(emb, "vec_id", "embedding", 1)
+    val rv = ProductQuantizer.residuals(emb, "vec_id", "embedding", cents)
+    val cb = ProductQuantizer.lowestIdCodebooks(rv, "vec_id", "r", m = 2, k = 4)
+    val out = ProductQuantizer.knnIvfPqResidualLut(emb, "vec_id", "embedding",
+      col("vec_id") === 1L, cents, cb, k = 3, nProbe = 1).collect()
+    out.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(2L, 3L, 4L)
+    out.head.getAs[Double]("dist") shouldBe (0.01 * 0.01 + 0.01 * 0.01) +- 1e-9
+  }
+
   it should "restrict candidates to the probed cells" in {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pred = col("vec_id") < 5
