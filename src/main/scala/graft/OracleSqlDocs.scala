@@ -85,10 +85,13 @@ object OracleSqlDocs {
     * the persisted codebooks, per-cell query residuals for `nProbe`
     * probes, and the residual-ADC candidate distances `sims(query_id,
     * neighbor_id, dist)`. */
-  private def pqResidualCtes(cbPath: String, nProbe: Int): String =
+  private def pqResidualCtes(cbPath: String, nProbe: Int,
+      centsCte: String =
+        "cents AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8)")
+      : String =
     s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
        |cb AS (SELECT m, code, cv FROM read_parquet('$cbPath/*.parquet')),
-       |cents AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+       |$centsCte,
        |scored AS (
        |  SELECT v.vec_id, v.e, c.cid, c.ce, ${cos("v.e", "c.ce")} AS cs
        |  FROM v CROSS JOIN cents c
@@ -992,6 +995,49 @@ object OracleSqlDocs {
          |)
          |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, dist
          |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin,
+
+    // p110's rollup with the TRAINED coarse layer: centroids read back
+    // from the parquet the p119 query persisted (the p50 convention),
+    // residual chain + exhaustive 8-cell ADC + recall@5 vs brute force.
+    "p119_pqr_recall_trained" ->
+      (pqResidualCtes(graft.ops.DocAnalytics.P119CodebooksPath, 8,
+        "cents AS (SELECT cent_id AS cid, ce FROM read_parquet(" +
+          s"'${graft.ops.DocAnalytics.P119CentroidsPath}/*.parquet'))") +
+      s""",
+         |q2 AS (SELECT vec_id AS query_id, e AS qe2 FROM v WHERE vec_id < 20),
+         |bsims AS (
+         |  SELECT query_id, v.vec_id AS neighbor_id, ${cos("qe2", "v.e")} AS sim
+         |  FROM q2 JOIN v ON v.vec_id <> query_id
+         |),
+         |btop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY sim DESC, neighbor_id) AS rn
+         |    FROM bsims
+         |  ) WHERE rn <= 5
+         |),
+         |ptop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY dist ASC, neighbor_id) AS rn
+         |    FROM sims
+         |  ) WHERE rn <= 5
+         |),
+         |hits AS (
+         |  SELECT query_id, count(*) AS n_hits
+         |  FROM btop JOIN ptop USING (query_id, neighbor_id)
+         |  GROUP BY query_id
+         |),
+         |poss AS (
+         |  SELECT query_id, count(*) AS n_possible FROM btop GROUP BY query_id
+         |)
+         |SELECT p.query_id,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  p.n_possible,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(p.n_possible AS DOUBLE)
+         |    AS recall_at_k
+         |FROM poss p LEFT JOIN hits h USING (query_id)
+         |ORDER BY p.query_id""".stripMargin),
 
     // DSIR twin of ImportanceSampler.dsirSelect (target = lang 'en'):
     // hashed-bigram buckets (the p88 two-fold window key mod 4096),

@@ -96,6 +96,11 @@ object DocAnalytics {
   /** p118's codebooks (LUT-ADC residual search). */
   def P118CodebooksPath: String = s"$oracleArtifactDir/p118_codebooks"
 
+  /** p119's trained coarse centroids + residual codebooks (the
+    * production residual config: Lloyd MEANS, not lowest-id vectors). */
+  def P119CentroidsPath: String = s"$oracleArtifactDir/p119_centroids"
+  def P119CodebooksPath: String = s"$oracleArtifactDir/p119_codebooks"
+
   /** Every artifact path this pipeline writes under [[oracleArtifactDir]] —
     * the EXACT set Verify may clear at startup. Kept as an explicit list so
     * a user-pointed `-Dgraft.oracle.dir` at a shared directory never gets
@@ -103,7 +108,8 @@ object DocAnalytics {
   def oracleArtifactPaths: Seq[String] =
     Seq(P50CentroidsPath, P103CentroidsPath, P105CodebooksPath,
       P106CodebooksPath, P109CodebooksPath, P110CodebooksPath,
-      P114MergesPath, P117MergesPath, P118CodebooksPath)
+      P114MergesPath, P117MergesPath, P118CodebooksPath,
+      P119CentroidsPath, P119CodebooksPath)
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -281,6 +287,35 @@ object DocAnalytics {
           col("weight").as("n_bpe_tokens"),
           col("cum_weight").as("cum_lang_tokens"))
         .orderBy("id")
+    }),
+    // p110 with the PRODUCTION coarse layer: Lloyd-trained MEANS instead
+    // of lowest-id vectors — residuals against means have less variance
+    // (r13_ann_fused.md quantifies the lowest-id penalty), so this is
+    // the config a deployment ships; both artifacts persisted, oracle
+    // replays assignment + residuals + encode + ADC against them.
+    "p119_pqr_recall_trained" -> ("recall", (s, d, onPhase) => {
+      val e = emb(s, d)
+      val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding")
+      persistCentroids(s, cents, P119CentroidsPath)
+      val cb = graft.ann.ProductQuantizer.trainResidualCodebooks(
+        e, "vec_id", "embedding", cents, m = 16)
+      persistCodebooks(s, cb, P119CodebooksPath)
+      onPhase("train")
+      val bf = Similarity.knnBruteForce(e, "vec_id", "embedding",
+        col("vec_id") < QueryMaxId).select("query_id", "neighbor_id")
+      val pq = graft.ann.ProductQuantizer.knnIvfPqResidual(e, "vec_id",
+        "embedding", col("vec_id") < QueryMaxId, cents, cb, nProbe = 8)
+        .select("query_id", "neighbor_id")
+      val hits = bf.join(pq, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      bf.groupBy("query_id").agg(count(lit(1)).as("n_possible"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("n_possible"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_possible")).as("recall_at_k"))
+        .orderBy("query_id")
     }),
     // PQ compression quality as an oracle-checked QUERY: per-query
     // recall@5 of the exhaustive ADC scan (IndexPQ) against exact brute
@@ -500,6 +535,8 @@ object DocAnalytics {
       phasedQueries("p110_pqr_recall")._2(s, d, _ => ())),
     "p118_knn_ivfpq_lut" -> ((s, d) =>
       phasedQueries("p118_knn_ivfpq_lut")._2(s, d, _ => ())),
+    "p119_pqr_recall_trained" -> ((s, d) =>
+      phasedQueries("p119_pqr_recall_trained")._2(s, d, _ => ())),
     // BPE tokenizer (train + persist merges, row-local apply) — phased
     "p114_bpe_tokenize" -> ((s, d) =>
       phasedQueries("p114_bpe_tokenize")._2(s, d, _ => ())),

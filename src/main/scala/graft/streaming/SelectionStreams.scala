@@ -161,6 +161,31 @@ object LangIdStream {
       .start()
 }
 
+/** Streaming twin of the p114 BPE tokenizer's APPLY half
+  * ([[graft.text.BpeTokenizer.tokenize]]): tokenize a document stream
+  * with a FROZEN merge table — the deployment split (train the merges
+  * on the labeled corpus once, tokenize the ingest stream forever;
+  * retraining is a new frozen table). Apply is row-local (an
+  * nMerges-deep replace fold), so each micro-batch runs the exact batch
+  * tokenizer via `foreachBatch` into one overwritten batch=<id>
+  * partition; parity is row-exact by construction, pinned by the replay
+  * test. */
+object BpeTokenizeStream {
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[graft.text.BpeTokenizer.Merge],
+             outDir: String, checkpointDir: String,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.BpeTokenizer.tokenize(batch, idCol, textCol, merges)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+}
+
 /** Streaming twin of the p108 Bloom probe's PROBE half
   * ([[graft.text.TextCuration.bloomSeenProbe]]): probe a document stream
   * against a FROZEN seen-position set — the crawl-frontier deployment

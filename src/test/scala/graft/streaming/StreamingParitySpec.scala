@@ -610,6 +610,24 @@ class StreamingParitySpec extends SparkSpec {
     got shouldBe batch.toSeq
   }
 
+  "BpeTokenizeStream" should "tokenize a doc stream with frozen merges exactly like batch tokenize (p114)" in {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val merges = graft.text.BpeTokenizer.trainMerges(docsDf, "text", nMerges = 20)
+    val outDir = Files.createTempDirectory("graft-bpe-out").toString
+    val ckpt = Files.createTempDirectory("graft-bpe-ckpt").toString
+    val q = BpeTokenizeStream.attach(
+      docStream(dumpDocsAsJson()), "doc_id", "text", merges, outDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).drop("batch").collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = graft.text.BpeTokenizer
+      .tokenize(docsDf, "doc_id", "text", merges)
+      .collect().map(_.toSeq)
+    got.length shouldBe batch.length
+    got shouldBe batch.toSeq
+  }
+
   "LangIdStream" should "classify a doc stream against a frozen vote table exactly like batch langScore (p112)" in {
     val docsDf = graft.sources.Tables.documents(spark, sfDir)
     val model = graft.text.LangClassifier

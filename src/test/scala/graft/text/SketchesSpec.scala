@@ -109,6 +109,48 @@ class SketchesSpec extends SparkSpec {
     Sketches.kmvState(tiny, "doc_id", "text").count() shouldBe 10L
   }
 
+  it should "converge to the batch sample when fed as a stream" in {
+    // the bottom-k heap is a streaming-mergeable aggregate (monotone
+    // under union, like the HLL register max): complete-mode output over
+    // micro-batches must equal the batch bottom-k id set, with state
+    // bounded at k entries throughout
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-kmv-stream")
+    val lines = docs.orderBy("doc_id")
+      .select(to_json(struct(col("doc_id"), col("text"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(math.max(1, lines.length / 4)).zipWithIndex.foreach {
+      case (chunk, i) =>
+        val f = dir.resolve(f"chunk-$i%03d.json")
+        Files.write(f, String.join("\n", chunk: _*).getBytes("UTF-8"))
+        f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val ckpt = Files.createTempDirectory("graft-kmv-ckpt").toString
+    // the id-only heap half of kmvState (the join back to values is
+    // per-batch derivable; the STATE is the sampled id set)
+    val sampled = stream
+      .select(col("doc_id").as("id"),
+        (-((col("doc_id") * lit(2654435761L)) % lit(1000000007L)))
+          .cast("double").as("negPr"))
+      .agg(graft.functions.TopKAgg.topk(col("negPr"), col("id"),
+        Sketches.KmvK).as("top"))
+    val q = sampled.writeStream.outputMode("complete").format("memory")
+      .queryName("kmv_stream").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val streamedIds = spark.table("kmv_stream")
+      .select(explode(col("top")).as("e")).select(col("e.neighbor_id"))
+      .collect().map(_.getLong(0)).toSet
+    val batchIds = Sketches.kmvState(docs, "doc_id", "text")
+      .collect().map(_.getAs[Long]("id")).toSet
+    streamedIds shouldBe batchIds
+  }
+
   "kmvQuantiles" should "estimate within the uniform-sample error band" in {
     val rows = Sketches.kmvQuantiles(docs, "doc_id", "text").collect()
     rows.length shouldBe 6
