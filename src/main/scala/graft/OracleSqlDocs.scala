@@ -1651,6 +1651,28 @@ object OracleSqlDocs {
          |GROUP BY label_lang, predicted_lang
          |ORDER BY label_lang, predicted_lang""".stripMargin),
 
+    // temperature-mixture twin of TextCuration.mixtureWeights: per-lang
+    // token mass, sqrt (correctly rounded on both engines), and the
+    // key-ascending left-to-right denominator fold.
+    "p120_mixture_weights" ->
+      s"""WITH c AS (
+         |  SELECT lang AS key, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split(${norm("text")}, ' '))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY lang
+         |), sq AS (
+         |  SELECT key, n_docs, n_tokens,
+         |         sqrt(CAST(n_tokens AS DOUBLE)) AS sqrt_tokens
+         |  FROM c
+         |), dn AS (
+         |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(sqrt_tokens ORDER BY key)), (a, b) -> a + b) AS denom
+         |  FROM sq
+         |)
+         |SELECT key, n_docs, n_tokens, sqrt_tokens,
+         |  sqrt_tokens / denom AS weight_share
+         |FROM sq CROSS JOIN dn ORDER BY key""".stripMargin,
+
     // KMV bottom-k quantile-sketch twin of Sketches.kmvQuantiles: same
     // hash-priority sample (pr ASC, id ASC — the negated-heap order),
     // lower discrete quantile of the sample at rank max(1, ceil(q·k)),

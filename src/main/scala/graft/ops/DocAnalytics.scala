@@ -542,6 +542,11 @@ object DocAnalytics {
       phasedQueries("p114_bpe_tokenize")._2(s, d, _ => ())),
     "p117_bpe_budget" -> ((s, d) =>
       phasedQueries("p117_bpe_budget")._2(s, d, _ => ())),
+    // temperature-scaled mixture weights (mT5/UniMax): per-lang token
+    // mass and the T=2-tempered sampling share — sqrt is IEEE-correctly-
+    // rounded so the shares verify bit-exactly, unlike pow/log configs
+    "p120_mixture_weights" -> ((s, d) =>
+      TextCuration.mixtureWeights(docs(s, d), "doc_id", "lang", "text")),
     // mixture sampling keyed by the TRAINED lang-id prediction — the
     // trained-config variant of p96 (heuristic) / p97 (metadata)
     "p116_mixture_trained" -> ((s, d) => {

@@ -147,7 +147,11 @@ object LangClassifier {
       ex.filter(trainCond).groupBy("label_lang").agg(count(lit(1)).as("n")),
       "langScorer class cardinality (column '" + langCol + "')",
       "a lower-cardinality label column — classes must be enumerable")
-      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      .map { r =>
+        require(!r.isNullAt(0),
+          s"label column '$langCol' contains nulls — class labels must be non-null")
+        r.getString(0) -> r.getLong(1)
+      }.sortBy(_._1)
     votedTable(ex, classTotals, trainCond)
   }
 

@@ -306,6 +306,44 @@ object TextCuration {
     * range) window adds the running sum, so parallelism is keys × ranges
     * at every corpus size and the result is independent of where range
     * boundaries land. */
+  /** Temperature-scaled mixture weights (the mT5/UniMax multilingual
+    * sampling archetype): per key, the corpus token mass and the
+    * T-tempered sampling share `mass^(1/T) / Σ mass^(1/T)`. The default
+    * T = 2 makes the exponent a SQUARE ROOT — IEEE-754 requires sqrt
+    * correctly rounded, so (unlike pow/log, which the engine-portable
+    * doctrine bans) both engines produce identical bits; the
+    * normalization denominator is ONE left-to-right fold over the
+    * key-ascending shares, mirrored by the oracle's ordered list fold.
+    *
+    * Scale shape: one partial-aggregable (key, counts) rollup — C rows —
+    * then a driver-free unpartitioned window over those C rows (the
+    * post-aggregation one-partition pattern the scorers use). Output:
+    * (key, n_docs, n_tokens, sqrt_tokens, weight_share) by key. */
+  def mixtureWeights(df: DataFrame, idCol: String, keyCol: String,
+                     textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perKey = df
+      .select(col(keyCol).as("key"),
+        size(tokens(col(textCol))).cast("long").as("n_tok"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    // the denominator must be an ORDER-DEFINED fold (double addition is
+    // non-associative): collect the key-ascending shares into one array
+    // over the C-row aggregate and fold left-to-right, the HLL-estimate
+    // convention
+    val w = Window.partitionBy()
+    perKey
+      .withColumn("sqrt_tokens", sqrt(col("n_tokens").cast("double")))
+      .withColumn("__all",
+        sort_array(collect_list(struct(col("key"), col("sqrt_tokens"))).over(w)))
+      .withColumn("__denom",
+        aggregate(col("__all"), lit(0.0), (acc, e) => acc + e.getField("sqrt_tokens")))
+      .select(col("key"), col("n_docs"), col("n_tokens"),
+        col("sqrt_tokens"),
+        (col("sqrt_tokens") / col("__denom")).as("weight_share"))
+      .orderBy("key")
+  }
+
   def tokenBudgetSample(rows: DataFrame, idCol: String, keyCol: String,
                         weightCol: String, budget: Long,
                         numRanges: Int = graft.ops.Adaptive.Auto): DataFrame = {
