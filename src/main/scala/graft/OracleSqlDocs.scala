@@ -484,9 +484,11 @@ object OracleSqlDocs {
   /** The p23 multi-table-LSH embedding near-dup chain up to `sims`
     * (candidate pairs with exact cosine) — shared by p23 and the p59
     * component closure so the two cannot drift apart. */
-  private val embPairCtes: String =
-    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-       |bk0 AS (
+  /** The banded-miner chain AFTER the vector CTE (`v(vec_id, e)` must
+    * already be in scope) — shared by the embeddings-table twins and the
+    * hashed-BoW text-embedding twins. */
+  private val embPairTail: String =
+    s"""bk0 AS (
        |  SELECT vec_id, e, 0 AS tbl, ${bucket("e", 0, 4)} AS bucket FROM v
        |  UNION ALL SELECT vec_id, e, 1, ${bucket("e", 4, 4)} FROM v
        |  UNION ALL SELECT vec_id, e, 2, ${bucket("e", 8, 4)} FROM v
@@ -504,7 +506,57 @@ object OracleSqlDocs {
        |  FROM cand JOIN v x ON va = x.vec_id JOIN v y ON vb = y.vec_id
        |)""".stripMargin
 
+  private val embPairCtes: String =
+    "WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),\n" + embPairTail
+
+  /** Hashed-BoW text-embedding construction ending at `v(vec_id, e)` —
+    * the twin of [[graft.text.TextStats.hashedEmbedding]] (dim 64):
+    * integer signed sums per hashed bucket, dense-assembled in j order,
+    * cast exactly to REAL. */
+  private val hashedEmbCte: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
+       |), hx AS (
+       |  SELECT id, ${hash("tok")} AS h
+       |  FROM (SELECT id, unnest(t) AS tok FROM toks)
+       |), ex AS (
+       |  SELECT id, h % 64 AS j,
+       |    CASE WHEN ((h * 48271) % 998244353) % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM hx
+       |), sums AS (
+       |  SELECT id, j, CAST(sum(s) AS BIGINT) AS sv FROM ex GROUP BY id, j
+       |), grid AS (
+       |  SELECT d.id, r.range AS j FROM (SELECT DISTINCT id FROM sums) d
+       |  CROSS JOIN range(0, 64) r
+       |), dense AS (
+       |  SELECT g.id, g.j, CAST(COALESCE(s.sv, 0) AS REAL) AS val
+       |  FROM grid g LEFT JOIN sums s ON s.id = g.id AND s.j = g.j
+       |), v AS (SELECT id AS vec_id, list(val ORDER BY j) AS e FROM dense GROUP BY id)""".stripMargin
+
   val docs: Map[String, String] = Map(
+    // hashed-BoW text knn: constructed vectors + the p21 brute-force tail
+    "p121_text_knn" -> (hashedEmbCte +
+      s""",
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20),
+         |qsims AS (
+         |  SELECT query_id, v.vec_id AS neighbor_id, ${cos("qe", "e")} AS sim
+         |  FROM q JOIN v ON v.vec_id <> query_id
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM qsims
+         |)
+         |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, sim
+         |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin),
+
+    // embedding-cosine near-dup over TEXT: constructed vectors + the
+    // banded-miner tail at cosine >= 0.9
+    "p122_text_embed_neardup" -> (hashedEmbCte + ",\n" + embPairTail +
+      s"""
+         |SELECT vec_a, vec_b, sim FROM sims
+         |WHERE sim >= CAST(0.9 AS DOUBLE) ORDER BY vec_a, vec_b""".stripMargin),
+
     "p13_exact_dedup" ->
       s"""SELECT ${hash(norm("text"))} AS text_hash,
          |       list_reduce(list_prepend(CAST(11 AS BIGINT),

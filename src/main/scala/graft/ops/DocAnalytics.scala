@@ -504,6 +504,21 @@ object DocAnalytics {
     "p113_langid_confusion" -> ((s, d) =>
       graft.text.LangClassifier.langConfusion(
         graft.text.LangClassifier.langScorer(docs(s, d), "doc_id", "text", "lang"))),
+    // the text → vector → ANN loop closed WITHOUT a model: hashed-BoW
+    // signed-projection embeddings (integer sums, oracle-exact) fed to
+    // the same cosine machinery as the embeddings table
+    "p121_text_knn" -> ((s, d) =>
+      Similarity.knnBruteForce(
+        TextStats.hashedEmbedding(docs(s, d), "doc_id", "text"),
+        "vec_id", "e", col("vec_id") < QueryMaxId)),
+    // embedding-cosine near-dup over TEXT (the north-star list's last
+    // uncomposed entry): LSH-banded pair mining over the hashed-BoW
+    // vectors at cosine ≥ 0.9 — exact dup families land at 1.0, near-dup
+    // families in the high-cosine ball
+    "p122_text_embed_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(
+        TextStats.hashedEmbedding(docs(s, d), "doc_id", "text"),
+        "vec_id", "e", minSim = 0.9)),
     "p21_knn_bruteforce" -> ((s, d) =>
       Similarity.knnBruteForce(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     "p22_knn_lsh" -> ((s, d) =>

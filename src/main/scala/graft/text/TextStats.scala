@@ -219,4 +219,41 @@ object TextStats {
   def bigramScore(df: DataFrame, idCol: String, textCol: String,
                   model: DataFrame): DataFrame =
     scoreFrame(df, idCol, bigramOccurrences(df, idCol, textCol), model)
+
+  /** Hashed bag-of-words document embedding (the feature-hashing /
+    * signed-random-projection construction of Weinberger et al. 2009):
+    * token occurrence → bucket j = charHash mod `dim`, sign ± from a
+    * second hash parity; e_j = Σ signs — INTEGER sums cast exactly to
+    * float (|e_j| ≤ corpus tokens ≪ 2^24), so the vector build is
+    * oracle-exact end-to-end and the resulting frame plugs straight
+    * into the [[graft.ann.Similarity]] family (cosine of integer-valued
+    * floats is the same portable double fold as every other embedding).
+    * This closes the text → vector → ANN loop without a model: exact
+    * duplicate documents get identical vectors (cosine 1), near-
+    * duplicates land within a high-cosine ball.
+    *
+    * Scale shape: one narrow tokenize pass, a partial-aggregable
+    * (id, j) sum (≤ dim fixed-width rows per doc ride the exchange),
+    * then a row-local dense-assembly transform — never a per-doc
+    * dim-wide shuffle payload before aggregation. Output:
+    * (vec_id, e float[dim]). */
+  def hashedEmbedding(df: DataFrame, idCol: String, textCol: String,
+                      dim: Int = 64): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val hashed = toks.select(col("id"), charHash(col("tok")).as("h"))
+    val ex = hashed.select(col("id"),
+      pmod(col("h"), lit(dim.toLong)).as("j"),
+      when((col("h") * lit(48271L)) % lit(998244353L) % 2L === 0L, 1L)
+        .otherwise(-1L).as("s"))
+    val sums = ex.groupBy("id", "j").agg(sum(col("s")).as("v"))
+    sums.groupBy("id")
+      .agg(collect_list(struct(col("j"), col("v"))).as("entries"))
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0L), lit(dim - 1L)), jj =>
+          coalesce(
+            get(filter(col("entries"), e => e.getField("j") === jj), lit(0))
+              .getField("v"),
+            lit(0L)).cast("float")).as("e"))
+  }
 }

@@ -61,4 +61,34 @@ class TextStatsSpec extends SparkSpec {
     byId(3L).isNullAt(byId(3L).fieldIndex("min_gram_hash")) shouldBe true
     byId(3L).getAs[Long]("n_grams") shouldBe 0L
   }
+
+  "hashedEmbedding" should "give identical vectors to identical text and plug into cosine" in {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta gamma alpha"), // exact duplicate
+      (3L, "totally different words here")
+    ).toDF("doc_id", "text")
+    val e = TextStats.hashedEmbedding(df, "doc_id", "text")
+    val vs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    vs(1L) shouldBe vs(2L)
+    vs(1L).length shouldBe 64
+    // integer-valued floats (exact sums)
+    vs.values.foreach(_.foreach(x => x shouldBe math.rint(x).toFloat))
+    // cosine of the duplicate pair is exactly 1
+    val sim = e.as("a").join(e.as("b"),
+        col("a.vec_id") === 1L && col("b.vec_id") === 2L)
+      .select(graft.functions.AnnPrims.cosine(col("a.e"), col("b.e")))
+      .collect().head.getDouble(0)
+    sim shouldBe 1.0 +- 1e-12 // dot/(sqrt·sqrt) of identical vectors is 1 up to the sqrt rounding
+  }
+
+  it should "zero-fill buckets no token hashes into" in {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "x")).toDF("doc_id", "text") // one token -> one bucket
+    val v = TextStats.hashedEmbedding(df, "doc_id", "text")
+      .collect().head.getSeq[Float](1)
+    v.count(_ != 0.0f) shouldBe 1
+    v.count(_ == 0.0f) shouldBe 63
+  }
 }
