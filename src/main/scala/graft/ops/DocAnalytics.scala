@@ -515,6 +515,11 @@ object DocAnalytics {
     // uncomposed entry): LSH-banded pair mining over the hashed-BoW
     // vectors at cosine ≥ 0.9 — exact dup families land at 1.0, near-dup
     // families in the high-cosine ball
+    // NOTE the lazy query form re-derives the embedding construction in
+    // each of the miner's consumers (6 corpus scans — a repartition
+    // boundary was tried and measured cost-neutral here, so it was not
+    // kept); a 100 TB deployment materializes the embedding frame once
+    // at ingest (the pqIndex convention) and mines over the stored table
     "p122_text_embed_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(
         TextStats.hashedEmbedding(docs(s, d), "doc_id", "text"),
