@@ -36,6 +36,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * input array type admits one. Equality/hashCode compare centroid
   * CONTENTS (the [[PqEncode]] convention), so structurally identical
   * assignments canonicalize together.
+  *
+  * Reference scope: the reference has no vector search (SURVEY §2.10);
+  * these expressions are engine infrastructure for the beyond-reference
+  * ANN surface.
   */
 abstract class CellScoreBase extends UnaryExpression {
   def cents: Array[(Long, Array[Float])]

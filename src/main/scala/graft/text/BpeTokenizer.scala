@@ -42,6 +42,10 @@ import graft.functions.TextPrims._
   * pattern). The driver holds only the merge table (nMerges rows).
   * Apply is one narrow row-local pass: an nMerges-deep codegen'd
   * replace fold — no shuffle, no UDF, no per-row state.
+  *
+  * Reference scope: the reference has no tokenizer of any kind; this is
+  * part of the beyond-reference LLM-pipeline surface the brief requires
+  * (p36's regex token counting is the engine's own bootstrap).
   */
 object BpeTokenizer {
 

@@ -38,6 +38,10 @@ import graft.functions.TextPrims._
   * partial-aggregates to ≤ C+1 fixed-width rows per document before the
   * id exchange. Three narrow corpus passes (class totals, model, score) —
   * no full-data shuffle, no window funnel, no unbounded collect.
+  *
+  * Reference scope: the reference has no classifier of any kind; this is
+  * part of the beyond-reference LLM-pipeline surface the brief requires
+  * (p19's marker heuristic is the engine's own bootstrap).
   */
 object LangClassifier {
 
