@@ -126,7 +126,9 @@ abstract class CellScoreBase extends UnaryExpression {
     math.sqrt(na)
   }
 
-  protected def cosineAt(v: ArrayData, c: Int): Double = {
+  /** Raw dot product against centroid `c` (the caller divides by the
+    * norms to get the cosine). */
+  protected def dotAt(v: ArrayData, c: Int): Double = {
     val cv = vecs(c)
     var dot = 0.0
     var i = 0
@@ -150,7 +152,7 @@ case class CellArgmax(child: Expression, cents: Array[(Long, Array[Float])])
     var bestId = Long.MaxValue
     var c = 0
     while (c < nCells) {
-      val cs = cosineAt(v, c) / (sqrtNa * sqrtNorms(c))
+      val cs = dotAt(v, c) / (sqrtNa * sqrtNorms(c))
       val cmp = java.lang.Double.compare(cs, bestCs)
       if (cmp > 0 || (cmp == 0 && ids(c) < bestId)) { bestCs = cs; bestId = ids(c) }
       c += 1
@@ -232,7 +234,7 @@ case class CellProbes(child: Expression, cents: Array[(Long, Array[Float])],
     val topId = Array.fill(outN)(Long.MaxValue)
     var c = 0
     while (c < nCells) {
-      val cs = cosineAt(v, c) / (sqrtNa * sqrtNorms(c))
+      val cs = dotAt(v, c) / (sqrtNa * sqrtNorms(c))
       val cid = ids(c)
       var pos = outN
       while (pos > 0 && {
@@ -246,7 +248,7 @@ case class CellProbes(child: Expression, cents: Array[(Long, Array[Float])],
       }
       c += 1
     }
-    new GenericArrayData(topId.take(math.min(outN, nCells)))
+    new GenericArrayData(topId)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -338,7 +340,7 @@ case class CellResidual(child: Expression, cents: Array[(Long, Array[Float])])
     var bestIdx = -1
     var c = 0
     while (c < nCells) {
-      val cs = cosineAt(v, c) / (sqrtNa * sqrtNorms(c))
+      val cs = dotAt(v, c) / (sqrtNa * sqrtNorms(c))
       val cmp = java.lang.Double.compare(cs, bestCs)
       if (cmp > 0 || (cmp == 0 && ids(c) < bestId)) {
         bestCs = cs; bestId = ids(c); bestIdx = c

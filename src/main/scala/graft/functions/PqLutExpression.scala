@@ -140,6 +140,12 @@ case class AdcLutSum(left: Expression, right: Expression)
   override def prettyName: String = "adc_lut_sum"
   override def nullable: Boolean = true
 
+  private def elemsNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  private lazy val checkNulls = elemsNullable(left) || elemsNullable(right)
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val codes = l.asInstanceOf[ArrayData]
     val lut = r.asInstanceOf[ArrayData]
@@ -149,8 +155,10 @@ case class AdcLutSum(left: Expression, right: Expression)
     var s = 0.0
     var mi = 0
     while (mi < m) {
+      if (checkNulls && codes.isNullAt(mi)) return null
       val c = codes.getInt(mi)
       if (c < 0 || c >= k) return null
+      if (checkNulls && lut.isNullAt(mi * k + c)) return null
       s += lut.getDouble(mi * k + c)
       mi += 1
     }
@@ -164,6 +172,12 @@ case class AdcLutSum(left: Expression, right: Expression)
       val mi = ctx.freshName("mi")
       val c = ctx.freshName("c")
       val s = ctx.freshName("s")
+      val codesNullGuard = if (checkNulls)
+        s"if ($codes.isNullAt($mi)) { ${ev.isNull} = true; break; }"
+      else ""
+      val lutNullGuard = if (checkNulls)
+        s"if ($lut.isNullAt($mi * $k + $c)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $m = $codes.numElements();
          |if ($m == 0 || $lut.numElements() % $m != 0) {
@@ -172,8 +186,10 @@ case class AdcLutSum(left: Expression, right: Expression)
          |  int $k = $lut.numElements() / $m;
          |  double $s = 0.0;
          |  for (int $mi = 0; $mi < $m; $mi++) {
+         |    $codesNullGuard
          |    int $c = $codes.getInt($mi);
          |    if ($c < 0 || $c >= $k) { ${ev.isNull} = true; break; }
+         |    $lutNullGuard
          |    $s += $lut.getDouble($mi * $k + $c);
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $s; }

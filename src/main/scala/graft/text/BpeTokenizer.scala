@@ -133,6 +133,8 @@ object BpeTokenizer {
         n += 1
       }
     }
+    // release the working set: the merge table is the only output
+    vocab.unpersist(false)
     merges.result()
   }
 
