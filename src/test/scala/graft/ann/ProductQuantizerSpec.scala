@@ -26,6 +26,14 @@ class ProductQuantizerSpec extends SparkSpec {
     cb(1)(1).toSeq shouldBe Seq(1.0f, 0.0f, 0.0f, 0.0f) // v2's second = v1's
   }
 
+  "lowestIdCodebooks" should "fail fast when the dim is not divisible by m" in {
+    // round-12 advice: a silent floor here would null every encode
+    val e = intercept[IllegalArgumentException] {
+      ProductQuantizer.lowestIdCodebooks(emb, "vec_id", "embedding", m = 3)
+    }
+    e.getMessage should include("not divisible")
+  }
+
   "encode" should "assign each seed vector its own code (ties toward the smaller code)" in {
     val cb = ProductQuantizer.lowestIdCodebooks(emb, "vec_id", "embedding", m = 2, k = 2)
     val codes = ProductQuantizer.encode(emb, "vec_id", "embedding", cb)

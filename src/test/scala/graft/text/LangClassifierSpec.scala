@@ -73,6 +73,16 @@ class LangClassifierSpec extends SparkSpec {
     scoredSplit shouldBe scoredFused
   }
 
+  it should "fail fast on null labels instead of NPEing in the class collection" in {
+    val df = Seq((1L, Option("aa"), "hello world"), (2L, None, "other text"),
+      (3L, Option("aa"), "hello again"))
+      .toDF("doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException] {
+      LangClassifier.langScorer(df, "doc_id", "text", "lang").collect()
+    }
+    e.getMessage should include("non-null")
+  }
+
   "langConfusion" should "partition the holdout split across its cells" in {
     val scored = LangClassifier.langScorer(planted, "doc_id", "text", "lang")
     val cells = LangClassifier.langConfusion(scored)

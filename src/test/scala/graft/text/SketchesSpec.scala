@@ -165,6 +165,13 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  "kmvQuantiles" should "reject probes outside (0, 1]" in {
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.kmvQuantiles(docs, "doc_id", "text", probes = Seq(0.5, 1.5))
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.kmvQuantiles(docs, "doc_id", "text", probes = Seq.empty)
+  }
+
   "cmsTokenFrequency" should "never underestimate and bound the collision error" in {
     val rows = Sketches.cmsTokenFrequency(docs, "doc_id", "text").collect()
     rows.length shouldBe 10
