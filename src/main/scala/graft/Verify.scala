@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg (dev-only; the driver passes two): comma-separated
+    // query-name filter for targeted oracle pre-checks during a round
+    val (sfDir, outDir, onlySet) = args match {
+      case Array(s, o) => (s, o, Set.empty[String])
+      case Array(s, o, only) => (s, o, only.split(",").map(_.trim).toSet)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,7 +48,9 @@ object Verify {
     val contractDrift = graft.sources.Contract.probe(spark, sfDir)
     contractDrift.foreach(l => System.err.println(s"[verify][contract] $l"))
     var failed = Map.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => onlySet.isEmpty || onlySet.contains(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -66,6 +73,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => onlySet.isEmpty || onlySet.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // failure record beside oracle_sql.json: a query that died must be a

@@ -11,16 +11,19 @@ import graft.functions.TextPrims._
   *
   * Representation — the portability core: a word's symbol sequence is the
   * string `⟨1⟩sym⟨2⟩⟨1⟩sym⟨2⟩…` where ⟨1⟩/⟨2⟩ are the control characters
-  * U+0001/U+0002 (reserved: they cannot appear in text by contract).
-  * Applying merge (l, r) is then the literal string replacement
-  * `⟨1⟩l⟨2⟩⟨1⟩r⟨2⟩ → ⟨1⟩lr⟨2⟩`, and because each symbol's delimiters are
-  * fully consumed by the pattern (nothing is shared between adjacent
-  * matches — the naive space-separated form fails exactly there: in
-  * `␣a␣b␣a␣b␣` the first `␣a␣b␣` match eats the space the second needs),
-  * one left-to-right non-overlapping `replace` IS the BPE merge pass,
-  * with identical results on Spark (`StringReplace`) and DuckDB
-  * (`replace`). Word boundaries need no guard: a learned pair's left
-  * symbol never contains the `</w>` end-marker (nothing follows it
+  * U+0001/U+0002 (reserved: they cannot appear in text by contract —
+  * ENFORCED, not assumed: [[trainMerges]] fails fast when the vocabulary
+  * contains one, and the fused apply throws per-document, so a violation
+  * surfaces as an error instead of two engines agreeing on mis-framed
+  * symbol counts). Applying merge (l, r) is then the literal string
+  * replacement `⟨1⟩l⟨2⟩⟨1⟩r⟨2⟩ → ⟨1⟩lr⟨2⟩`, and because each symbol's
+  * delimiters are fully consumed by the pattern (nothing is shared
+  * between adjacent matches — the naive space-separated form fails
+  * exactly there: in `␣a␣b␣a␣b␣` the first `␣a␣b␣` match eats the space
+  * the second needs), one left-to-right non-overlapping `replace` IS the
+  * BPE merge pass, with identical results on Spark (`StringReplace`) and
+  * DuckDB (`replace`). Word boundaries need no guard: a learned pair's
+  * left symbol never contains the `</w>` end-marker (nothing follows it
   * inside a word), so a pattern cannot straddle two words of the
   * concatenated document string.
   *
@@ -33,15 +36,23 @@ import graft.functions.TextPrims._
   * merge table drives a DuckDB recursive CTE that replays the identical
   * replace chain (the p50 persist-and-replay convention).
   *
-  * Scale shape: training runs on the (word, freq) VOCABULARY — one
-  * corpus tokenize + count, then every iteration is one pair-count
-  * aggregate over the vocab frame (map-side partial to ≤ |pairs| rows
-  * per task) plus a single-row argmax fetch and one row-local replace;
-  * the updated vocab persists each round with a lineage-truncating
-  * localCheckpoint every [[CheckpointEvery]] merges (the CC loop
-  * pattern). The driver holds only the merge table (nMerges rows).
-  * Apply is one narrow row-local pass: an nMerges-deep codegen'd
-  * replace fold — no shuffle, no UDF, no per-row state.
+  * Scale shape (the round-13 verdict's top conversion): standard BPE
+  * trains on the (word, freq) VOCABULARY, which is orders of magnitude
+  * smaller than the corpus — one distributed tokenize+count pass builds
+  * it, and when it fits the driver budget ([[MaxDriverVocab]]) the merge
+  * table trains with the classic incremental heap trainer
+  * ([[trainMergesLocal]]): pair counts updated only for the words a
+  * merge touches, argmax from an ordered set — O(touched symbols) per
+  * merge instead of one full Spark job, so a 32k-merge production run is
+  * seconds of driver time, not ~32k × scheduler-floor of sequential
+  * jobs. The distributed per-merge loop ([[trainMergesDistributed]])
+  * remains the vocab-exceeds-driver fallback; BpeTokenizerSpec pins the
+  * two trainers merge-for-merge equal. Apply is ONE fused codegen
+  * expression carrying the merge table as a reference object
+  * ([[graft.functions.BpeTokenCount]], the CellArgmax pattern): plan
+  * size constant in merge count, per-row cost bounded by word length —
+  * the nMerges-deep replace-fold chain survives only as the spec's
+  * executable reference ([[applyMergesSpec]]).
   *
   * Reference scope: the reference has no tokenizer of any kind; this is
   * part of the beyond-reference LLM-pipeline surface the brief requires
@@ -61,8 +72,15 @@ object BpeTokenizer {
     * multi-character subwords emerge on the test corpus. */
   val DefaultMerges = 40
 
-  /** Lineage-truncation cadence for the training loop. */
+  /** Lineage-truncation cadence for the distributed training loop. */
   val CheckpointEvery = 8
+
+  /** Vocabulary-size ceiling for the driver-side trainer: 2M (word,
+    * freq) rows is ~100 MB of driver heap with symbol arrays — real
+    * web-corpus vocabularies at 100 TB (post frequency-threshold) sit
+    * well under this; beyond it training falls back to the distributed
+    * per-merge loop. */
+  val MaxDriverVocab = 2000000L
 
   /** A trained merge rule: 1-based rank, the two symbols, and the
     * weighted pair count that won the argmax. */
@@ -95,14 +113,183 @@ object BpeTokenizer {
       .withColumn("repr", wordRepr(col("word")))
 
   /** Train up to `nMerges` merge rules; stops early when no pair occurs
-    * at least twice (merging a hapax pair compresses nothing). */
+    * at least twice (merging a hapax pair compresses nothing). One
+    * distributed pass builds the (word, freq) vocabulary, then the
+    * trainer is chosen by its size: driver heap ([[trainMergesLocal]])
+    * when it fits [[MaxDriverVocab]], the distributed per-merge loop
+    * otherwise — both produce the identical merge table (spec-pinned). */
   def trainMerges(df: DataFrame, textCol: String,
                   nMerges: Int = DefaultMerges): Seq[Merge] = {
+    val vocab = vocabulary(df, textCol).persist()
+    val n = vocab.count()
+    // delimiter-contract check, where it is cheap (the vocab frame, not
+    // the corpus): a reserved character in a word would mis-frame the
+    // delimited representation both engines replay
+    val bad = vocab.filter(col("word").contains(D1) || col("word").contains(D2))
+      .select("word").limit(1).collect()
+    require(bad.isEmpty,
+      "BPE contract violation: corpus contains reserved delimiter " +
+        "characters (U+0001/U+0002) in a word — these cannot appear in " +
+        "tokenizer input (see BpeTokenizer's representation doc)")
+    val out =
+      if (n <= MaxDriverVocab) {
+        val rows = vocab.select("word", "freq").collect()
+        val local = trainMergesLocal(
+          rows.map(r => (r.getString(0), r.getLong(1))), nMerges)
+        vocab.unpersist(false)
+        local
+      } else trainMergesDistributed(vocab, nMerges)
+    out
+  }
+
+  /** UTF8-binary string comparison (code-point order) — the tie-break
+    * order Spark's `orderBy` applies to string columns, so the local
+    * argmax breaks ties exactly like the distributed one. */
+  private def utf8Compare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** The classic driver-side BPE trainer over a collected (word, freq)
+    * vocabulary: symbol arrays per word, pair counts in a hash map, the
+    * argmax in an ordered set under (count DESC, left ASC, right ASC)
+    * with UTF8-binary string order, and per-merge incremental updates —
+    * only words CONTAINING the merged pair are rewritten (an occurrence
+    * index tracks them; stale entries are tolerated and skipped), each
+    * by subtracting its old adjacent-pair multiset and adding the new
+    * one. Counts therefore equal the distributed aggregate's at every
+    * step: both weight every adjacent POSITION by word frequency, and
+    * both rewrite with the same left-to-right non-overlapping pass. */
+  private[text] def trainMergesLocal(vocabIn: Array[(String, Long)],
+                                     nMerges: Int): Seq[Merge] = {
+    type Pair = (String, String)
+    val nWords = vocabIn.length
+    val words = new Array[Array[String]](nWords)
+    val lens = new Array[Int](nWords)
+    val freqs = new Array[Long](nWords)
+    var wi = 0
+    while (wi < nWords) {
+      val (w, f) = vocabIn(wi)
+      val cps = new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
+      var ci = 0
+      while (ci < w.length) {
+        val cp = w.codePointAt(ci)
+        cps += w.substring(ci, ci + Character.charCount(cp))
+        ci += Character.charCount(cp)
+      }
+      cps += EndWord
+      words(wi) = cps.toArray
+      lens(wi) = cps.length
+      freqs(wi) = f
+      wi += 1
+    }
+    val counts = new java.util.HashMap[Pair, Long]()
+    val occ = new java.util.HashMap[Pair, java.util.HashSet[Integer]]()
+    // ordered (count, l, r): count DESC then l, r ASC in utf8 order —
+    // head is always the distributed orderBy's winning row
+    val order = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) return c
+          val l = utf8Compare(a._2, b._2)
+          if (l != 0) return l
+          utf8Compare(a._3, b._3)
+        }
+      })
+    def bump(p: Pair, delta: Long): Unit = {
+      val old = counts.getOrDefault(p, 0L)
+      if (old != 0L) order.remove((old, p._1, p._2))
+      val nv = old + delta
+      if (nv != 0L) { counts.put(p, nv); order.add((nv, p._1, p._2)) }
+      else counts.remove(p)
+    }
+    def addOcc(p: Pair, w: Int): Unit = {
+      var s = occ.get(p)
+      if (s == null) { s = new java.util.HashSet[Integer](); occ.put(p, s) }
+      s.add(w)
+    }
+    wi = 0
+    while (wi < nWords) {
+      val s = words(wi)
+      var i = 0
+      while (i < lens(wi) - 1) {
+        bump((s(i), s(i + 1)), freqs(wi)); addOcc((s(i), s(i + 1)), wi)
+        i += 1
+      }
+      wi += 1
+    }
+    val merges = Seq.newBuilder[Merge]
+    var n = 0
+    var stopped = false
+    while (n < nMerges && !stopped) {
+      if (order.isEmpty) stopped = true
+      else {
+        val (cnt, l, r) = order.first()
+        if (cnt < 2L) stopped = true
+        else {
+          merges += Merge(n + 1, l, r, cnt)
+          val lr = l + r
+          val hit = occ.remove((l, r))
+          val it = if (hit == null) java.util.Collections.emptyIterator[Integer]()
+                   else hit.iterator()
+          while (it.hasNext) {
+            val w = it.next().intValue()
+            val s = words(w)
+            val len = lens(w)
+            // skip stale index entries (word rewritten since insertion)
+            var has = false
+            var i = 0
+            while (!has && i < len - 1) {
+              if (s(i) == l && s(i + 1) == r) has = true
+              i += 1
+            }
+            if (has) {
+              val f = freqs(w)
+              i = 0
+              while (i < len - 1) { bump((s(i), s(i + 1)), -f); i += 1 }
+              // the chain's left-to-right non-overlapping replace pass
+              var wr = 0
+              i = 0
+              while (i < len) {
+                if (i < len - 1 && s(i) == l && s(i + 1) == r) {
+                  s(wr) = lr; i += 2
+                } else { s(wr) = s(i); i += 1 }
+                wr += 1
+              }
+              lens(w) = wr
+              i = 0
+              while (i < wr - 1) {
+                bump((s(i), s(i + 1)), f); addOcc((s(i), s(i + 1)), w)
+                i += 1
+              }
+            }
+          }
+          n += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** The distributed per-merge training loop — one pair-count aggregate
+    * over the vocab frame plus a single-row argmax fetch per merge: the
+    * vocab-exceeds-driver fallback (each iteration is scale-safe; the
+    * ITERATION COUNT is why the driver trainer is the default path). */
+  private[text] def trainMergesDistributed(vocab0: DataFrame,
+                                           nMerges: Int): Seq[Merge] = {
     // note: collapsing a small vocab to one partition was tried and
     // REVERTED — serializing the per-iteration aggregates cost more than
     // the scheduler floor it saved (7.7 s → 10.4 s at sf0.1)
-    var vocab = vocabulary(df, textCol).persist()
-    vocab.count()
+    var vocab = vocab0
     val merges = Seq.newBuilder[Merge]
     var n = 0
     var stopped = false
@@ -138,28 +325,46 @@ object BpeTokenizer {
     merges.result()
   }
 
-  /** Apply a frozen merge table to `textCol`: the rank-ordered replace
-    * fold over the document symbol string. */
-  private def applyMerges(repr: Column, merges: Seq[Merge]): Column =
+  /** The nMerges-deep replace fold over the delimited document string —
+    * kept as the EXECUTABLE SPEC of the sequential chain semantics (it
+    * is literally the oracle's recursive CTE, one fold step per rank);
+    * BpeTokenizerSpec pins the fused expression against it, including
+    * the duplicate-surface-form and re-learned-pair cases where greedy
+    * BPE apply diverges. Not a production path: plan depth grows with
+    * the merge count. */
+  private[text] def applyMergesSpec(repr: Column, merges: Seq[Merge]): Column =
     merges.foldLeft(repr) { (c, m) =>
       replace(c,
         lit(D1 + m.left + D2 + D1 + m.right + D2),
         lit(D1 + m.left + m.right + D2))
     }
 
+  /** Spec-only tokenize via the replace-fold chain (see
+    * [[applyMergesSpec]]). */
+  private[text] def tokenizeSpec(df: DataFrame, idCol: String, textCol: String,
+                                 merges: Seq[Merge]): DataFrame =
+    tokenizeWith(df, idCol, textCol,
+      norm => size(symsOf(applyMergesSpec(docRepr(norm), merges))).cast("long"))
+
   /** Tokenize `df` with a frozen merge table (the p114 apply side):
     * per document — word count, character count of the normalized text,
     * BPE token count, and the compression ratio chars/token as one exact
-    * division. Row-local throughout. */
+    * division. Row-local throughout; the BPE count is the single fused
+    * [[graft.functions.BpeTokenCount]] node. */
   def tokenize(df: DataFrame, idCol: String, textCol: String,
-               merges: Seq[Merge]): DataFrame = {
+               merges: Seq[Merge]): DataFrame =
+    tokenizeWith(df, idCol, textCol,
+      norm => graft.functions.BpeTokenCount(norm,
+        merges.map(m => (m.left, m.right)).toArray))
+
+  private def tokenizeWith(df: DataFrame, idCol: String, textCol: String,
+                           bpeCount: Column => Column): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("doc_id"),
       normText(col(textCol)).as("norm"))
     base.select(col("doc_id"),
         size(split(col("norm"), " ")).cast("long").as("n_words"),
         length(col("norm")).cast("long").as("n_chars"),
-        size(symsOf(applyMerges(docRepr(col("norm")), merges)))
-          .cast("long").as("n_bpe_tokens"))
+        bpeCount(col("norm")).as("n_bpe_tokens"))
       .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe_tokens"),
         (col("n_chars").cast("double") / col("n_bpe_tokens"))
           .as("chars_per_token"))

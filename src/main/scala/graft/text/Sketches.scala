@@ -188,9 +188,16 @@ object Sketches {
     * union of bottom-k states equals the bottom-k of the union of the
     * raw inputs — the mergeability SketchesSpec pins by split-merge
     * parity. Priorities re-derive from the ids (a pure function), so a
-    * state is just its (id, v) rows and merging is re-selection. */
+    * state is just its (id, v) rows and merging is re-selection.
+    *
+    * States may OVERLAP (sketches over corpora sharing rows — the normal
+    * union case): the id-dedup below keeps the heap honest, since the
+    * same id entering twice would displace a distinct id and fan the
+    * final value join out to duplicate rows. Dedup by id alone is exact
+    * because a state row's priority and value are both pure functions of
+    * the id. */
   def kmvMerge(k: Int, states: Seq[DataFrame]): DataFrame = {
-    val u = states.reduce(_ unionByName _)
+    val u = states.reduce(_ unionByName _).dropDuplicates("id")
     val sampled = u
       .select(col("id"), (-kmvPriority(col("id"))).cast("double").as("negPr"))
       .agg(graft.functions.TopKAgg.topk(col("negPr"), col("id"), k).as("top"))
@@ -254,7 +261,11 @@ object Sketches {
     val bounds = vals
       .agg(min(value).cast("double"), max(value).cast("double"), count(lit(1)))
       .collect().head
-    val (loD, hiD, nRows) = (bounds.getDouble(0), bounds.getDouble(1), bounds.getLong(2))
+    // read count FIRST: on an empty frame min/max are NULL and the
+    // getDouble calls would throw an opaque NPE
+    val nRows = bounds.getLong(2)
+    require(nRows > 0, "kmvQuantiles requires a non-empty corpus")
+    val (loD, hiD) = (bounds.getDouble(0), bounds.getDouble(1))
     val nBuckets = graft.ops.Adaptive.numRanges(nRows, floor = 64)
     val binned = vals.withColumn("__bin", least(lit(nBuckets - 1),
       floor((col(value).cast("double") - loD) * nBuckets / (hiD - loD + 1.0)))

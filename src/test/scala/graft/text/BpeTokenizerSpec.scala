@@ -73,6 +73,80 @@ class BpeTokenizerSpec extends SparkSpec {
     out.getAs[Long]("n_bpe_tokens") shouldBe perWord
   }
 
+  "trainMergesLocal" should "match the distributed trainer merge-for-merge" in {
+    // the driver-side heap trainer is the default path; the distributed
+    // per-merge loop is the vocab-exceeds-driver fallback. Both must
+    // produce the IDENTICAL table (same counts, same utf8 tie-breaks) —
+    // on the hand-computed fixture and on the real corpus.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (df <- Seq(corpus, docs)) {
+      val vocab = BpeTokenizer.vocabulary(df, "text").persist()
+      val local = BpeTokenizer.trainMergesLocal(
+        vocab.select("word", "freq").collect()
+          .map(r => (r.getString(0), r.getLong(1))), 25)
+      val dist = BpeTokenizer.trainMergesDistributed(vocab, 25)
+      local shouldBe dist
+      local.length should be > 4
+    }
+  }
+
+  "the fused apply expression" should "equal the replace-fold chain on the real corpus" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = BpeTokenizer.trainMerges(docs, "text", nMerges = 20)
+    val fused = BpeTokenizer.tokenize(docs, "doc_id", "text", m).collect()
+    val chain = BpeTokenizer.tokenizeSpec(docs, "doc_id", "text", m).collect()
+    fused should contain theSameElementsInOrderAs chain
+  }
+
+  it should "keep SEQUENTIAL chain semantics where greedy BPE diverges" in {
+    // duplicate-surface-form table: rank 3 (b,c) fires first in rank
+    // order; greedy lowest-rank-present would then merge (a,bc) [rank 1]
+    // and (x,abc) [rank 2] down to 2 tokens, but the chain's passes for
+    // ranks 1-2 already ran (as no-ops), so the answer is 4.
+    val m = Seq(
+      BpeTokenizer.Merge(1, "a", "bc", 9L),
+      BpeTokenizer.Merge(2, "x", "abc", 9L),
+      BpeTokenizer.Merge(3, "b", "c", 9L))
+    val doc = Seq((1L, "xabc")).toDF("doc_id", "text")
+    val fused = BpeTokenizer.tokenize(doc, "doc_id", "text", m).collect().head
+    val chain = BpeTokenizer.tokenizeSpec(doc, "doc_id", "text", m).collect().head
+    fused.getAs[Long]("n_bpe_tokens") shouldBe 4L // x, a, bc, </w>
+    chain.getAs[Long]("n_bpe_tokens") shouldBe 4L
+  }
+
+  it should "apply a pair re-learned at a later rank (multi-rank pairs)" in {
+    // (ab,c) appears at ranks 1 AND 3: rank 1 is a no-op (no "ab" symbol
+    // yet), rank 2 creates it, rank 3 must still fire — a single-rank
+    // pair index would skip it and leave 3 tokens.
+    val m = Seq(
+      BpeTokenizer.Merge(1, "ab", "c", 9L),
+      BpeTokenizer.Merge(2, "a", "b", 9L),
+      BpeTokenizer.Merge(3, "ab", "c", 9L))
+    val doc = Seq((1L, "abc")).toDF("doc_id", "text")
+    val fused = BpeTokenizer.tokenize(doc, "doc_id", "text", m).collect().head
+    val chain = BpeTokenizer.tokenizeSpec(doc, "doc_id", "text", m).collect().head
+    fused.getAs[Long]("n_bpe_tokens") shouldBe 2L // abc, </w>
+    chain.getAs[Long]("n_bpe_tokens") shouldBe 2L
+  }
+
+  "the delimiter contract" should "surface as an error, not silent corruption" in {
+    // U+0001/U+0002 in input would mis-frame the delimited replace chain
+    // both engines replay — the engine must fail loudly instead
+    val poisoned = Seq((1L, "ok ok ok", 0), (2L, "badword badword", 0))
+      .toDF("doc_id", "text", "pad")
+    val trainEx = the[IllegalArgumentException] thrownBy
+      BpeTokenizer.trainMerges(poisoned, "text", nMerges = 3)
+    trainEx.getMessage should include("BPE contract violation")
+    val m = Seq(BpeTokenizer.Merge(1, "o", "k", 3L))
+    val applyEx = intercept[Exception] {
+      BpeTokenizer.tokenize(poisoned, "doc_id", "text", m).collect()
+    }
+    val msgs = Iterator.iterate(applyEx: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    msgs should include("reserved delimiter")
+  }
+
   it should "reduce token count versus characters on the real corpus" in {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val m = BpeTokenizer.trainMerges(docs, "text", nMerges = 20)

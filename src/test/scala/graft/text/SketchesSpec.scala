@@ -104,6 +104,24 @@ class SketchesSpec extends SparkSpec {
     full.size shouldBe Sketches.KmvK
   }
 
+  it should "merge OVERLAPPING states to the union's bottom-k" in {
+    // the normal sketch-union case: two states built over corpora that
+    // share rows. Without the id-dedup the shared ids enter the heap
+    // twice, displacing distinct ids and fanning the value join out to
+    // duplicate rows — this pins both failure modes.
+    import org.apache.spark.sql.functions._
+    val twoThirdsA = docs.filter(col("doc_id") % 3 =!= 0) // residues 1,2
+    val twoThirdsB = docs.filter(col("doc_id") % 3 =!= 1) // residues 0,2 — overlap on 2
+    val merged = Sketches.kmvMerge(Sketches.KmvK, Seq(
+        Sketches.kmvState(twoThirdsA, "doc_id", "text"),
+        Sketches.kmvState(twoThirdsB, "doc_id", "text")))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("v")))
+    val full = Sketches.kmvState(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("v"))).toSet
+    merged.length shouldBe merged.toSet.size // no duplicate (id, v) rows
+    merged.toSet shouldBe full
+  }
+
   it should "keep every row when the corpus is smaller than k" in {
     val tiny = docs.limit(10)
     Sketches.kmvState(tiny, "doc_id", "text").count() shouldBe 10L
@@ -170,6 +188,12 @@ class SketchesSpec extends SparkSpec {
       Sketches.kmvQuantiles(docs, "doc_id", "text", probes = Seq(0.5, 1.5))
     an[IllegalArgumentException] should be thrownBy
       Sketches.kmvQuantiles(docs, "doc_id", "text", probes = Seq.empty)
+  }
+
+  it should "fail fast with a named message on an empty corpus" in {
+    val ex = the[IllegalArgumentException] thrownBy
+      Sketches.kmvQuantiles(docs.limit(0), "doc_id", "text")
+    ex.getMessage should include("non-empty corpus")
   }
 
   "cmsTokenFrequency" should "never underestimate and bound the collision error" in {
