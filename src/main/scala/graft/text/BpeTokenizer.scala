@@ -168,7 +168,7 @@ object BpeTokenizer {
     * one. Counts therefore equal the distributed aggregate's at every
     * step: both weight every adjacent POSITION by word frequency, and
     * both rewrite with the same left-to-right non-overlapping pass. */
-  private[text] def trainMergesLocal(vocabIn: Array[(String, Long)],
+  private[graft] def trainMergesLocal(vocabIn: Array[(String, Long)],
                                      nMerges: Int): Seq[Merge] = {
     type Pair = (String, String)
     val nWords = vocabIn.length
@@ -284,7 +284,7 @@ object BpeTokenizer {
     * over the vocab frame plus a single-row argmax fetch per merge: the
     * vocab-exceeds-driver fallback (each iteration is scale-safe; the
     * ITERATION COUNT is why the driver trainer is the default path). */
-  private[text] def trainMergesDistributed(vocab0: DataFrame,
+  private[graft] def trainMergesDistributed(vocab0: DataFrame,
                                            nMerges: Int): Seq[Merge] = {
     // note: collapsing a small vocab to one partition was tried and
     // REVERTED — serializing the per-iteration aggregates cost more than
@@ -341,7 +341,7 @@ object BpeTokenizer {
 
   /** Spec-only tokenize via the replace-fold chain (see
     * [[applyMergesSpec]]). */
-  private[text] def tokenizeSpec(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def tokenizeSpec(df: DataFrame, idCol: String, textCol: String,
                                  merges: Seq[Merge]): DataFrame =
     tokenizeWith(df, idCol, textCol,
       norm => size(symsOf(applyMergesSpec(docRepr(norm), merges))).cast("long"))
