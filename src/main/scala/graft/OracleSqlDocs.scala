@@ -333,6 +333,94 @@ object OracleSqlDocs {
   }
 
 
+  /** Corpus CTEs of the perceptual queries, ending in
+    * `gen(asset_id, raster)`: the planted-variant corpus, plus (when
+    * `flat`) the degenerate constant-raster population of
+    * [[graft.multimodal.Media.degenerateCorpus]]. */
+  private def perceptualGenCtes(flat: Boolean): String = {
+    val flatCte = if (!flat) "" else
+      s""", flatg AS (
+         |  SELECT vec_id + ${graft.multimodal.Media.FlatOffset} AS asset_id,
+         |    [42 for i in range(0, 65)] AS raster
+         |  FROM embeddings WHERE vec_id % 2 = 0
+         |)""".stripMargin
+    val genUnion = "SELECT * FROM base UNION ALL SELECT * FROM pert" +
+      (if (flat) " UNION ALL SELECT * FROM flatg" else "")
+    s"""WITH base AS (
+       |  SELECT vec_id AS asset_id,
+       |    [(vec_id*31 + 7*i*i + (vec_id % 13)*i) % 256 for i in range(0, 65)] AS raster
+       |  FROM embeddings
+       |), pert AS (
+       |  SELECT vec_id + ${graft.multimodal.Media.VariantOffset} AS asset_id,
+       |    [CASE WHEN i % 64 = 1
+       |          THEN ((vec_id*31 + 7*i*i + (vec_id % 13)*i) % 256 + 16) % 256
+       |          ELSE (vec_id*31 + 7*i*i + (vec_id % 13)*i) % 256 END
+       |     for i in range(0, 65)] AS raster
+       |  FROM embeddings WHERE vec_id % 4 = 0
+       |)$flatCte, gen AS ($genUnion)""".stripMargin
+  }
+
+  /** 64-bit Hamming distance between hx/hy hash prefix `p` (4 16-bit
+    * words). */
+  private def hamSql(p: String): String =
+    "CAST(" + (0 until 4).map(j =>
+      s"bit_count(xor(hx.$p$j, hy.$p$j))").mkString(" + ") + " AS BIGINT)"
+
+  /** The shared perceptual-hash pipeline over a `gen(asset_id, raster)`
+    * CTE chain: hashes (4 16-bit words each for aHash/dHash), the EIGHT
+    * 8-bit aHash blocking bands, bucket sizes, the `cap` filter, and the
+    * capped candidate set `cand` — mirroring
+    * [[graft.multimodal.Media.perceptualNearDup]] clause for clause. */
+  private def perceptualCtes(genCtes: String, cap: Long): String = {
+    def aband(j: Int): String =
+      "CAST(" + (0 until 16).map { k =>
+        s"(CASE WHEN raster[${16 * j + k + 1}] * 64 > s THEN ${1 << k} ELSE 0 END)"
+      }.mkString(" + ") + s" AS INT) AS a$j"
+    def dband(j: Int): String =
+      "CAST(" + (0 until 16).map { k =>
+        s"(CASE WHEN raster[${16 * j + k + 1}] > raster[${16 * j + k + 2}] THEN ${1 << k} ELSE 0 END)"
+      }.mkString(" + ") + s" AS INT) AS d$j"
+    val bands = ((0 until 4).map(aband) ++ (0 until 4).map(dband)).mkString(",\n    ")
+    val bandedUnion = (0 until 8).map { j =>
+      val w = s"a${j / 2}"
+      val bv = if (j % 2 == 0) s"$w & 255" else s"$w >> 8"
+      s"SELECT asset_id, $j AS bi, $bv AS bv FROM hb"
+    }.mkString(" UNION ALL ")
+    s"""$genCtes,
+       |hs AS (
+       |  SELECT asset_id, raster,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), raster[1:64]),
+       |      (a, b) -> a + b) AS s
+       |  FROM gen
+       |), hb AS (
+       |  SELECT asset_id,
+       |    $bands
+       |  FROM hs
+       |), banded AS (
+       |  $bandedUnion
+       |), bsz AS (
+       |  SELECT bi, bv, count(*) AS m FROM banded GROUP BY bi, bv
+       |), elig AS (SELECT bi, bv FROM bsz WHERE m <= $cap),
+       |cb AS (SELECT banded.* FROM banded JOIN elig USING (bi, bv)),
+       |cand AS (
+       |  SELECT DISTINCT x.asset_id AS asset_a, y.asset_id AS asset_b
+       |  FROM cb x JOIN cb y
+       |    ON x.bi = y.bi AND x.bv = y.bv AND x.asset_id < y.asset_id
+       |)""".stripMargin
+  }
+
+  /** Final verified pair-list select over the [[perceptualCtes]] chain. */
+  private def perceptualPairSelect: String =
+    s"""
+       |SELECT c.asset_a, c.asset_b,
+       |  ${hamSql("a")} AS hamming_a,
+       |  ${hamSql("d")} AS hamming_d
+       |FROM cand c
+       |JOIN hb hx ON hx.asset_id = c.asset_a
+       |JOIN hb hy ON hy.asset_id = c.asset_b
+       |WHERE ${hamSql("a")} <= 6
+       |ORDER BY c.asset_a, c.asset_b""".stripMargin
+
   /** The IVF-flat SEARCH given a centroid CTE (`cents(cid, ce)`): argmax
     * cell assignment with ties toward the smallest centroid id, a 2-cell
     * probe list per query, and (sim DESC, neighbor_id ASC) top-5 — shared
@@ -2138,60 +2226,45 @@ object OracleSqlDocs {
     // planted-variant corpus: rasters regenerated from the closed form
     // (base + every-64th-byte-offset-1 perturbed variants), aHash bit =
     // pixel·64 > Σ pixels (integer cross-multiplication), dHash bit =
-    // gradient sign, 4 × 16-bit bands each, band-blocked candidates,
-    // XOR+bit_count Hamming verify at threshold 6.
-    "p115_perceptual_neardup" -> {
-      def aband(j: Int): String =
-        "CAST(" + (0 until 16).map { k =>
-          s"(CASE WHEN raster[${16 * j + k + 1}] * 64 > s THEN ${1 << k} ELSE 0 END)"
-        }.mkString(" + ") + s" AS INT) AS a$j"
-      def dband(j: Int): String =
-        "CAST(" + (0 until 16).map { k =>
-          s"(CASE WHEN raster[${16 * j + k + 1}] > raster[${16 * j + k + 2}] THEN ${1 << k} ELSE 0 END)"
-        }.mkString(" + ") + s" AS INT) AS d$j"
-      val bands = ((0 until 4).map(aband) ++ (0 until 4).map(dband)).mkString(",\n    ")
-      val bandedUnion = (0 until 4).map(j =>
-        s"SELECT asset_id, $j AS bi, a$j AS bv FROM hb").mkString(" UNION ALL ")
-      def ham(p: String): String =
-        "CAST(" + (0 until 4).map(j =>
-          s"bit_count(xor(hx.$p$j, hy.$p$j))").mkString(" + ") + " AS BIGINT)"
-      s"""WITH base AS (
-         |  SELECT vec_id AS asset_id,
-         |    [(vec_id*31 + 7*i*i + (vec_id % 13)*i) % 256 for i in range(0, 65)] AS raster
-         |  FROM embeddings
-         |), pert AS (
-         |  SELECT vec_id + ${graft.multimodal.Media.VariantOffset} AS asset_id,
-         |    [CASE WHEN i % 64 = 1
-         |          THEN ((vec_id*31 + 7*i*i + (vec_id % 13)*i) % 256 + 16) % 256
-         |          ELSE (vec_id*31 + 7*i*i + (vec_id % 13)*i) % 256 END
-         |     for i in range(0, 65)] AS raster
-         |  FROM embeddings WHERE vec_id % 4 = 0
-         |), gen AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
-         |hs AS (
-         |  SELECT asset_id, raster,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT), raster[1:64]),
-         |      (a, b) -> a + b) AS s
-         |  FROM gen
-         |), hb AS (
-         |  SELECT asset_id,
-         |    $bands
-         |  FROM hs
-         |), banded AS (
-         |  $bandedUnion
-         |), cand AS (
+    // gradient sign, EIGHT 8-bit aHash blocking bands (exact recall to
+    // Hamming 7 by pigeonhole), hot-bucket cap mirrored, XOR+bit_count
+    // Hamming verify at threshold 6. p123/p124 run the same pipeline
+    // over the degenerate corpus (planted constant rasters sharing one
+    // all-zero aHash bucket) — p123 the capped pair list, p124 the
+    // capped-vs-uncapped count delta proving the cap bites.
+    "p115_perceptual_neardup" ->
+      (perceptualCtes(perceptualGenCtes(flat = false), cap = 1000) +
+        perceptualPairSelect),
+
+    "p123_perceptual_capped" ->
+      (perceptualCtes(perceptualGenCtes(flat = true), cap = 100) +
+        perceptualPairSelect),
+
+    "p124_perceptual_cap_bite" ->
+      (perceptualCtes(perceptualGenCtes(flat = true), cap = 100) +
+        s""",
+         |cand_all AS (
          |  SELECT DISTINCT x.asset_id AS asset_a, y.asset_id AS asset_b
          |  FROM banded x JOIN banded y
          |    ON x.bi = y.bi AND x.bv = y.bv AND x.asset_id < y.asset_id
+         |),
+         |vcap AS (
+         |  SELECT count(*) AS n FROM cand c
+         |  JOIN hb hx ON hx.asset_id = c.asset_a
+         |  JOIN hb hy ON hy.asset_id = c.asset_b
+         |  WHERE ${hamSql("a")} <= 6
+         |),
+         |vall AS (
+         |  SELECT count(*) AS n FROM cand_all c
+         |  JOIN hb hx ON hx.asset_id = c.asset_a
+         |  JOIN hb hy ON hy.asset_id = c.asset_b
+         |  WHERE ${hamSql("a")} <= 6
          |)
-         |SELECT c.asset_a, c.asset_b,
-         |  ${ham("a")} AS hamming_a,
-         |  ${ham("d")} AS hamming_d
-         |FROM cand c
-         |JOIN hb hx ON hx.asset_id = c.asset_a
-         |JOIN hb hy ON hy.asset_id = c.asset_b
-         |WHERE ${ham("a")} <= 6
-         |ORDER BY c.asset_a, c.asset_b""".stripMargin
-    },
+         |SELECT * FROM (
+         |  SELECT 'capped' AS config, n AS n_pairs FROM vcap
+         |  UNION ALL
+         |  SELECT 'uncapped', n FROM vall
+         |) ORDER BY config""".stripMargin),
 
     "p30_media_stats" ->
       s"""WITH gen AS (

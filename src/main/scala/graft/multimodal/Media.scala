@@ -205,6 +205,48 @@ object Media {
       .union(ids.filter(_ % 4 == 0).mapPartitions(_.map(mkVariant)))
   }
 
+  /** Id offset for the degenerate flat assets of [[degenerateCorpus]]. */
+  val FlatOffset = 2000000L
+
+  /** A constant-raster asset: every byte 42 — aHash and dHash are both
+    * all-zero (no pixel exceeds the mean, no positive gradient), so ALL
+    * flat assets collide in EVERY band: the degenerate-band failure the
+    * hot-bucket cap exists for (the file's scaladoc history records the
+    * shift-invariant corpus hitting exactly this). */
+  private[multimodal] def mkFlat(id: Long): MediaAsset = {
+    val base = mkAsset(id)
+    base.copy(asset_id = id + FlatOffset,
+      content = Array.fill(base.content.length)(42.toByte))
+  }
+
+  /** [[perceptualCorpus]] plus a planted DEGENERATE population: a flat
+    * (constant-raster) asset for every even id — half the corpus shares
+    * one all-zero aHash bucket, which would contribute m²/2 candidate
+    * pairs inside one task if the banded self-join ran uncapped. The
+    * p123/p124 queries run over this corpus to prove the cap bites. */
+  def degenerateCorpus(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    val ids = Tables.embeddings(spark, dir).select(col("vec_id")).as[Long]
+    perceptualCorpus(spark, dir)
+      .union(ids.filter(_ % 2 == 0).mapPartitions(_.map(mkFlat)))
+  }
+
+  /** Cap-bite evidence (the p94-vs-p98 convention, folded to counts so
+    * the verified output stays bounded): the pair count of the capped
+    * configuration beside the uncapped ground truth over the same
+    * corpus. On [[degenerateCorpus]] the delta is the flat population's
+    * quadratic pair mass — the candidates the cap refuses to enumerate. */
+  def perceptualCapBite(assets: Dataset[MediaAsset], maxHamming: Int,
+                        maxBucket: Int): DataFrame = {
+    val capped = perceptualNearDup(assets, maxHamming, maxBucket)
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(lit("capped").as("config"), col("n_pairs"))
+    val uncapped = perceptualNearDup(assets, maxHamming, Int.MaxValue)
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(lit("uncapped").as("config"), col("n_pairs"))
+    capped.unionByName(uncapped).orderBy("config")
+  }
+
   /** aHash + dHash over the asset's leading 8×8 byte raster, packed as
     * 4 × 16-bit bands each (the SimHash banding convention, sized so a
     * near-duplicate — a few flipped bits — still agrees on ≥ 1 band):
@@ -240,26 +282,47 @@ object Media {
     }).toDF("asset_id", "a0", "a1", "a2", "a3", "d0", "d1", "d2", "d3")
   }
 
-  /** Perceptual near-duplicate pairs: candidates share at least one
-    * aHash band (Hamming-banded blocking — a pair within `maxHamming`
-    * of 64 bits must agree on ≥ 1 of 4 bands whenever maxHamming < 4·16
-    * is concentrated, the SimHash OR-construction), verified by the full
-    * 64-bit Hamming distance via XOR + bit_count per band. Output:
-    * (asset_a, asset_b, hamming_a, hamming_d) for hamming_a ≤
-    * `maxHamming`, ordered.
+  /** Perceptual near-duplicate pairs: candidates share at least one of
+    * EIGHT 8-bit aHash bands — sized to the threshold: a pair differing
+    * in ≤ 7 of 64 bits cannot differ in all 8 bands (pigeonhole), so for
+    * the default `maxHamming` = 6 the blocking is EXACT (the LSH
+    * OR-construction guarantee; the round-13 4×16-bit banding only
+    * guaranteed recall to Hamming 3 and was silently approximate above
+    * it). Candidates are verified by the full 64-bit Hamming distance
+    * via XOR + bit_count per word. Output: (asset_a, asset_b, hamming_a,
+    * hamming_d) for hamming_a ≤ `maxHamming`, ordered. For
+    * `maxHamming` ≥ 8 recall is approximate (a qualifying pair can
+    * spread its bits across all bands).
     *
     * Scale shape: the banded frame carries (id, band_idx, band_val)
     * only; the self-join keys on the band pair, hashes rejoin by id for
     * the surviving deduped candidates (the nearDupPairs plan shape), and
-    * the Hamming verify is 8 codegen'd XOR+popcounts per pair. */
+    * the Hamming verify is 8 codegen'd XOR+popcounts per pair. Band
+    * buckets above `maxBucket` are skipped BEFORE the self-join — the
+    * house hot-bucket cap every banded miner applies (a degenerate band
+    * value, e.g. the all-zero aHash of near-constant rasters, otherwise
+    * contributes m² candidate pairs inside one task); the cap is
+    * oracle-mirrored, and the p124 twin proves where it bites. */
   def perceptualNearDup(assets: Dataset[MediaAsset],
-                        maxHamming: Int = 6): DataFrame = {
+                        maxHamming: Int = 6,
+                        maxBucket: Int = graft.text.TextDedup.DefaultMaxBucket)
+      : DataFrame = {
     val h = perceptualHashes(assets)
     val banded = h.select(col("asset_id"), explode(array(
-      (0 until 4).map(j => struct(lit(j).as("bi"), col(s"a$j").as("bv"))): _*))
-      .as("b"))
+      (0 until 8).map { j =>
+        val word = col(s"a${j / 2}")
+        val bv = if (j % 2 == 0) word.bitwiseAND(lit(255))
+                 else shiftright(word, 8)
+        struct(lit(j).as("bi"), bv.as("bv"))
+      }: _*)).as("b"))
       .select(col("asset_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
-    val pairs = banded.as("x").join(banded.as("y"), Seq("bi", "bv"))
+    // hot-bucket cap (the minhashNearDup pattern): partial-agg sizes,
+    // then drop a hot bucket's m rows before they meet as m² pairs
+    val eligible = banded.groupBy("bi", "bv")
+      .agg(count(lit(1)).as("__m")).filter(col("__m") <= maxBucket)
+      .select("bi", "bv")
+    val capped = banded.join(eligible, Seq("bi", "bv"))
+    val pairs = capped.as("x").join(capped.as("y"), Seq("bi", "bv"))
       .filter(col("x.asset_id") < col("y.asset_id"))
       .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"))
       .distinct()

@@ -835,5 +835,17 @@ object DocAnalytics {
     // p31's exact-histogram dedup structurally misses
     "p115_perceptual_neardup" -> ((s, d) =>
       graft.multimodal.Media.perceptualNearDup(
-        graft.multimodal.Media.perceptualCorpus(s, d))))
+        graft.multimodal.Media.perceptualCorpus(s, d))),
+    // the SAME miner under a deliberately degenerate corpus (half the
+    // assets share one all-zero aHash bucket): p123 is the capped
+    // configuration's pair list, p124 the capped-vs-uncapped pair-count
+    // delta proving the hot-bucket cap bites (the p94/p98 convention)
+    "p123_perceptual_capped" -> ((s, d) =>
+      graft.multimodal.Media.perceptualNearDup(
+        graft.multimodal.Media.degenerateCorpus(s, d), maxHamming = 6,
+        maxBucket = 100)),
+    "p124_perceptual_cap_bite" -> ((s, d) =>
+      graft.multimodal.Media.perceptualCapBite(
+        graft.multimodal.Media.degenerateCorpus(s, d), maxHamming = 6,
+        maxBucket = 100)))
 }

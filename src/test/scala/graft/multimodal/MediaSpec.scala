@@ -92,6 +92,42 @@ class MediaSpec extends SparkSpec {
     bases.foreach(id => feats(id) should not equal feats(id + Media.VariantOffset))
   }
 
+  it should "have EXACT recall at the default threshold (8-band pigeonhole)" in {
+    // 8 bands of 8 bits: a pair with hamming_a ≤ 7 cannot differ in all
+    // 8 bands, so banding drops nothing at maxHamming = 6 — compare
+    // against a blocking-free ground truth computed from the hashes
+    val h = Media.perceptualHashes(Media.perceptualCorpus(spark, sfDir)).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        (0 until 4).map(j => r.getAs[Int](s"a$j")).toArray).sortBy(_._1)
+    val truth = (for {
+      i <- h.indices.iterator
+      j <- (i + 1) until h.length
+      ham = (0 until 4).map(k =>
+        Integer.bitCount(h(i)._2(k) ^ h(j)._2(k))).sum
+      if ham <= 6
+    } yield (h(i)._1, h(j)._1)).toSet
+    val mined = Media.perceptualNearDup(Media.perceptualCorpus(spark, sfDir))
+      .collect().map(r =>
+        (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"))).toSet
+    mined shouldBe truth
+  }
+
+  it should "cap the degenerate all-zero-hash bucket before it goes quadratic" in {
+    // half of degenerateCorpus is constant rasters — one bucket in every
+    // band. Capped: the flat population contributes nothing; uncapped
+    // truth holds its quadratic pair mass. p124 oracle-verifies the
+    // counts; this pins the mechanism.
+    val corpus = Media.degenerateCorpus(spark, sfDir)
+    val capped = Media.perceptualNearDup(corpus, maxHamming = 6, maxBucket = 100)
+      .collect()
+    capped.count(r => r.getAs[Long]("asset_a") >= Media.FlatOffset) shouldBe 0
+    val bite = Media.perceptualCapBite(corpus, maxHamming = 6, maxBucket = 100)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_pairs")).toMap
+    bite("capped") shouldBe capped.length.toLong
+    // 250 flat assets → 250·249/2 identical pairs the cap refuses
+    bite("uncapped") - bite("capped") should be >= (250L * 249 / 2)
+  }
+
   "perceptualHashes" should "pack band bits in ascending bit order" in {
     // asset whose raster is known: verify band packing against a direct
     // recomputation in the test
