@@ -621,6 +621,36 @@ object OracleSqlDocs {
        |  FROM grid g LEFT JOIN sums s ON s.id = g.id AND s.j = g.j
        |), v AS (SELECT id AS vec_id, list(val ORDER BY j) AS e FROM dense GROUP BY id)""".stripMargin
 
+  /** The idf-weighted hashed-embedding CTE chain (p126/p127's twin of
+    * [[hashedEmbCte]]): per-token document frequency, the log2-quantized
+    * integer idf `length(bin(N // df))`, occurrence contribution
+    * sign × idf — integer sums throughout, the same dense assembly. */
+  private val hashedEmbIdfCte: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
+       |), occ AS (
+       |  SELECT id, unnest(t) AS tok FROM toks
+       |), nd AS (SELECT count(*) AS n FROM documents),
+       |dfq AS (
+       |  SELECT tok, count(DISTINCT id) AS dfq FROM occ GROUP BY tok
+       |), wx AS (
+       |  SELECT id, ${hash("tok")} AS h,
+       |    CAST(length(bin(n // dfq)) AS BIGINT) AS w
+       |  FROM occ JOIN dfq USING (tok) CROSS JOIN nd
+       |), ex AS (
+       |  SELECT id, h % 64 AS j,
+       |    (CASE WHEN ((h * 48271) % 998244353) % 2 = 0 THEN 1 ELSE -1 END) * w AS s
+       |  FROM wx
+       |), sums AS (
+       |  SELECT id, j, CAST(sum(s) AS BIGINT) AS sv FROM ex GROUP BY id, j
+       |), grid AS (
+       |  SELECT d.id, r.range AS j FROM (SELECT DISTINCT id FROM sums) d
+       |  CROSS JOIN range(0, 64) r
+       |), dense AS (
+       |  SELECT g.id, g.j, CAST(COALESCE(s.sv, 0) AS REAL) AS val
+       |  FROM grid g LEFT JOIN sums s ON s.id = g.id AND s.j = g.j
+       |), v AS (SELECT id AS vec_id, list(val ORDER BY j) AS e FROM dense GROUP BY id)""".stripMargin
+
   val docs: Map[String, String] = Map(
     // hashed-BoW text knn: constructed vectors + the p21 brute-force tail
     "p121_text_knn" -> (hashedEmbCte +
@@ -637,6 +667,29 @@ object OracleSqlDocs {
          |)
          |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, sim
          |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin),
+
+    // p121's idf-weighted config: the same brute-force tail over the
+    // weighted vectors
+    "p126_text_knn_idf" -> (hashedEmbIdfCte +
+      s""",
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20),
+         |qsims AS (
+         |  SELECT query_id, v.vec_id AS neighbor_id, ${cos("qe", "e")} AS sim
+         |  FROM q JOIN v ON v.vec_id <> query_id
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM qsims
+         |)
+         |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, sim
+         |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin),
+
+    // p122's idf-weighted config: the same banded-miner tail
+    "p127_text_embed_neardup_idf" -> (hashedEmbIdfCte + ",\n" + embPairTail +
+      s"""
+         |SELECT vec_a, vec_b, sim FROM sims
+         |WHERE sim >= CAST(0.9 AS DOUBLE) ORDER BY vec_a, vec_b""".stripMargin),
 
     // embedding-cosine near-dup over TEXT: constructed vectors + the
     // banded-miner tail at cosine >= 0.9
@@ -2144,6 +2197,37 @@ object OracleSqlDocs {
     "p50_knn_ivf_trained" -> ivfSearchSql(
       "cents AS (SELECT cent_id AS cid, ce FROM read_parquet(" +
         s"'${graft.ops.DocAnalytics.P50CentroidsPath}/*.parquet'))"),
+
+    // two-level coarse assignment: top-2 superclusters (cos DESC, sid
+    // ASC) from the persisted supercluster table, then argmax over only
+    // those superclusters' cells — replayed beside the flat argmax over
+    // the full cell table so the agreement column is itself verified.
+    "p125_two_level_assign" ->
+      s"""WITH sup AS (SELECT sid, se FROM read_parquet(
+         |  '${graft.ops.DocAnalytics.P125SupersPath}/*.parquet')),
+         |cent AS (SELECT cid, sid, ce FROM read_parquet(
+         |  '${graft.ops.DocAnalytics.P125CellsPath}/*.parquet')),
+         |e AS (SELECT vec_id, embedding AS qe FROM embeddings),
+         |ss AS (SELECT e.vec_id, s.sid, ${cos("qe", "se")} AS cs
+         |       FROM e CROSS JOIN sup s),
+         |sel AS (SELECT vec_id, sid FROM (
+         |  SELECT vec_id, sid, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cs DESC, sid) AS rn FROM ss) WHERE rn <= 2),
+         |cs2 AS (SELECT e.vec_id, c.cid, ${cos("e.qe", "c.ce")} AS cs
+         |        FROM sel JOIN e ON e.vec_id = sel.vec_id
+         |        JOIN cent c ON c.sid = sel.sid),
+         |two AS (SELECT vec_id, cid AS cell_two_level FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cs DESC, cid) AS rn FROM cs2) WHERE rn = 1),
+         |fs AS (SELECT e.vec_id, c.cid, ${cos("qe", "ce")} AS cs
+         |       FROM e CROSS JOIN cent c),
+         |flat AS (SELECT vec_id, cid AS cell_flat FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cs DESC, cid) AS rn FROM fs) WHERE rn = 1)
+         |SELECT t.vec_id, t.cell_two_level, f.cell_flat,
+         |  CAST(t.cell_two_level = f.cell_flat AS BIGINT) AS agree
+         |FROM two t JOIN flat f USING (vec_id)
+         |ORDER BY t.vec_id""".stripMargin,
 
     // recall@k of the approximate paths vs exact brute force — all three
     // top-k sets recomputed here with the same expressions as their own

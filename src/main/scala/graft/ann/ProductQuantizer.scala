@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.AnnPrims.l2sq
 
@@ -351,6 +351,45 @@ object ProductQuantizer {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           graft.functions.AdcLutSum(col("codes"), col("lut")).as("dist")),
       k)
+  }
+
+  /** Persist a [[residualCodesIndex]] frame PARTITIONED BY CELL — the
+    * storage layout that closes the "persist/bucket this frame by cell"
+    * deployment contract: each cell's codes live in their own partition
+    * directory, so a search's probed cells become a partition-pruned
+    * scan (only ~queries·nProbe of nCells directories are ever opened —
+    * [[searchPersistedIndexLut]]). Directory-per-cell is the right
+    * layout up to ~10⁴ cells; past that a production lake groups cells
+    * into range directories to bound file count (the same trade
+    * Bucketing.scala documents for bucket counts). */
+  def writeCellPartitionedIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** LUT-ADC search over a PERSISTED cell-partitioned codes index: the
+    * query batch's probed cells are computed first (bounded by
+    * construction: |queries|·nProbe values) and applied as a STATIC
+    * `cell IN (...)` filter on the raw partition column, so the file
+    * scan reads ONLY the probed cells' directories — scan fraction ≈
+    * nProbe/nCells of the corpus per batch, verified by the plan-lock
+    * spec (PartitionedAnnIndexSpec asserts partitions-read = probed
+    * cells and result parity with the in-memory search). */
+  def searchPersistedIndexLut(spark: SparkSession, path: String,
+                              queries: DataFrame,
+                              cents: Array[(Long, Array[Float])],
+                              cb: Codebooks,
+                              k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val probeCells = queries.select(
+        explode(Similarity.probeCellsOf(col("qe"), cents, nProbe)).as("cell"))
+      .distinct()
+    val cellList = graft.ops.Adaptive.boundedCollect(probeCells,
+        "probed cell set", "the in-memory searchResidualIndexLut over " +
+          "an unpersisted index").map(_.getLong(0))
+    // filter BEFORE any cast: partition pruning needs the predicate on
+    // the raw partition column (the directory key)
+    val index = spark.read.parquet(path)
+      .filter(col("cell").isin(cellList: _*))
+      .withColumn("cell", col("cell").cast("long"))
+    searchResidualIndexLut(index, queries, cents, cb, k, nProbe)
   }
 
   /** Residual LUT-ADC IVF-PQ — [[searchResidualIndexLut]] over

@@ -314,6 +314,83 @@ object Similarity {
     cents
   }
 
+  /** Two-level coarse-quantizer structure over an already-trained cell
+    * table: `nSuper` superclusters (default ⌈√nCells⌉) trained by
+    * DRIVER-SIDE spherical k-means over the CENTROID TABLE — bounded by
+    * construction: the centroid table is the small frame (≤ ~10⁵ rows ×
+    * dim floats), so no Spark jobs are spent on it. Deterministic
+    * end-to-end: init = every ⌊n/nSuper⌋-th centroid (ids 0..nSuper−1),
+    * assignment by (cos DESC, sid ASC), means accumulated in index
+    * order, empty superclusters keep their previous vector. Returns
+    * (supers, cells-with-super) in the [[graft.functions.CellArgmaxNested]]
+    * layout; both tables persist for the oracle replay (p125). */
+  def trainTwoLevel(cents: Array[(Long, Array[Float])], nSuper: Int = 0,
+                    iters: Int = 3)
+      : (Array[(Long, Array[Float])], Array[(Long, Long, Array[Float])]) = {
+    require(cents.nonEmpty, "two-level quantizer needs a non-empty cell table")
+    val n = cents.length
+    val k = if (nSuper > 0) math.min(nSuper, n)
+            else math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val dim = cents.head._2.length
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var sup: Array[Array[Float]] =
+      Array.tabulate(k)(s => cents((s.toLong * n / k).toInt)._2.clone())
+    var assign = new Array[Int](n)
+    def assignAll(): Unit = {
+      var c = 0
+      while (c < n) {
+        var bestS = 0
+        var bestCs = Double.NegativeInfinity
+        var s = 0
+        while (s < k) {
+          val cs = cosine(cents(c)._2, sup(s))
+          val cmp = java.lang.Double.compare(cs, bestCs)
+          if (cmp > 0) { bestCs = cs; bestS = s } // ties keep smaller sid
+          s += 1
+        }
+        assign(c) = bestS
+        c += 1
+      }
+    }
+    for (_ <- 0 until iters) {
+      assignAll()
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      var c = 0
+      while (c < n) {
+        val s = assign(c)
+        val v = cents(c)._2
+        var i = 0
+        while (i < dim) { sums(s)(i) += v(i).toDouble; i += 1 }
+        counts(s) += 1
+        c += 1
+      }
+      sup = Array.tabulate(k)(s =>
+        if (counts(s) == 0) sup(s)
+        else Array.tabulate(dim)(i => (sums(s)(i) / counts(s)).toFloat))
+    }
+    assignAll() // final mapping against the final supercluster vectors
+    val supers = Array.tabulate(k)(s => (s.toLong, sup(s)))
+    val cellsWithSuper = Array.tabulate(n)(c =>
+      (cents(c)._1, assign(c).toLong, cents(c)._2))
+    (supers, cellsWithSuper)
+  }
+
+  /** Two-level cell assignment column — [[graft.functions.CellArgmaxNested]]
+    * over a [[trainTwoLevel]] structure. */
+  def cellOfTwoLevel(vec: Column, supers: Array[(Long, Array[Float])],
+                     cells: Array[(Long, Long, Array[Float])],
+                     wSuper: Int = 2): Column =
+    graft.functions.CellArgmaxNested(vec, supers, cells, wSuper)
+
   /** Near-duplicate vector pairs with cosine ≥ `minSim`, blocked by
     * multi-table LSH (pairs must share a sign bucket in at least one of
     * `tables` independent plane sets — the OR-construction that recovers

@@ -105,11 +105,17 @@ object DocAnalytics {
     * the EXACT set Verify may clear at startup. Kept as an explicit list so
     * a user-pointed `-Dgraft.oracle.dir` at a shared directory never gets
     * recursively wiped; only framework-owned entries are touched. */
+  /** p125's two-level quantizer artifacts: the supercluster table and
+    * the cell→super mapping with centroid vectors. */
+  def P125SupersPath: String = s"$oracleArtifactDir/p125_supers"
+  def P125CellsPath: String = s"$oracleArtifactDir/p125_cells"
+
   def oracleArtifactPaths: Seq[String] =
     Seq(P50CentroidsPath, P103CentroidsPath, P105CodebooksPath,
       P106CodebooksPath, P109CodebooksPath, P110CodebooksPath,
       P114MergesPath, P117MergesPath, P118CodebooksPath,
-      P119CentroidsPath, P119CodebooksPath)
+      P119CentroidsPath, P119CodebooksPath,
+      P125SupersPath, P125CellsPath)
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -524,6 +530,17 @@ object DocAnalytics {
       Similarity.nearDupPairs(
         TextStats.hashedEmbedding(docs(s, d), "doc_id", "text"),
         "vec_id", "e", minSim = 0.9)),
+    // the idf-weighted configs of p121/p122: log2-quantized integer idf
+    // down-weights stop-token mass (bench_records/r14_idf_embed.md
+    // quotes the precision delta vs the unweighted bootstrap)
+    "p126_text_knn_idf" -> ((s, d) =>
+      Similarity.knnBruteForce(
+        TextStats.hashedEmbeddingIdf(docs(s, d), "doc_id", "text"),
+        "vec_id", "e", col("vec_id") < QueryMaxId)),
+    "p127_text_embed_neardup_idf" -> ((s, d) =>
+      Similarity.nearDupPairs(
+        TextStats.hashedEmbeddingIdf(docs(s, d), "doc_id", "text"),
+        "vec_id", "e", minSim = 0.9)),
     "p21_knn_bruteforce" -> ((s, d) =>
       Similarity.knnBruteForce(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     "p22_knn_lsh" -> ((s, d) =>
@@ -534,6 +551,30 @@ object DocAnalytics {
       Similarity.knnLshMulti(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     "p38_knn_ivf" -> ((s, d) =>
       Similarity.knnIvf(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
+    // two-level coarse assignment (the production cut past ~10^4 cells):
+    // superclusters trained driver-side over the CELL TABLE (the small
+    // frame), assignment = one fused nested-argmax node; both tables
+    // persist and the oracle replays top-2-supers -> argmax-cell beside
+    // the flat argmax, so the agreement column is itself verified.
+    "p125_two_level_assign" -> ((s, d) => {
+      val e = emb(s, d)
+      val nCells = graft.ops.Adaptive.ivfCells(e.count())
+      val cents = Similarity.lowestIdCentroids(e, "vec_id", "embedding", nCells)
+      val (supers, cellsWithSuper) = Similarity.trainTwoLevel(cents)
+      import s.implicits._
+      supers.toSeq.toDF("sid", "se").coalesce(1)
+        .write.mode("overwrite").parquet(P125SupersPath)
+      cellsWithSuper.toSeq.map(c => (c._1, c._2, c._3.toSeq))
+        .toDF("cid", "sid", "ce").coalesce(1)
+        .write.mode("overwrite").parquet(P125CellsPath)
+      e.select(col("vec_id").cast("long").as("vec_id"),
+          Similarity.cellOfTwoLevel(col("embedding"), supers, cellsWithSuper, 2)
+            .as("cell_two_level"),
+          graft.functions.CellArgmax(col("embedding"), cents).as("cell_flat"))
+        .withColumn("agree",
+          (col("cell_two_level") === col("cell_flat")).cast("long"))
+        .orderBy("vec_id")
+    }),
     // trained-quantizer IVF. The trainer is pinned by SimilaritySpec's
     // recall test; the SEARCH is oracle-verified value-exactly: the trained
     // centroids are persisted to parquet and the DuckDB oracle replays the

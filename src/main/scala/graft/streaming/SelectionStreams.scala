@@ -186,6 +186,32 @@ object BpeTokenizeStream {
       .start()
 }
 
+/** Streaming twin of the p126 idf-weighted hashed embedding's SCORE half
+  * ([[graft.text.TextStats.hashedEmbeddingIdfWith]]): embed a document
+  * stream against a FROZEN idf vocabulary + document count — the
+  * deployment split (df statistics come from the offline reference
+  * corpus; the ingest stream is embedded against the frozen table, and
+  * unseen tokens take the rarest weight). Row-local given the
+  * vocabulary join, so each micro-batch runs the exact batch embedder
+  * via `foreachBatch`; parity is row-exact by construction, pinned by
+  * the replay test. */
+object IdfEmbedStream {
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+             vocab: DataFrame, nDocs: Long,
+             outDir: String, checkpointDir: String,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.TextStats
+          .hashedEmbeddingIdfWith(batch, idCol, textCol, vocab, nDocs)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+}
+
 /** Streaming twin of the p108 Bloom probe's PROBE half
   * ([[graft.text.TextCuration.bloomSeenProbe]]): probe a document stream
   * against a FROZEN seen-position set — the crawl-frontier deployment

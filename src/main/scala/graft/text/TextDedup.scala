@@ -641,9 +641,20 @@ object TextDedup {
     // lab0's keys ARE the node set); contents and partitioning are
     // identical to the former nodes.distinct() construction, so rounds
     // ≥ 1 — the warm steady state — run the exact same plan.
-    val sym = undirected
+    // ...and SORTED by that key within partitions: every round's
+    // edge⋈labels join is a sort-merge join, and an UNSORTED cached sym
+    // pays a fresh 2·|E|-row SortExec on the edge side in EVERY round —
+    // the dominant per-round cost the r13 100M rung surfaced. The cached
+    // plan's (partitioning, ordering) both survive InMemoryTableScan, so
+    // one write-side sort removes five read-side ones (measured on the
+    // 30M rung — r14_cc_sym.md; -Dgraft.cc.sym=unsorted reverts for
+    // the experiment's baseline arm).
+    val symBase = undirected
       .union(lab0.select(col("id").as("src"), col("id").as("dst")))
       .repartition(col("dst"))
+    val sym =
+      if (sys.props.get("graft.cc.sym").contains("unsorted")) symBase
+      else symBase.sortWithinPartitions("dst")
     sym.persist() // convergence loop only — released in the finally below
     try {
       var labels: DataFrame = null
@@ -659,7 +670,12 @@ object TextDedup {
         val lab1F =
           if (round == 0) lab0
           else {
-            val byDst = labels.select(col("id").as("dst"), col("label").as("dl"))
+            // experiment knob (-Dgraft.cc.join=shj): build a per-partition
+            // hash table on the |V|-row label side instead of merge-joining
+            // — trades the label-side per-round sort for hash builds
+            val byDst0 = labels.select(col("id").as("dst"), col("label").as("dl"))
+            val byDst = if (sys.props.get("graft.cc.join").contains("shj"))
+              byDst0.hint("SHUFFLE_HASH") else byDst0
             sym.join(byDst, Seq("dst"))
               .groupBy(col("src").as("id")).agg(min(col("dl")).as("lab1"))
           }

@@ -246,7 +246,64 @@ object TextStats {
       pmod(col("h"), lit(dim.toLong)).as("j"),
       when((col("h") * lit(48271L)) % lit(998244353L) % 2L === 0L, 1L)
         .otherwise(-1L).as("s"))
-    val sums = ex.groupBy("id", "j").agg(sum(col("s")).as("v"))
+    denseAssemble(ex.groupBy("id", "j").agg(sum(col("s")).as("v")), dim)
+  }
+
+  /** IDF-weighted [[hashedEmbedding]]: each occurrence contributes
+    * sign × idf(token) with the LOG2-QUANTIZED integer idf
+    * `1 + ⌊log2(N / df)⌋` (= `length(bin(N div df))` on both engines —
+    * the HLL rank's bitlength trick) — ubiquitous tokens carry weight 1,
+    * rare tokens up to ~log2(N): the standard tf-idf down-weighting of
+    * stop-token mass that dominates unweighted BoW cosines, kept INTEGER
+    * so the vector build stays oracle-exact end-to-end (a float ln()
+    * is not bit-portable across engines). bench_records/r14_idf_embed.md
+    * quotes the near-dup precision delta vs the unweighted bootstrap.
+    *
+    * Scale shape: the extra cost over the unweighted build is one
+    * distinct (id, token) pass → per-token df aggregate, and a
+    * token-keyed join of the occurrence frame against that vocabulary
+    * frame (AQE broadcasts it when it fits; at web scale it shuffles on
+    * the token key with no skew beyond token frequency itself). The
+    * (id, j) partial-sum exchange and dense assembly are unchanged. */
+  def hashedEmbeddingIdf(df: DataFrame, idCol: String, textCol: String,
+                         dim: Int = 64): DataFrame =
+    hashedEmbeddingIdfWith(df, idCol, textCol,
+      idfVocabulary(df, idCol, textCol), df.count(), dim)
+
+  /** The frozen idf VOCABULARY (token, dfq): per-token document
+    * frequency over the training corpus — the model half of the
+    * train/score split ([[bigramModel]]'s convention): build once
+    * offline, then [[hashedEmbeddingIdfWith]] embeds any corpus or
+    * stream batch against the frozen table. */
+  def idfVocabulary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select("id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("dfq"))
+
+  /** Embed against a FROZEN [[idfVocabulary]] and document count —
+    * tokens absent from the vocabulary score df = 1 (the rarest weight:
+    * an unseen token is maximally informative). Row-local given the
+    * vocabulary join; this is the form the streaming twin runs per
+    * micro-batch. */
+  def hashedEmbeddingIdfWith(df: DataFrame, idCol: String, textCol: String,
+                             vocab: DataFrame, nDocs: Long,
+                             dim: Int = 64): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val weighted = toks.join(vocab, Seq("tok"), "left")
+      .select(col("id"), charHash(col("tok")).as("h"),
+        length(bin(expr(s"$nDocs div coalesce(dfq, 1L)"))).cast("long").as("w"))
+    val ex = weighted.select(col("id"),
+      pmod(col("h"), lit(dim.toLong)).as("j"),
+      (when((col("h") * lit(48271L)) % lit(998244353L) % 2L === 0L, 1L)
+        .otherwise(-1L) * col("w")).as("s"))
+    denseAssemble(ex.groupBy("id", "j").agg(sum(col("s")).as("v")), dim)
+  }
+
+  /** Shared dense-assembly tail of the hashed-embedding builders: the
+    * (id, j, v) sparse sums → (vec_id, e float[dim]), row-local. */
+  private def denseAssemble(sums: DataFrame, dim: Int): DataFrame =
     sums.groupBy("id")
       .agg(collect_list(struct(col("j"), col("v"))).as("entries"))
       .select(col("id").as("vec_id"),
@@ -255,5 +312,4 @@ object TextStats {
             get(filter(col("entries"), e => e.getField("j") === jj), lit(0))
               .getField("v"),
             lit(0L)).cast("float")).as("e"))
-  }
 }

@@ -628,6 +628,27 @@ class StreamingParitySpec extends SparkSpec {
     got shouldBe batch.toSeq
   }
 
+  "IdfEmbedStream" should "embed a doc stream against a frozen idf vocabulary exactly like batch (p126)" in {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val vocab = graft.text.TextStats
+      .idfVocabulary(docsDf, "doc_id", "text").persist()
+    val nDocs = docsDf.count()
+    val outDir = Files.createTempDirectory("graft-idfemb-out").toString
+    val ckpt = Files.createTempDirectory("graft-idfemb-ckpt").toString
+    val q = IdfEmbedStream.attach(
+      docStream(dumpDocsAsJson()), "doc_id", "text", vocab, nDocs, outDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).drop("batch").collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = graft.text.TextStats
+      .hashedEmbeddingIdfWith(docsDf, "doc_id", "text", vocab, nDocs)
+      .collect().map(_.toSeq)
+    vocab.unpersist(false)
+    got.length shouldBe batch.length
+    got shouldBe batch.toSeq
+  }
+
   "LangIdStream" should "classify a doc stream against a frozen vote table exactly like batch langScore (p112)" in {
     val docsDf = graft.sources.Tables.documents(spark, sfDir)
     val model = graft.text.LangClassifier
