@@ -1133,6 +1133,66 @@ object OracleSqlDocs {
     // ORDER BY m fold of per-subspace L2 partials (the LUT contract) —
     // each partial computed between the query residual's subvector and
     // the candidate's codebook entry, never via a decoded reconstruction.
+    // p118's deployment-split twin THROUGH THE STORE: codes come from the
+    // persisted cell-partitioned index parquet (hive cell= directories),
+    // not an encode re-derivation — the stored bytes are what verifies.
+    // Same m-term ordered LUT-ADC fold, same probe structure.
+    "p128_persisted_index_search" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |cb AS (SELECT m, code, cv FROM read_parquet(
+         |  '${graft.ops.DocAnalytics.P128CodebooksPath}/*.parquet')),
+         |idx AS (
+         |  SELECT vec_id, CAST(cell AS BIGINT) AS cell, codes
+         |  FROM read_parquet(
+         |    '${graft.ops.DocAnalytics.P128IndexPath}/*/*.parquet',
+         |    hive_partitioning = 1)
+         |),
+         |codes AS (
+         |  SELECT vec_id, CAST(unnest(range(len(codes))) AS INT) AS m,
+         |    unnest(codes) AS code
+         |  FROM idx
+         |),
+         |cents AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+         |scored AS (
+         |  SELECT v.vec_id, v.e, c.cid, c.ce, ${cos("v.e", "c.ce")} AS cs
+         |  FROM v CROSS JOIN cents c
+         |),
+         |probes AS (
+         |  SELECT vec_id AS query_id, e AS qe, cid AS cell, ce FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY cs DESC, cid) AS rn
+         |    FROM scored WHERE vec_id < 20
+         |  ) WHERE rn <= 2
+         |),
+         |qres AS (
+         |  SELECT query_id, cell, ${fsub("qe", "ce")} AS qr FROM probes
+         |),
+         |psub AS (
+         |  SELECT q.query_id, co.vec_id AS neighbor_id, co.m,
+         |    ${l2sq(
+               "list_slice(q.qr, ms.m * ms.sd + 1, (ms.m + 1) * ms.sd)",
+               "c.cv")} AS pd
+         |  FROM qres q
+         |  JOIN (SELECT vec_id, cell FROM idx) a USING (cell)
+         |  JOIN codes co ON co.vec_id = a.vec_id
+         |  JOIN (SELECT DISTINCT m, len(cv) AS sd FROM cb) ms ON ms.m = co.m
+         |  JOIN cb c ON c.m = co.m AND c.code = co.code
+         |  WHERE a.vec_id <> q.query_id
+         |),
+         |sims AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(pd ORDER BY m)),
+         |      (a, b) -> a + b) AS dist
+         |  FROM psub GROUP BY query_id, neighbor_id
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY dist ASC, neighbor_id) AS rn
+         |  FROM sims
+         |)
+         |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, dist
+         |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin,
+
     "p118_knn_ivfpq_lut" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
          |cb AS (SELECT m, code, cv FROM read_parquet(

@@ -110,12 +110,20 @@ object DocAnalytics {
   def P125SupersPath: String = s"$oracleArtifactDir/p125_supers"
   def P125CellsPath: String = s"$oracleArtifactDir/p125_cells"
 
+  /** p128's persisted deployment index: codebooks + the cell-partitioned
+    * codes index itself — the oracle replays the search by READING the
+    * stored index (what a deployment's query batch actually scans), not
+    * by re-deriving codes. */
+  def P128CodebooksPath: String = s"$oracleArtifactDir/p128_codebooks"
+  def P128IndexPath: String = s"$oracleArtifactDir/p128_codes_index"
+
   def oracleArtifactPaths: Seq[String] =
     Seq(P50CentroidsPath, P103CentroidsPath, P105CodebooksPath,
       P106CodebooksPath, P109CodebooksPath, P110CodebooksPath,
       P114MergesPath, P117MergesPath, P118CodebooksPath,
       P119CentroidsPath, P119CodebooksPath,
-      P125SupersPath, P125CellsPath)
+      P125SupersPath, P125CellsPath,
+      P128CodebooksPath, P128IndexPath)
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -230,6 +238,29 @@ object DocAnalytics {
       onPhase("train")
       graft.ann.ProductQuantizer.knnIvfPqResidualLut(e, "vec_id", "embedding",
         col("vec_id") < QueryMaxId, cents, cb)
+    }),
+    // the deployment split END-TO-END as one oracle-gated query: build
+    // the cell-partitioned persisted codes index (p118's m=16 residual
+    // config), then search THROUGH THE STORE — probed cells become a
+    // static partition filter, so the scan reads ~nProbe/nCells of the
+    // layout (PartitionedAnnIndexSpec plan-locks that), and the oracle
+    // replays LUT-ADC from the STORED codes, not a re-derivation: a
+    // corrupted write or a codes/cell roundtrip bug fails the hash.
+    "p128_persisted_index_search" -> ("search", (s, d, onPhase) => {
+      val e = emb(s, d)
+      val cents = Similarity.lowestIdCentroids(e, "vec_id", "embedding", 8)
+      val cb = graft.ann.ProductQuantizer.trainResidualCodebooks(
+        e, "vec_id", "embedding", cents, m = 16)
+      persistCodebooks(s, cb, P128CodebooksPath)
+      graft.ann.ProductQuantizer.writeCellPartitionedIndex(
+        graft.ann.ProductQuantizer.residualCodesIndex(
+          e, "vec_id", "embedding", cents, cb), P128IndexPath)
+      onPhase("ingest")
+      graft.ann.ProductQuantizer.searchPersistedIndexLut(s, P128IndexPath,
+        e.filter(col("vec_id") < QueryMaxId).select(
+          col("vec_id").cast("long").as("query_id"),
+          col("embedding").as("qe")),
+        cents, cb)
     }),
     // the residual tier's compression quality: recall@5 of residual ADC
     // probing ALL 8 cells (= exhaustive, since the residual distance is
@@ -596,6 +627,8 @@ object DocAnalytics {
       phasedQueries("p110_pqr_recall")._2(s, d, _ => ())),
     "p118_knn_ivfpq_lut" -> ((s, d) =>
       phasedQueries("p118_knn_ivfpq_lut")._2(s, d, _ => ())),
+    "p128_persisted_index_search" -> ((s, d) =>
+      phasedQueries("p128_persisted_index_search")._2(s, d, _ => ())),
     "p119_pqr_recall_trained" -> ((s, d) =>
       phasedQueries("p119_pqr_recall_trained")._2(s, d, _ => ())),
     // BPE tokenizer (train + persist merges, row-local apply) — phased

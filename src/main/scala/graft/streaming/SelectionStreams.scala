@@ -186,6 +186,33 @@ object BpeTokenizeStream {
       .start()
 }
 
+/** Streaming twin of the p125 two-level assignment
+  * ([[graft.ann.Similarity.cellOfTwoLevel]]): assign a vector stream
+  * against a FROZEN two-level quantizer (superclusters + cell mapping
+  * trained offline; the ingest stream is assigned forever — exactly the
+  * index-ingest path a deployment's streaming writer runs before
+  * appending to the cell-partitioned store). One row-local fused
+  * expression per batch via `foreachBatch`; parity is row-exact by
+  * construction, pinned by the replay test. */
+object TwoLevelAssignStream {
+  def attach(vecs: DataFrame, idCol: String, vecCol: String,
+             supers: Array[(Long, Array[Float])],
+             cells: Array[(Long, Long, Array[Float])], wSuper: Int,
+             outDir: String, checkpointDir: String,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select(col(idCol).cast("long").as("vec_id"),
+            graft.ann.Similarity.cellOfTwoLevel(
+              col(vecCol), supers, cells, wSuper).as("cell"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+}
+
 /** Streaming twin of the p126 idf-weighted hashed embedding's SCORE half
   * ([[graft.text.TextStats.hashedEmbeddingIdfWith]]): embed a document
   * stream against a FROZEN idf vocabulary + document count — the

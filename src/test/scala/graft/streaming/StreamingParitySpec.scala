@@ -693,6 +693,40 @@ class StreamingParitySpec extends SparkSpec {
     got.sortBy(_._1) shouldBe batch.toSeq
   }
 
+  "TwoLevelAssignStream" should "assign a vector stream against a frozen two-level quantizer exactly like batch (p125)" in {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val embDf = graft.sources.Tables.embeddings(spark, sfDir)
+    val cents = graft.ann.Similarity
+      .lowestIdCentroids(embDf, "vec_id", "embedding", 32)
+    val (supers, cells) = graft.ann.Similarity.trainTwoLevel(cents)
+    val dir = Files.createTempDirectory("graft-twolevel-json")
+    val lines = embDf.orderBy("vec_id")
+      .select(to_json(struct(col("vec_id"), col("embedding"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(math.max(1, lines.length / 4)).zipWithIndex.foreach { case (ls, i) =>
+      val f = dir.resolve(f"vecs-$i%03d.json")
+      Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val outDir = Files.createTempDirectory("graft-twolevel-out").toString
+    val ckpt = Files.createTempDirectory("graft-twolevel-ckpt").toString
+    val q = TwoLevelAssignStream.attach(stream, "vec_id", "embedding",
+      supers, cells, wSuper = 2, outDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).drop("batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val batch = embDf.select(col("vec_id").cast("long"),
+        graft.ann.Similarity.cellOfTwoLevel(
+          col("embedding"), supers, cells, 2).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    got.toSeq shouldBe batch.toSeq
+  }
+
   "SemDedupStream" should "accumulate exactly the batch semanticDedup keep list across id-ordered micro-batches (p103)" in {
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
     val embDf = graft.sources.Tables.embeddings(spark, sfDir)
