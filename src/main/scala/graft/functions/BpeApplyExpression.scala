@@ -151,8 +151,12 @@ final class BpeApplier(val merges: Array[(String, String)]) extends Serializable
   /** Sequential BPE apply over one word's symbol array; returns the
     * surviving symbol count (including the `</w>` marker). */
   private[functions] def countWordTokens(word: String): Int = {
-    // code-point split + end marker (matching split(w, "") + "</w>")
+    // code-point split + end marker (matching split(w, "") + "</w>");
+    // the EMPTY word splits to [""] on both engines — one empty-string
+    // character, not zero symbols — so an empty document is 2 tokens
+    // ("" + </w>), exactly what the delimited chain counts (spec-pinned)
     val cps = new java.util.ArrayList[String]()
+    if (word.isEmpty) cps.add("")
     var ci = 0
     while (ci < word.length) {
       val cp = word.codePointAt(ci)

@@ -186,6 +186,34 @@ object BpeTokenizeStream {
       .start()
 }
 
+/** Streaming INGEST into the p128 cell-partitioned ANN store: encode a
+  * vector stream against a FROZEN quantizer (coarse centroids +
+  * residual codebooks trained offline) and append each micro-batch's
+  * (vec_id, codes) rows into their cell= partition directories — the
+  * continuous-ingest half of the deployment split whose read half is
+  * [[graft.ann.ProductQuantizer.searchPersistedIndexLut]]. Encoding is
+  * the same row-local fused projection as batch ingest, and parquet
+  * append into hive partitions is atomic per task file, so a search
+  * over the accumulated store equals the batch search over the full
+  * corpus once the stream drains — pinned by the replay test. */
+object IndexIngestStream {
+  def attach(vecs: DataFrame, idCol: String, vecCol: String,
+             cents: Array[(Long, Array[Float])],
+             cb: graft.ann.ProductQuantizer.Codebooks,
+             indexPath: String, checkpointDir: String,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ann.ProductQuantizer
+          .residualCodesIndex(batch, idCol, vecCol, cents, cb)
+          .write.mode("append").partitionBy("cell").parquet(indexPath)
+      }
+      .start()
+}
+
 /** Streaming twin of the p125 two-level assignment
   * ([[graft.ann.Similarity.cellOfTwoLevel]]): assign a vector stream
   * against a FROZEN two-level quantizer (superclusters + cell mapping

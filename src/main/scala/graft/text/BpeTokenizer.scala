@@ -179,6 +179,9 @@ object BpeTokenizer {
     while (wi < nWords) {
       val (w, f) = vocabIn(wi)
       val cps = new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
+      // split(w, "") yields [""] for the empty word on both engines —
+      // one empty-string character (the fused-applier convention)
+      if (w.isEmpty) cps += ""
       var ci = 0
       while (ci < w.length) {
         val cp = w.codePointAt(ci)

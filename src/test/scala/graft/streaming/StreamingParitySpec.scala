@@ -727,6 +727,44 @@ class StreamingParitySpec extends SparkSpec {
     got.toSeq shouldBe batch.toSeq
   }
 
+  "IndexIngestStream" should "accumulate a searchable cell-partitioned store equal to batch ingest (p128)" in {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val embDf = graft.sources.Tables.embeddings(spark, sfDir)
+    val cents = graft.ann.Similarity
+      .lowestIdCentroids(embDf, "vec_id", "embedding", 8)
+    val cb = graft.ann.ProductQuantizer.trainResidualCodebooks(
+      embDf, "vec_id", "embedding", cents, m = 16)
+    val dir = Files.createTempDirectory("graft-ingest-json")
+    val lines = embDf.orderBy("vec_id")
+      .select(to_json(struct(col("vec_id"), col("embedding"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(math.max(1, lines.length / 4)).zipWithIndex.foreach { case (ls, i) =>
+      val f = dir.resolve(f"vecs-$i%03d.json")
+      Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val indexPath = Files.createTempDirectory("graft-ingest-idx").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
+    val q = IndexIngestStream.attach(stream, "vec_id", "embedding",
+      cents, cb, indexPath, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val queries = embDf.filter(col("vec_id") < 5)
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("qe"))
+    val streamed = graft.ann.ProductQuantizer.searchPersistedIndexLut(
+      spark, indexPath, queries, cents, cb).collect().map(_.toSeq)
+    val batch = graft.ann.ProductQuantizer.searchResidualIndexLut(
+      graft.ann.ProductQuantizer.residualCodesIndex(
+        embDf, "vec_id", "embedding", cents, cb),
+      queries, cents, cb).collect().map(_.toSeq)
+    streamed.toSeq shouldBe batch.toSeq
+  }
+
   "SemDedupStream" should "accumulate exactly the batch semanticDedup keep list across id-ordered micro-batches (p103)" in {
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
     val embDf = graft.sources.Tables.embeddings(spark, sfDir)

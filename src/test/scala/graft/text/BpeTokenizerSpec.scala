@@ -79,7 +79,11 @@ class BpeTokenizerSpec extends SparkSpec {
     // produce the IDENTICAL table (same counts, same utf8 tie-breaks) —
     // on the hand-computed fixture and on the real corpus.
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    for (df <- Seq(corpus, docs)) {
+    // the empty-doc corpus exercises the empty word ("" + </w> symbols,
+    // a learnable ("", </w>) pair) through BOTH trainers
+    val withEmpty = corpus.union(
+      Seq((98L, ""), (99L, "")).toDF("doc_id", "text"))
+    for (df <- Seq(corpus, withEmpty, docs)) {
       val vocab = BpeTokenizer.vocabulary(df, "text").persist()
       val local = BpeTokenizer.trainMergesLocal(
         vocab.select("word", "freq").collect()
@@ -127,6 +131,19 @@ class BpeTokenizerSpec extends SparkSpec {
     val chain = BpeTokenizer.tokenizeSpec(doc, "doc_id", "text", m).collect().head
     fused.getAs[Long]("n_bpe_tokens") shouldBe 2L // abc, </w>
     chain.getAs[Long]("n_bpe_tokens") shouldBe 2L
+  }
+
+  it should "agree with the chain on empty and whitespace-only documents" in {
+    // the empty word is the one place the symbol-array and delimited-
+    // string representations can diverge: split("", "") yields [""] (one
+    // empty-string character) on BOTH engines, so the chain counts an
+    // empty doc as ["", "</w>"] = 2 symbols — the fused applier must
+    // reproduce that, not the "no code points" reading of 1
+    val m = Seq(BpeTokenizer.Merge(1, "a", "b", 2L))
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "ab")).toDF("doc_id", "text")
+    val fused = BpeTokenizer.tokenize(docs, "doc_id", "text", m).collect()
+    val chain = BpeTokenizer.tokenizeSpec(docs, "doc_id", "text", m).collect()
+    fused.map(_.toSeq).toSeq shouldBe chain.map(_.toSeq).toSeq
   }
 
   "the delimiter contract" should "surface as an error, not silent corruption" in {
