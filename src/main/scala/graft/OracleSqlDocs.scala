@@ -1249,6 +1249,132 @@ object OracleSqlDocs {
          |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, dist
          |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin,
 
+    // IVFADC+R twin of ProductQuantizer.knnIvfPqRerank: p118's LUT-ADC
+    // fold widened to a 30-deep shortlist, then each survivor re-scored
+    // by EXACT cosine against the source vectors (the p21 contract) and
+    // the top-5 cut re-taken under (sim DESC, neighbor_id).
+    "p129_knn_ivfpq_rerank" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |cb AS (SELECT m, code, cv FROM read_parquet(
+         |  '${graft.ops.DocAnalytics.P129CodebooksPath}/*.parquet')),
+         |cents AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+         |scored AS (
+         |  SELECT v.vec_id, v.e, c.cid, c.ce, ${cos("v.e", "c.ce")} AS cs
+         |  FROM v CROSS JOIN cents c
+         |),
+         |assigned AS (
+         |  SELECT vec_id, e, cid AS cell, ce FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY cs DESC, cid) AS rn
+         |    FROM scored
+         |  ) WHERE rn = 1
+         |),
+         |rv AS (
+         |  SELECT vec_id, cell, ${fsub("e", "ce")} AS r FROM assigned
+         |),
+         |${pqDecodedCtesOver("rv", "r")},
+         |probes AS (
+         |  SELECT vec_id AS query_id, e AS qe, cid AS cell, ce FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY cs DESC, cid) AS rn
+         |    FROM scored WHERE vec_id < 20
+         |  ) WHERE rn <= 2
+         |),
+         |qres AS (
+         |  SELECT query_id, cell, ${fsub("qe", "ce")} AS qr FROM probes
+         |),
+         |psub AS (
+         |  SELECT q.query_id, co.vec_id AS neighbor_id, co.m,
+         |    ${l2sq(
+               "list_slice(q.qr, ms.m * ms.sd + 1, (ms.m + 1) * ms.sd)",
+               "c.cv")} AS pd
+         |  FROM qres q
+         |  JOIN (SELECT vec_id, cell FROM rv) a USING (cell)
+         |  JOIN codes co ON co.vec_id = a.vec_id
+         |  JOIN (SELECT DISTINCT m, len(cv) AS sd FROM cb) ms ON ms.m = co.m
+         |  JOIN cb c ON c.m = co.m AND c.code = co.code
+         |  WHERE a.vec_id <> q.query_id
+         |),
+         |sims AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(pd ORDER BY m)),
+         |      (a, b) -> a + b) AS dist
+         |  FROM psub GROUP BY query_id, neighbor_id
+         |),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY dist ASC, neighbor_id) AS rn
+         |    FROM sims
+         |  ) WHERE rn <= 30
+         |),
+         |rr AS (
+         |  SELECT s.query_id, s.neighbor_id, ${cos("q2.qe2", "v.e")} AS sim
+         |  FROM short s
+         |  JOIN v ON v.vec_id = s.neighbor_id
+         |  JOIN (SELECT vec_id AS query_id, e AS qe2 FROM v WHERE vec_id < 20)
+         |    q2 USING (query_id)
+         |),
+         |rranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM rr
+         |)
+         |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, sim
+         |FROM rranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin,
+
+    // what re-ranking buys, as p110's rollup: the SAME decoded-ADC chain
+    // at nProbe=8 widened to a 30-deep shortlist, exact-cosine re-ranked,
+    // top-5 re-cut, then recall@5 against exact brute force.
+    "p130_rerank_recall" ->
+      (pqResidualCtes(graft.ops.DocAnalytics.P130CodebooksPath, 8) +
+      s""",
+         |q2 AS (SELECT vec_id AS query_id, e AS qe2 FROM v WHERE vec_id < 20),
+         |bsims AS (
+         |  SELECT query_id, v.vec_id AS neighbor_id, ${cos("qe2", "v.e")} AS sim
+         |  FROM q2 JOIN v ON v.vec_id <> query_id
+         |),
+         |btop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY sim DESC, neighbor_id) AS rn
+         |    FROM bsims
+         |  ) WHERE rn <= 5
+         |),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY dist ASC, neighbor_id) AS rn
+         |    FROM sims
+         |  ) WHERE rn <= 30
+         |),
+         |rtop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT s.query_id, s.neighbor_id,
+         |      row_number() OVER (PARTITION BY s.query_id
+         |                         ORDER BY ${cos("q2.qe2", "v.e")} DESC,
+         |                                  s.neighbor_id) AS rn
+         |    FROM short s
+         |    JOIN v ON v.vec_id = s.neighbor_id
+         |    JOIN q2 USING (query_id)
+         |  ) WHERE rn <= 5
+         |),
+         |hits AS (
+         |  SELECT query_id, count(*) AS n_hits
+         |  FROM btop JOIN rtop USING (query_id, neighbor_id)
+         |  GROUP BY query_id
+         |),
+         |poss AS (
+         |  SELECT query_id, count(*) AS n_possible FROM btop GROUP BY query_id
+         |)
+         |SELECT p.query_id,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  p.n_possible,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(p.n_possible AS DOUBLE)
+         |    AS recall_at_k
+         |FROM poss p LEFT JOIN hits h USING (query_id)
+         |ORDER BY p.query_id""".stripMargin),
+
     // p110's rollup with the TRAINED coarse layer: centroids read back
     // from the parquet the p119 query persisted (the p50 convention),
     // residual chain + exhaustive 8-cell ADC + recall@5 vs brute force.

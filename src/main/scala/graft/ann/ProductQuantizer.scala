@@ -392,6 +392,52 @@ object ProductQuantizer {
     searchResidualIndexLut(index, queries, cents, cb, k, nProbe)
   }
 
+  /** Exact re-rank stage (IVFADC+R — the re-ranking refinement of
+    * Jégou et al. §VI, here against the exact source vectors): take an
+    * ADC shortlist (query_id, neighbor_id, …) of up to kShort candidates
+    * per query and re-score each against the ORIGINAL corpus vectors by
+    * exact cosine, keeping the top-k under the house (sim DESC,
+    * neighbor_id ASC) order. Cures the PQ quantization error the codes
+    * cannot see, at the price of kShort exact distances per query.
+    *
+    * Scale shape: the shortlist and the query batch are both bounded by
+    * construction (|queries|·kShort and |queries| rows) and BROADCAST,
+    * so the corpus side is one streamed scan through two
+    * BroadcastHashJoins — no corpus shuffle, and only the candidates'
+    * source vectors ever reach the distance code (≈ |queries|·kShort
+    * rows survive the first join at any corpus scale). */
+  def rerankExact(shortlist: DataFrame, emb: DataFrame, idCol: String,
+                  vecCol: String, queries: DataFrame,
+                  k: Int = 5): DataFrame = {
+    val cands = emb
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("ne"))
+      .join(broadcast(shortlist.select("query_id", "neighbor_id")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.AnnPrims.cosine(col("qe"), col("ne")).as("sim"))
+    Similarity.topK(cands, k)
+  }
+
+  /** IVFADC+R end to end: the production LUT-ADC search widened to a
+    * kShort shortlist, then [[rerankExact]] against the source vectors —
+    * the p129 query. The codes-only index keeps its 16 B/vector memory
+    * story (re-rank reads source vectors from the CORPUS scan, not the
+    * index), and recall@5 recovers what quantization dropped (p130
+    * measures the delta against p110's ADC-only tier). */
+  def knnIvfPqRerank(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, cents: Array[(Long, Array[Float])],
+                     cb: Codebooks, k: Int = 5, kShort: Int = 30,
+                     nProbe: Int = 2): DataFrame = {
+    val queries = emb.filter(queryPred).select(
+      col(idCol).cast("long").as("query_id"), col(vecCol).as("qe"))
+    rerankExact(
+      searchResidualIndexLut(
+        residualCodesIndex(emb, idCol, vecCol, cents, cb),
+        queries, cents, cb, kShort, nProbe),
+      emb, idCol, vecCol, queries, k)
+  }
+
   /** Residual LUT-ADC IVF-PQ — [[searchResidualIndexLut]] over
     * [[residualCodesIndex]], the p118 query. */
   def knnIvfPqResidualLut(emb: DataFrame, idCol: String, vecCol: String,

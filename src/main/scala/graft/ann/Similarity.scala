@@ -28,7 +28,7 @@ object Similarity {
     * collect_list form this replaced was O(partition rows) per group). The
     * result is independent of partitioning because merging bounded heaps
     * under a total order is associative. */
-  private def topK(cands: DataFrame, k: Int): DataFrame =
+  private[ann] def topK(cands: DataFrame, k: Int): DataFrame =
     cands
       .groupBy("query_id")
       .agg(graft.functions.TopKAgg.topk(

@@ -111,6 +111,34 @@ class PlanShapeSpec extends SparkSpec {
     modes should contain allOf (Partial, Final)
   }
 
+  "knnIvfPqRerank" should "re-rank without ever shuffling a vector column" in {
+    // IVFADC+R's scale contract: the shortlist and query batch broadcast,
+    // the corpus is streamed through BroadcastHashJoins — so the ONLY
+    // exchanges allowed to carry array<float> are broadcasts (query
+    // vectors ride the probe/query broadcast); a vector-bearing SHUFFLE
+    // means the corpus started moving and the design is broken.
+    val e = embeddings
+    val cents = Similarity.lowestIdCentroids(e, "vec_id", "embedding", 8)
+    val cb = ProductQuantizer.trainResidualCodebooks(
+      e, "vec_id", "embedding", cents, m = 16)
+    val df = ProductQuantizer.knnIvfPqRerank(e, "vec_id", "embedding",
+      col("vec_id") < 5, cents, cb, kShort = 30, nProbe = 2)
+    df.collect() // settle the adaptive plan
+    val exs = exchanges(df.queryExecution.executedPlan)
+    exs should not be empty
+    val isVectorType: org.apache.spark.sql.types.DataType => Boolean = {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val vectorShuffles = exs.filter { e =>
+      e.isInstanceOf[ShuffleExchangeLike] &&
+        e.child.output.exists(a => isVectorType(a.dataType))
+    }
+    withClue(s"vector-carrying shuffles:\n${vectorShuffles.mkString("\n")}\n") {
+      vectorShuffles shouldBe empty
+    }
+  }
+
   "nearDupPairs" should "agree with a brute-force cosine check on the planted near-dups" in {
     // two exact duplicates + near-dup planted among random vectors
     val base = Array.fill(64)(0.5f)

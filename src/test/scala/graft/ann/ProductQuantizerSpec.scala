@@ -264,4 +264,52 @@ class ProductQuantizerSpec extends SparkSpec {
       cents, cb, nProbe = 4)
     oneProbe.count() should be <= fourProbe.count()
   }
+
+  "knnIvfPqRerank" should "equal exact brute force when the shortlist covers the corpus" in {
+    // IVFADC+R's limiting case: probe every cell and widen the shortlist
+    // past the corpus size, and the re-rank IS brute force — same
+    // neighbors, same ranks, same cosine bits (the ADC stage then only
+    // selects candidates, never ranks survivors). Pins the full
+    // shortlist→fetch→re-score path against the independent p21 operator.
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = col("vec_id") < 5
+    val cents = Similarity.lowestIdCentroids(corpus, "vec_id", "embedding", 8)
+    val cb = ProductQuantizer.trainResidualCodebooks(
+      corpus, "vec_id", "embedding", cents, m = 16)
+    val rr = ProductQuantizer.knnIvfPqRerank(corpus, "vec_id", "embedding",
+      pred, cents, cb, kShort = 1000, nProbe = 8).collect().map(_.toSeq)
+    val bf = Similarity.knnBruteForce(corpus, "vec_id", "embedding", pred)
+      .select(col("query_id").cast("long"), col("knn_rank"),
+        col("neighbor_id"), col("sim")).collect().map(_.toSeq)
+    rr.toSeq shouldBe bf.toSeq
+  }
+
+  it should "recover recall the ADC tier dropped, per query" in {
+    // the p130 property on the real corpus: a 30-deep exact re-rank
+    // dominates the ADC-only top-5 on every query, and recovers full
+    // recall here (sf0.001 has 500 vectors across 8 cells, so the true
+    // top-5 sits comfortably inside a 30-deep exhaustive-probe shortlist)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = col("vec_id") < 10
+    val cents = Similarity.lowestIdCentroids(corpus, "vec_id", "embedding", 8)
+    val cb = ProductQuantizer.trainResidualCodebooks(
+      corpus, "vec_id", "embedding", cents, m = 16)
+    val bf = Similarity.knnBruteForce(corpus, "vec_id", "embedding", pred)
+      .select("query_id", "neighbor_id").persist()
+    def perQueryHits(approx: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      bf.join(approx.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adc = perQueryHits(ProductQuantizer.knnIvfPqResidual(
+      corpus, "vec_id", "embedding", pred, cents, cb, nProbe = 8))
+    val rr = perQueryHits(ProductQuantizer.knnIvfPqRerank(
+      corpus, "vec_id", "embedding", pred, cents, cb,
+      kShort = 30, nProbe = 8))
+    (0L until 10L).foreach { q =>
+      rr.getOrElse(q, 0L) should be >= adc.getOrElse(q, 0L)
+      rr.getOrElse(q, 0L) shouldBe 5L // full recall at this depth
+    }
+    bf.unpersist()
+  }
 }
