@@ -651,6 +651,113 @@ object OracleSqlDocs {
        |  FROM grid g LEFT JOIN sums s ON s.id = g.id AND s.j = g.j
        |), v AS (SELECT id AS vec_id, list(val ORDER BY j) AS e FROM dense GROUP BY id)""".stripMargin
 
+  /** Shared twin of TextStats.repetitionSignals over the planted
+    * line-augmented corpus — p131 emits it directly; p132 wraps it
+    * with the Gopher thresholds. */
+  private val repetitionSignalsSql: String =
+      s"""WITH aug AS (
+         |  SELECT doc_id, text || chr(10) || substr(text, 1, 40) || chr(10)
+         |    || substr(text, 1, 40) || chr(10)
+         |    || substr(text, 1, CAST(10 + doc_id % 20 AS INT)) AS text
+         |  FROM documents
+         |),
+         |lines AS (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(string_split(text, chr(10)),
+         |                x -> trim(x)), x -> x <> '') AS ls
+         |  FROM aug
+         |),
+         |lstats AS (
+         |  SELECT doc_id,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(ls, x -> CAST(len(x) AS BIGINT))),
+         |      (a, b) -> a + b) AS line_chars,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_distinct(ls), x -> CAST(len(x) AS BIGINT))),
+         |      (a, b) -> a + b) AS distinct_chars
+         |  FROM lines
+         |),
+         |toks AS (
+         |  SELECT doc_id, string_split(${norm("text")}, ' ') AS t,
+         |    CAST(len(${norm("text")}) AS BIGINT) AS n_chars
+         |  FROM aug
+         |),
+         |grams2 AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+         |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+         |    ELSE CAST([] AS VARCHAR[]) END) AS g
+         |  FROM toks
+         |),
+         |top2 AS (
+         |  SELECT doc_id, g, c FROM (
+         |    SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c,
+         |      row_number() OVER (PARTITION BY doc_id
+         |                         ORDER BY count(*) DESC, g) AS rn
+         |    FROM grams2 GROUP BY doc_id, g
+         |  ) WHERE rn = 1
+         |),
+         |grams3 AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+         |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |          for i in range(1, len(t) - 1)]
+         |    ELSE CAST([] AS VARCHAR[]) END) AS g
+         |  FROM toks
+         |),
+         |top3 AS (
+         |  SELECT doc_id, g, c FROM (
+         |    SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c,
+         |      row_number() OVER (PARTITION BY doc_id
+         |                         ORDER BY count(*) DESC, g) AS rn
+         |    FROM grams3 GROUP BY doc_id, g
+         |  ) WHERE rn = 1
+         |),
+         |g5 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 5
+         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         |            || ' ' || t[i+4] for i in range(1, len(t) - 3)]
+         |      ELSE CAST([] AS VARCHAR[]) END AS gs
+         |  FROM toks
+         |),
+         |f5 AS (
+         |  SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_5grams,
+         |    CAST(len(gs) - len(list_distinct(gs)) AS BIGINT) AS n_dup_5grams
+         |  FROM g5
+         |)
+         |SELECT l.doc_id AS id,
+         |  l.n_lines,
+         |  l.n_dup_lines,
+         |  CASE WHEN l.n_lines = 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE CAST(l.n_dup_lines AS DOUBLE) / CAST(l.n_lines AS DOUBLE)
+         |       END AS dup_line_frac,
+         |  CASE WHEN l.line_chars = 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE CAST(l.line_chars - l.distinct_chars AS DOUBLE)
+         |            / CAST(l.line_chars AS DOUBLE)
+         |       END AS dup_line_char_frac,
+         |  top2.g AS top_2gram,
+         |  CAST(COALESCE(top2.c, 0) AS BIGINT) AS top_2gram_count,
+         |  CASE WHEN top2.g IS NULL OR tk.n_chars = 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE CAST(top2.c * len(top2.g) AS DOUBLE)
+         |            / CAST(tk.n_chars AS DOUBLE)
+         |       END AS top_2gram_char_frac,
+         |  CASE WHEN top3.g IS NULL OR tk.n_chars = 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE CAST(top3.c * len(top3.g) AS DOUBLE)
+         |            / CAST(tk.n_chars AS DOUBLE)
+         |       END AS top_3gram_char_frac,
+         |  f5.n_5grams,
+         |  f5.n_dup_5grams,
+         |  CASE WHEN f5.n_5grams = 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE CAST(f5.n_dup_5grams AS DOUBLE) / CAST(f5.n_5grams AS DOUBLE)
+         |       END AS dup_5gram_frac
+         |FROM lstats l
+         |JOIN toks tk USING (doc_id)
+         |LEFT JOIN top2 USING (doc_id)
+         |LEFT JOIN top3 USING (doc_id)
+         |JOIN f5 USING (doc_id)
+         |ORDER BY l.doc_id""".stripMargin
+
   val docs: Map[String, String] = Map(
     // hashed-BoW text knn: constructed vectors + the p21 brute-force tail
     "p121_text_knn" -> (hashedEmbCte +
@@ -1727,6 +1834,36 @@ object OracleSqlDocs {
          |       WHEN es >= fr AND es >= de THEN 'es'
          |       WHEN fr >= de THEN 'fr' ELSE 'de' END AS predicted_lang
          |FROM hits ORDER BY id""".stripMargin,
+
+    // Gopher repetition signals twin: the same planted line structure
+    // (text + its 40-char prefix twice + a doc_id-varying prefix), lines
+    // space-trimmed and blank-dropped, token n-grams over the house
+    // normalization; every fraction one INT/INT double division, gram
+    // tie-breaks on DuckDB's binary collation (= the engine's UTF8
+    // order), so all eleven columns hash-match.
+    "p131_repetition_signals" -> repetitionSignalsSql,
+
+    // the published Gopher thresholds over those signals (Rae et al.
+    // Table A1; dup-5-gram applied to the occurrence fraction — the
+    // engine's documented deviation): per-rule flags + keep verdict
+    // NOTE: built by concatenation, not one interpolated stripMargin —
+    // the signals SQL contains lines starting with the `||` concat
+    // operator, which an outer stripMargin would corrupt.
+    "p132_gopher_filter" ->
+      ("""SELECT id,
+         |  dup_line_frac > CAST(0.30 AS DOUBLE) AS bad_dup_lines,
+         |  dup_line_char_frac > CAST(0.20 AS DOUBLE) AS bad_dup_line_chars,
+         |  top_2gram_char_frac > CAST(0.20 AS DOUBLE) AS bad_top_2gram,
+         |  top_3gram_char_frac > CAST(0.18 AS DOUBLE) AS bad_top_3gram,
+         |  dup_5gram_frac > CAST(0.15 AS DOUBLE) AS bad_dup_5grams,
+         |  NOT (dup_line_frac > CAST(0.30 AS DOUBLE)
+         |    OR dup_line_char_frac > CAST(0.20 AS DOUBLE)
+         |    OR top_2gram_char_frac > CAST(0.20 AS DOUBLE)
+         |    OR top_3gram_char_frac > CAST(0.18 AS DOUBLE)
+         |    OR dup_5gram_frac > CAST(0.15 AS DOUBLE)) AS kept
+         |FROM (""".stripMargin + "\n" + repetitionSignalsSql +
+        "\n)\nORDER BY id"),
+
 
     "p36_token_counts" ->
       s"""WITH n AS (SELECT doc_id AS id, ${norm("text")} AS norm FROM documents)

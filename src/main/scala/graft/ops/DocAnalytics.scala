@@ -178,6 +178,23 @@ object DocAnalytics {
       lit(" ref "), (col("doc_id") + 900000000L).cast("string")).as("text"))
   }
 
+  /** Plants LINE structure for the repetition signals: the synthetic
+    * corpus is single-line, so the p131 query appends the document's
+    * 40-char prefix twice (a guaranteed duplicated line) plus a
+    * doc_id-varying prefix line — both engines build the identical
+    * string with the same concat/substr chain (the [[piiAugmented]]
+    * convention), so the line-dedup arithmetic is value-verified on
+    * every document rather than degenerate at 1 line / 0 dups. */
+  private def lineAugmented(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, lit, substring}
+    docs.select(col("doc_id"), concat(
+      col("text"), lit("\n"),
+      substring(col("text"), 1, 40), lit("\n"),
+      substring(col("text"), 1, 40), lit("\n"),
+      col("text").substr(lit(1), (col("doc_id") % 20 + lit(10)).cast("int")))
+      .as("text"))
+  }
+
   /** Multi-phase pipelines (training + search), keyed by registered query
     * name: `(finalPhaseLabel, fn)` where `fn`'s callback fires with each
     * completed phase's label at its boundary. The bench times phases
@@ -534,6 +551,16 @@ object DocAnalytics {
     // free perplexity stand-in — see the operator's scaladoc)
     "p88_bigram_novelty" -> ((s, d) =>
       TextStats.bigramNovelty(docs(s, d), "doc_id", "text")),
+    // Gopher repetition signals (Rae et al. 2021 §A1.1): dup-line
+    // fractions, top 2/3-gram char coverage, dup 5-gram fraction — line
+    // structure planted engine-mirrored (the piiAugmented convention)
+    // because the synthetic corpus is single-line
+    "p131_repetition_signals" -> ((s, d) =>
+      TextStats.repetitionSignals(lineAugmented(docs(s, d)), "doc_id", "text")),
+    // the published Gopher thresholds over those signals: per-rule flags
+    // + keep verdict, so removals are attributable in a curation report
+    "p132_gopher_filter" -> ((s, d) =>
+      TextStats.gopherRepetitionFilter(lineAugmented(docs(s, d)), "doc_id", "text")),
     // TRAINED quality classifier (fastText/CCNet archetype): hashed-token
     // Naive-Bayes counts trained on the heuristic-labeled pmod(id,10)≠0
     // split, every doc scored (transcendental-free evidence ratio — see

@@ -46,6 +46,43 @@ object TextStats {
       .orderBy("id")
   }
 
+  /** Gopher repetition signals (Rae et al. 2021 §A1.1) per document:
+    * duplicate-line fractions over the raw text, most-frequent 2/3-gram
+    * character coverage and duplicated 5-gram fraction over the
+    * house-normalized tokens — one fused row-local expression
+    * ([[graft.functions.RepetitionStats]]), zero shuffle, so throughput
+    * is linear in executors at any corpus scale. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withNorm = Barrier.once(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id", "__t"),
+      "norm" -> normText(col("__t")))
+    Barrier.once(withNorm, Seq("id"),
+      "r" -> graft.functions.RepetitionStats(col("__t"), col("norm")))
+      .select(col("id"), col("r.*"))
+      .orderBy("id")
+  }
+
+  /** The Gopher repetition-removal RULES (Rae et al. 2021 Table A1)
+    * applied to [[repetitionSignals]]: per-document threshold flags and
+    * the keep verdict. Thresholds are the published ones (dup-line 0.30,
+    * dup-line-chars 0.20, top-2-gram 0.20, top-3-gram 0.18, dup-5-gram
+    * 0.15) — with the documented deviation that the 5-gram signal here
+    * is the duplicated-OCCURRENCE fraction, not Gopher's duplicated-char
+    * fraction (overlap-deduped char coverage is not a row-local
+    * integer contract). Flags are kept per rule so a curation report
+    * can attribute removals. */
+  def gopherRepetitionFilter(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    repetitionSignals(df, idCol, textCol).select(
+      col("id"),
+      (col("dup_line_frac") > 0.30).as("bad_dup_lines"),
+      (col("dup_line_char_frac") > 0.20).as("bad_dup_line_chars"),
+      (col("top_2gram_char_frac") > 0.20).as("bad_top_2gram"),
+      (col("top_3gram_char_frac") > 0.18).as("bad_top_3gram"),
+      (col("dup_5gram_frac") > 0.15).as("bad_dup_5grams"))
+      .withColumn("kept", !(col("bad_dup_lines") || col("bad_dup_line_chars") ||
+        col("bad_top_2gram") || col("bad_top_3gram") || col("bad_dup_5grams")))
+      .orderBy("id")
+
   /** Marker-word language heuristic: count hits against per-language
     * stopword lists, pick the max with a fixed precedence (en, es, fr, de),
     * `und` (undetermined) when nothing matches. A real pipeline would use
