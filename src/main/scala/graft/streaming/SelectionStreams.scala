@@ -186,6 +186,28 @@ object BpeTokenizeStream {
       .start()
 }
 
+/** Streaming twin of the p131 Gopher repetition signals
+  * ([[graft.text.TextStats.repetitionSignals]]): stateless row-local
+  * scoring (one fused expression per document, no model, no state), so
+  * each micro-batch scores independently and the union over batches
+  * equals the batch run exactly — pinned by StreamingParitySpec. The
+  * live-curation shape: score documents for repetition as they arrive,
+  * before they ever reach the training mix. */
+object RepetitionSignalsStream {
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+             outDir: String, checkpointDir: String,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.TextStats.repetitionSignals(batch, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+}
+
 /** Streaming INGEST into the p128 cell-partitioned ANN store: encode a
   * vector stream against a FROZEN quantizer (coarse centroids +
   * residual codebooks trained offline) and append each micro-batch's

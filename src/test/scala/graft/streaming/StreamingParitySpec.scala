@@ -628,6 +628,23 @@ class StreamingParitySpec extends SparkSpec {
     got shouldBe batch.toSeq
   }
 
+  "RepetitionSignalsStream" should "score a doc stream exactly like batch repetition signals (p131)" in {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val outDir = Files.createTempDirectory("graft-rep-out").toString
+    val ckpt = Files.createTempDirectory("graft-rep-ckpt").toString
+    val q = RepetitionSignalsStream.attach(
+      docStream(dumpDocsAsJson()), "doc_id", "text", outDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).drop("batch").collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = graft.text.TextStats
+      .repetitionSignals(docsDf, "doc_id", "text")
+      .collect().map(_.toSeq)
+    got.length shouldBe batch.length
+    got shouldBe batch.toSeq
+  }
+
   "IdfEmbedStream" should "embed a doc stream against a frozen idf vocabulary exactly like batch (p126)" in {
     val docsDf = graft.sources.Tables.documents(spark, sfDir)
     val vocab = graft.text.TextStats
