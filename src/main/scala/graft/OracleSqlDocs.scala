@@ -1865,6 +1865,89 @@ object OracleSqlDocs {
         "\n)\nORDER BY id"),
 
 
+    // Gopher QUALITY rules twin: the same planted bullet/ellipsis line
+    // structure, token measures over the house normalization, lines per
+    // the p131 contract; fractions are single INT/INT double divisions
+    // and flags mirror the published thresholds.
+    "p133_gopher_quality" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || chr(10) ||
+         |    CASE WHEN doc_id % 3 = 0 THEN '• ' || substr(text, 1, 20)
+         |         ELSE 'plain ' || substr(text, 1, 20) END || chr(10) ||
+         |    CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 15) || '...'
+         |         ELSE substr(text, 1, 15) END || chr(10) ||
+         |    CASE WHEN doc_id % 2 = 0 THEN 'words of and that flow'
+         |         ELSE 'words flow' END AS text
+         |  FROM documents
+         |),
+         |base AS (
+         |  SELECT doc_id AS id, ${norm("text")} AS nm, text FROM aug
+         |),
+         |arrs AS (
+         |  SELECT id, string_split(nm, ' ') AS t,
+         |    list_filter(list_transform(string_split(text, chr(10)),
+         |                x -> trim(x)), x -> x <> '') AS ls,
+         |    nm
+         |  FROM base
+         |),
+         |counted AS (
+         |  SELECT id,
+         |    CAST(len(t) AS BIGINT) AS word_count,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(t, w -> CAST(len(w) AS BIGINT))),
+         |      (a, b) -> a + b) AS len_sum,
+         |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+         |      AS BIGINT) AS n_alpha_words,
+         |    CAST(len(regexp_extract_all(nm, '#')) +
+         |      len(regexp_extract_all(nm, '\\.\\.\\.')) AS BIGINT) AS n_symbols,
+         |    CAST(len(list_intersect(list_distinct(t),
+         |      ['the','be','to','of','and','that','have','with']))
+         |      AS BIGINT) AS n_stops,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(ls, x -> starts_with(x, '• ')
+         |      OR starts_with(x, '- '))) AS BIGINT) AS n_bullet_lines,
+         |    CAST(len(list_filter(ls, x -> ends_with(x, '...')))
+         |      AS BIGINT) AS n_ellipsis_lines
+         |  FROM arrs
+         |),
+         |m AS (
+         |  SELECT id, word_count,
+         |    CAST(len_sum AS DOUBLE) / CAST(word_count AS DOUBLE) AS mean_word_len,
+         |    CAST(n_alpha_words AS DOUBLE) / CAST(word_count AS DOUBLE)
+         |      AS alpha_word_frac,
+         |    CAST(n_symbols AS DOUBLE) / CAST(word_count AS DOUBLE)
+         |      AS symbol_word_ratio,
+         |    n_stops AS n_distinct_stopwords,
+         |    CASE WHEN n_lines = 0 THEN CAST(0 AS DOUBLE)
+         |         ELSE CAST(n_bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         |         END AS bullet_line_frac,
+         |    CASE WHEN n_lines = 0 THEN CAST(0 AS DOUBLE)
+         |         ELSE CAST(n_ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         |         END AS ellipsis_line_frac
+         |  FROM counted
+         |)
+         |SELECT id, word_count, mean_word_len, alpha_word_frac,
+         |  symbol_word_ratio, n_distinct_stopwords, bullet_line_frac,
+         |  ellipsis_line_frac,
+         |  (word_count < 50 OR word_count > 100000) AS bad_word_count,
+         |  (mean_word_len < CAST(3 AS DOUBLE)
+         |    OR mean_word_len > CAST(10 AS DOUBLE)) AS bad_mean_word_len,
+         |  (alpha_word_frac < CAST(0.80 AS DOUBLE)) AS bad_alpha_words,
+         |  (symbol_word_ratio > CAST(0.10 AS DOUBLE)) AS bad_symbol_ratio,
+         |  (n_distinct_stopwords < 2) AS bad_stopwords,
+         |  (bullet_line_frac > CAST(0.90 AS DOUBLE)) AS bad_bullets,
+         |  (ellipsis_line_frac > CAST(0.30 AS DOUBLE)) AS bad_ellipsis,
+         |  NOT ((word_count < 50 OR word_count > 100000)
+         |    OR (mean_word_len < CAST(3 AS DOUBLE)
+         |        OR mean_word_len > CAST(10 AS DOUBLE))
+         |    OR (alpha_word_frac < CAST(0.80 AS DOUBLE))
+         |    OR (symbol_word_ratio > CAST(0.10 AS DOUBLE))
+         |    OR (n_distinct_stopwords < 2)
+         |    OR (bullet_line_frac > CAST(0.90 AS DOUBLE))
+         |    OR (ellipsis_line_frac > CAST(0.30 AS DOUBLE))) AS kept
+         |FROM m ORDER BY id""".stripMargin,
+
     "p36_token_counts" ->
       s"""WITH n AS (SELECT doc_id AS id, ${norm("text")} AS norm FROM documents)
          |SELECT id,

@@ -195,6 +195,30 @@ object DocAnalytics {
       .as("text"))
   }
 
+  /** Line planting for the Gopher QUALITY rules (p133): a bullet line on
+    * doc_id % 3 == 0 (else a plain prefix line), an ellipsis-ended line
+    * on doc_id % 4 == 0, and a stopword-bearing line on doc_id % 2 == 0
+    * (the synthetic vocabulary contains only "the" from the Gopher set,
+    * so without planting the stopword rule — and therefore the verdict —
+    * would be a constant). Both engines build the identical string (the
+    * [[piiAugmented]] convention), so every flag column verifies with
+    * per-document variance. */
+  private def qualityAugmented(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, lit, substring, when}
+    docs.select(col("doc_id"), concat(
+      col("text"), lit("\n"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("• "), substring(col("text"), 1, 20)))
+        .otherwise(concat(lit("plain "), substring(col("text"), 1, 20))),
+      lit("\n"),
+      when(col("doc_id") % 4 === 0,
+        concat(substring(col("text"), 1, 15), lit("...")))
+        .otherwise(substring(col("text"), 1, 15)),
+      lit("\n"),
+      when(col("doc_id") % 2 === 0, lit("words of and that flow"))
+        .otherwise(lit("words flow"))).as("text"))
+  }
+
   /** Multi-phase pipelines (training + search), keyed by registered query
     * name: `(finalPhaseLabel, fn)` where `fn`'s callback fires with each
     * completed phase's label at its boundary. The bench times phases
@@ -561,6 +585,12 @@ object DocAnalytics {
     // + keep verdict, so removals are attributable in a curation report
     "p132_gopher_filter" -> ((s, d) =>
       TextStats.gopherRepetitionFilter(lineAugmented(docs(s, d)), "doc_id", "text")),
+    // the Gopher QUALITY rules (Table A1's non-repetition half):
+    // measures + flags + verdict, with bullet/ellipsis line structure
+    // planted engine-mirrored as a doc_id function so the line rules
+    // verify with real variance
+    "p133_gopher_quality" -> ((s, d) =>
+      TextStats.gopherQualityRules(qualityAugmented(docs(s, d)), "doc_id", "text")),
     // TRAINED quality classifier (fastText/CCNet archetype): hashed-token
     // Naive-Bayes counts trained on the heuristic-labeled pmod(id,10)≠0
     // split, every doc scored (transcendental-free evidence ratio — see

@@ -94,6 +94,31 @@ class RepetitionStatsSpec extends SparkSpec {
     fast.length.toLong shouldBe docs.count()
   }
 
+  "gopherQualityRules" should "pass a clean doc and flag each rule in its own direction" in {
+    val cleanBody = Array.fill(12)("the data of stream flows").mkString(" ")
+    val out = TextStats.gopherQualityRules(Seq(
+      (1L, cleanBody),                               // 60 words, mean 4, 2 stops
+      (2L, "the data of short"),                     // word_count 4 < 50
+      (3L, Array.fill(60)("ab").mkString(" ")),      // mean word len 2 < 3
+      (4L, cleanBody + " " + Array.fill(10)("#").mkString(" ")), // symbols
+      (5L, "• " + cleanBody),                        // its ONE line is a bullet
+      (6L, cleanBody + "...\nthe data of stream flows...") // 2/2 ellipsis lines
+    ).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    out(1L).getAs[Boolean]("kept") shouldBe true
+    out(1L).getAs[Long]("n_distinct_stopwords") shouldBe 2L
+    out(1L).getAs[Double]("mean_word_len") shouldBe 4.0
+    out(2L).getAs[Boolean]("bad_word_count") shouldBe true
+    out(3L).getAs[Boolean]("bad_mean_word_len") shouldBe true
+    out(4L).getAs[Boolean]("bad_symbol_ratio") shouldBe true
+    out(5L).getAs[Boolean]("bad_bullets") shouldBe true
+    out(5L).getAs[Double]("bullet_line_frac") shouldBe 1.0
+    out(6L).getAs[Boolean]("bad_ellipsis") shouldBe true
+    Seq(2L, 3L, 4L, 5L, 6L).foreach { id =>
+      out(id).getAs[Boolean]("kept") shouldBe false
+    }
+  }
+
   "gopherRepetitionFilter" should "drop the planted repetitive doc and keep clean text" in {
     val out = TextStats.gopherRepetitionFilter(Seq(
       (1L, "spam spam spam spam spam spam"), // top bigram ×5 → way past 0.20
