@@ -365,6 +365,27 @@ object ProductQuantizer {
   def writeCellPartitionedIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Compact a cell-partitioned codes store into ONE file per cell —
+    * the maintenance pass continuous ingest makes necessary: every
+    * [[graft.streaming.IndexIngestStream]] micro-batch appends a file
+    * per touched cell, and a search's per-partition open cost grows
+    * with file count even though pruning keeps the byte volume right.
+    * One keyed shuffle of the codes rows (the 16 B/vector
+    * representation — source vectors are never touched): repartitioning
+    * ON the partition column puts each cell wholly inside one task, so
+    * the partitioned write emits exactly one file per cell.
+    *
+    * Writes to `dstPath` rather than rewriting in place: directory
+    * rename is not atomic on object stores, so the swap (point readers
+    * at the new store, retire the old) is deliberately the caller's
+    * deployment-specific step. Search parity and preserved pruning are
+    * spec-pinned (PartitionedAnnIndexSpec). */
+  def compactCellPartitionedIndex(spark: SparkSession, srcPath: String,
+                                  dstPath: String): Unit =
+    spark.read.parquet(srcPath)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dstPath)
+
   /** LUT-ADC search over a PERSISTED cell-partitioned codes index: the
     * query batch's probed cells are computed first (bounded by
     * construction: |queries|·nProbe values) and applied as a STATIC
