@@ -758,7 +758,134 @@ object OracleSqlDocs {
          |JOIN f5 USING (doc_id)
          |ORDER BY l.doc_id""".stripMargin
 
+  /** Shared twin of TextStats.gopherRepetitionFilter — p132 emits it
+    * directly; p134 rolls it up. */
+  private val gopherFilterSql: String =
+      ("""SELECT id,
+         |  dup_line_frac > CAST(0.30 AS DOUBLE) AS bad_dup_lines,
+         |  dup_line_char_frac > CAST(0.20 AS DOUBLE) AS bad_dup_line_chars,
+         |  top_2gram_char_frac > CAST(0.20 AS DOUBLE) AS bad_top_2gram,
+         |  top_3gram_char_frac > CAST(0.18 AS DOUBLE) AS bad_top_3gram,
+         |  dup_5gram_frac > CAST(0.15 AS DOUBLE) AS bad_dup_5grams,
+         |  NOT (dup_line_frac > CAST(0.30 AS DOUBLE)
+         |    OR dup_line_char_frac > CAST(0.20 AS DOUBLE)
+         |    OR top_2gram_char_frac > CAST(0.20 AS DOUBLE)
+         |    OR top_3gram_char_frac > CAST(0.18 AS DOUBLE)
+         |    OR dup_5gram_frac > CAST(0.15 AS DOUBLE)) AS kept
+         |FROM (""".stripMargin + "\n" + repetitionSignalsSql +
+        "\n)\nORDER BY id")
+
+  /** Shared twin of TextStats.gopherQualityRules over the planted
+    * bullet/ellipsis/stopword-line corpus — p133 emits it directly;
+    * p134 rolls it up. */
+  private val gopherQualitySql: String =
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || chr(10) ||
+         |    CASE WHEN doc_id % 3 = 0 THEN '• ' || substr(text, 1, 20)
+         |         ELSE 'plain ' || substr(text, 1, 20) END || chr(10) ||
+         |    CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 15) || '...'
+         |         ELSE substr(text, 1, 15) END || chr(10) ||
+         |    CASE WHEN doc_id % 2 = 0 THEN 'words of and that flow'
+         |         ELSE 'words flow' END AS text
+         |  FROM documents
+         |),
+         |base AS (
+         |  SELECT doc_id AS id, ${norm("text")} AS nm, text FROM aug
+         |),
+         |arrs AS (
+         |  SELECT id, string_split(nm, ' ') AS t,
+         |    list_filter(list_transform(string_split(text, chr(10)),
+         |                x -> trim(x)), x -> x <> '') AS ls,
+         |    nm
+         |  FROM base
+         |),
+         |counted AS (
+         |  SELECT id,
+         |    CAST(len(t) AS BIGINT) AS word_count,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(t, w -> CAST(len(w) AS BIGINT))),
+         |      (a, b) -> a + b) AS len_sum,
+         |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+         |      AS BIGINT) AS n_alpha_words,
+         |    CAST(len(regexp_extract_all(nm, '#')) +
+         |      len(regexp_extract_all(nm, '\\.\\.\\.')) AS BIGINT) AS n_symbols,
+         |    CAST(len(list_intersect(list_distinct(t),
+         |      ['the','be','to','of','and','that','have','with']))
+         |      AS BIGINT) AS n_stops,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(ls, x -> starts_with(x, '• ')
+         |      OR starts_with(x, '- '))) AS BIGINT) AS n_bullet_lines,
+         |    CAST(len(list_filter(ls, x -> ends_with(x, '...')))
+         |      AS BIGINT) AS n_ellipsis_lines
+         |  FROM arrs
+         |),
+         |m AS (
+         |  SELECT id, word_count,
+         |    CAST(len_sum AS DOUBLE) / CAST(word_count AS DOUBLE) AS mean_word_len,
+         |    CAST(n_alpha_words AS DOUBLE) / CAST(word_count AS DOUBLE)
+         |      AS alpha_word_frac,
+         |    CAST(n_symbols AS DOUBLE) / CAST(word_count AS DOUBLE)
+         |      AS symbol_word_ratio,
+         |    n_stops AS n_distinct_stopwords,
+         |    CASE WHEN n_lines = 0 THEN CAST(0 AS DOUBLE)
+         |         ELSE CAST(n_bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         |         END AS bullet_line_frac,
+         |    CASE WHEN n_lines = 0 THEN CAST(0 AS DOUBLE)
+         |         ELSE CAST(n_ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         |         END AS ellipsis_line_frac
+         |  FROM counted
+         |)
+         |SELECT id, word_count, mean_word_len, alpha_word_frac,
+         |  symbol_word_ratio, n_distinct_stopwords, bullet_line_frac,
+         |  ellipsis_line_frac,
+         |  (word_count < 50 OR word_count > 100000) AS bad_word_count,
+         |  (mean_word_len < CAST(3 AS DOUBLE)
+         |    OR mean_word_len > CAST(10 AS DOUBLE)) AS bad_mean_word_len,
+         |  (alpha_word_frac < CAST(0.80 AS DOUBLE)) AS bad_alpha_words,
+         |  (symbol_word_ratio > CAST(0.10 AS DOUBLE)) AS bad_symbol_ratio,
+         |  (n_distinct_stopwords < 2) AS bad_stopwords,
+         |  (bullet_line_frac > CAST(0.90 AS DOUBLE)) AS bad_bullets,
+         |  (ellipsis_line_frac > CAST(0.30 AS DOUBLE)) AS bad_ellipsis,
+         |  NOT ((word_count < 50 OR word_count > 100000)
+         |    OR (mean_word_len < CAST(3 AS DOUBLE)
+         |        OR mean_word_len > CAST(10 AS DOUBLE))
+         |    OR (alpha_word_frac < CAST(0.80 AS DOUBLE))
+         |    OR (symbol_word_ratio > CAST(0.10 AS DOUBLE))
+         |    OR (n_distinct_stopwords < 2)
+         |    OR (bullet_line_frac > CAST(0.90 AS DOUBLE))
+         |    OR (ellipsis_line_frac > CAST(0.30 AS DOUBLE))) AS kept
+         |FROM m ORDER BY id""".stripMargin
+
+  /** Twin of TextStats.curationReport: one aggregate row per family over
+    * the two rule twins, melted into (family, rule, n_flagged, n_docs,
+    * frac) rows. Generated from the same rule lists the branches quote,
+    * so an added rule cannot silently fall out of the report twin. */
+  private val curationReportSql: String = {
+    val qRules = Seq("bad_word_count", "bad_mean_word_len",
+      "bad_alpha_words", "bad_symbol_ratio", "bad_stopwords", "bad_bullets",
+      "bad_ellipsis", "kept")
+    val rRules = Seq("bad_dup_lines", "bad_dup_line_chars", "bad_top_2gram",
+      "bad_top_3gram", "bad_dup_5grams", "kept")
+    def sums(rules: Seq[String]): String = rules.map(r =>
+      s"CAST(sum(CASE WHEN $r THEN 1 ELSE 0 END) AS BIGINT) AS $r")
+      .mkString(",\n    ")
+    def branches(src: String, family: String, rules: Seq[String]): String =
+      rules.map(r =>
+        s"SELECT '$family' AS family, '$r' AS rule, $r AS n_flagged, " +
+        s"n_docs, CAST($r AS DOUBLE) / CAST(n_docs AS DOUBLE) AS frac " +
+        s"FROM $src").mkString("\nUNION ALL\n")
+    "WITH qa AS (\n  SELECT CAST(count(*) AS BIGINT) AS n_docs,\n    " +
+      sums(qRules) + "\n  FROM (\n" + gopherQualitySql + "\n  )\n),\n" +
+      "ra AS (\n  SELECT CAST(count(*) AS BIGINT) AS n_docs,\n    " +
+      sums(rRules) + "\n  FROM (\n" + gopherFilterSql + "\n  )\n)\n" +
+      "SELECT * FROM (\n" + branches("qa", "quality", qRules) +
+      "\nUNION ALL\n" + branches("ra", "repetition", rRules) +
+      "\n)\nORDER BY family, rule"
+  }
+
   val docs: Map[String, String] = Map(
+    "p134_curation_report" -> curationReportSql,
     // hashed-BoW text knn: constructed vectors + the p21 brute-force tail
     "p121_text_knn" -> (hashedEmbCte +
       s""",
@@ -1849,104 +1976,14 @@ object OracleSqlDocs {
     // NOTE: built by concatenation, not one interpolated stripMargin —
     // the signals SQL contains lines starting with the `||` concat
     // operator, which an outer stripMargin would corrupt.
-    "p132_gopher_filter" ->
-      ("""SELECT id,
-         |  dup_line_frac > CAST(0.30 AS DOUBLE) AS bad_dup_lines,
-         |  dup_line_char_frac > CAST(0.20 AS DOUBLE) AS bad_dup_line_chars,
-         |  top_2gram_char_frac > CAST(0.20 AS DOUBLE) AS bad_top_2gram,
-         |  top_3gram_char_frac > CAST(0.18 AS DOUBLE) AS bad_top_3gram,
-         |  dup_5gram_frac > CAST(0.15 AS DOUBLE) AS bad_dup_5grams,
-         |  NOT (dup_line_frac > CAST(0.30 AS DOUBLE)
-         |    OR dup_line_char_frac > CAST(0.20 AS DOUBLE)
-         |    OR top_2gram_char_frac > CAST(0.20 AS DOUBLE)
-         |    OR top_3gram_char_frac > CAST(0.18 AS DOUBLE)
-         |    OR dup_5gram_frac > CAST(0.15 AS DOUBLE)) AS kept
-         |FROM (""".stripMargin + "\n" + repetitionSignalsSql +
-        "\n)\nORDER BY id"),
+    "p132_gopher_filter" -> gopherFilterSql,
 
 
     // Gopher QUALITY rules twin: the same planted bullet/ellipsis line
     // structure, token measures over the house normalization, lines per
     // the p131 contract; fractions are single INT/INT double divisions
     // and flags mirror the published thresholds.
-    "p133_gopher_quality" ->
-      s"""WITH aug AS (
-         |  SELECT doc_id,
-         |    text || chr(10) ||
-         |    CASE WHEN doc_id % 3 = 0 THEN '• ' || substr(text, 1, 20)
-         |         ELSE 'plain ' || substr(text, 1, 20) END || chr(10) ||
-         |    CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 15) || '...'
-         |         ELSE substr(text, 1, 15) END || chr(10) ||
-         |    CASE WHEN doc_id % 2 = 0 THEN 'words of and that flow'
-         |         ELSE 'words flow' END AS text
-         |  FROM documents
-         |),
-         |base AS (
-         |  SELECT doc_id AS id, ${norm("text")} AS nm, text FROM aug
-         |),
-         |arrs AS (
-         |  SELECT id, string_split(nm, ' ') AS t,
-         |    list_filter(list_transform(string_split(text, chr(10)),
-         |                x -> trim(x)), x -> x <> '') AS ls,
-         |    nm
-         |  FROM base
-         |),
-         |counted AS (
-         |  SELECT id,
-         |    CAST(len(t) AS BIGINT) AS word_count,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(t, w -> CAST(len(w) AS BIGINT))),
-         |      (a, b) -> a + b) AS len_sum,
-         |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
-         |      AS BIGINT) AS n_alpha_words,
-         |    CAST(len(regexp_extract_all(nm, '#')) +
-         |      len(regexp_extract_all(nm, '\\.\\.\\.')) AS BIGINT) AS n_symbols,
-         |    CAST(len(list_intersect(list_distinct(t),
-         |      ['the','be','to','of','and','that','have','with']))
-         |      AS BIGINT) AS n_stops,
-         |    CAST(len(ls) AS BIGINT) AS n_lines,
-         |    CAST(len(list_filter(ls, x -> starts_with(x, '• ')
-         |      OR starts_with(x, '- '))) AS BIGINT) AS n_bullet_lines,
-         |    CAST(len(list_filter(ls, x -> ends_with(x, '...')))
-         |      AS BIGINT) AS n_ellipsis_lines
-         |  FROM arrs
-         |),
-         |m AS (
-         |  SELECT id, word_count,
-         |    CAST(len_sum AS DOUBLE) / CAST(word_count AS DOUBLE) AS mean_word_len,
-         |    CAST(n_alpha_words AS DOUBLE) / CAST(word_count AS DOUBLE)
-         |      AS alpha_word_frac,
-         |    CAST(n_symbols AS DOUBLE) / CAST(word_count AS DOUBLE)
-         |      AS symbol_word_ratio,
-         |    n_stops AS n_distinct_stopwords,
-         |    CASE WHEN n_lines = 0 THEN CAST(0 AS DOUBLE)
-         |         ELSE CAST(n_bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
-         |         END AS bullet_line_frac,
-         |    CASE WHEN n_lines = 0 THEN CAST(0 AS DOUBLE)
-         |         ELSE CAST(n_ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
-         |         END AS ellipsis_line_frac
-         |  FROM counted
-         |)
-         |SELECT id, word_count, mean_word_len, alpha_word_frac,
-         |  symbol_word_ratio, n_distinct_stopwords, bullet_line_frac,
-         |  ellipsis_line_frac,
-         |  (word_count < 50 OR word_count > 100000) AS bad_word_count,
-         |  (mean_word_len < CAST(3 AS DOUBLE)
-         |    OR mean_word_len > CAST(10 AS DOUBLE)) AS bad_mean_word_len,
-         |  (alpha_word_frac < CAST(0.80 AS DOUBLE)) AS bad_alpha_words,
-         |  (symbol_word_ratio > CAST(0.10 AS DOUBLE)) AS bad_symbol_ratio,
-         |  (n_distinct_stopwords < 2) AS bad_stopwords,
-         |  (bullet_line_frac > CAST(0.90 AS DOUBLE)) AS bad_bullets,
-         |  (ellipsis_line_frac > CAST(0.30 AS DOUBLE)) AS bad_ellipsis,
-         |  NOT ((word_count < 50 OR word_count > 100000)
-         |    OR (mean_word_len < CAST(3 AS DOUBLE)
-         |        OR mean_word_len > CAST(10 AS DOUBLE))
-         |    OR (alpha_word_frac < CAST(0.80 AS DOUBLE))
-         |    OR (symbol_word_ratio > CAST(0.10 AS DOUBLE))
-         |    OR (n_distinct_stopwords < 2)
-         |    OR (bullet_line_frac > CAST(0.90 AS DOUBLE))
-         |    OR (ellipsis_line_frac > CAST(0.30 AS DOUBLE))) AS kept
-         |FROM m ORDER BY id""".stripMargin,
+    "p133_gopher_quality" -> gopherQualitySql,
 
     "p36_token_counts" ->
       s"""WITH n AS (SELECT doc_id AS id, ${norm("text")} AS norm FROM documents)

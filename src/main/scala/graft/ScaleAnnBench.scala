@@ -206,6 +206,25 @@ object ScaleAnnBench {
       println(f"""{"op":"pqr_codes_index_build_256","vecs":$n,"sec":$tResIdx256%.2f,"m":16,"k":256}""")
       println(f"""{"op":"pqr_lut_search_256","vecs":$n,"sec":$tLutSearch256%.2f,""" +
         f""""recall":${recall(exact, lutSearch256)}%.3f,"m":16,"k":256,"cells":$nCellsPq,"nprobe":2}""")
+      // IVFADC+R (round 14): exact re-rank of the LUT shortlist against
+      // the source vectors — same probes, so the delta over the LUT rung
+      // is pure quantization recovery; cost is the widened shortlist's
+      // LUT pass + kShort exact distances per query (broadcast joins,
+      // corpus streamed). kShort sweep shows the recall/latency knee.
+      for (kShort <- Seq(10, 30, 100)) {
+        var rr: DataFrame = null
+        val tRr = time {
+          rr = ProductQuantizer.rerankExact(
+            ProductQuantizer.searchResidualIndexLut(resIdx256, qset,
+              centsPq, resCb256, k = kShort, nProbe = 2),
+            emb, "vec_id", "embedding", qset)
+          rr = rr.persist(); rr.count()
+        }
+        println(f"""{"op":"pqr_rerank_256","vecs":$n,"sec":$tRr%.2f,""" +
+          f""""recall":${recall(exact, rr)}%.3f,"kshort":$kShort,""" +
+          f""""m":16,"k":256,"cells":$nCellsPq,"nprobe":2}""")
+        rr.unpersist(false)
+      }
       exact.unpersist(false); lsh.unpersist(false); ivf.unpersist(false)
       multi.unpersist(false); pq.unpersist(false); ivfpq.unpersist(false)
       pqIdx.unpersist(false); qset.unpersist(false); idxSearch.unpersist(false)

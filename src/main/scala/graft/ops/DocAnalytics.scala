@@ -591,6 +591,13 @@ object DocAnalytics {
     // verify with real variance
     "p133_gopher_quality" -> ((s, d) =>
       TextStats.gopherQualityRules(qualityAugmented(docs(s, d)), "doc_id", "text")),
+    // corpus-level curation report: per-rule flagged counts/fractions
+    // over BOTH Gopher families — the removal-attribution table a
+    // curation run publishes; two narrow aggregates, one row each
+    "p134_curation_report" -> ((s, d) =>
+      TextStats.curationReport(
+        TextStats.gopherQualityRules(qualityAugmented(docs(s, d)), "doc_id", "text"),
+        TextStats.gopherRepetitionFilter(lineAugmented(docs(s, d)), "doc_id", "text"))),
     // TRAINED quality classifier (fastText/CCNet archetype): hashed-token
     // Naive-Bayes counts trained on the heuristic-labeled pmod(id,10)≠0
     // split, every doc scored (transcendental-free evidence ratio — see

@@ -148,6 +148,36 @@ object TextStats {
       .orderBy("id")
   }
 
+  private val QualityRuleCols = Seq("bad_word_count", "bad_mean_word_len",
+    "bad_alpha_words", "bad_symbol_ratio", "bad_stopwords", "bad_bullets",
+    "bad_ellipsis", "kept")
+  private val RepetitionRuleCols = Seq("bad_dup_lines", "bad_dup_line_chars",
+    "bad_top_2gram", "bad_top_3gram", "bad_dup_5grams", "kept")
+
+  /** Corpus-level curation report: per-rule flagged counts and fractions
+    * over the [[gopherQualityRules]] and [[gopherRepetitionFilter]]
+    * verdict frames — the removal-attribution table a curation run
+    * publishes next to its output. Each family is ONE narrow aggregate
+    * (map-side partial sums of 0/1 casts, a single row crossing the
+    * exchange) melted into rows, so the report costs two corpus passes
+    * and shuffles ~nothing at any scale. */
+  def curationReport(qualFlags: DataFrame, repFlags: DataFrame): DataFrame = {
+    def rollup(df: DataFrame, family: String, rules: Seq[String]): DataFrame = {
+      val agg = df.agg(count(lit(1)).as("n_docs"),
+        rules.map(rc => sum(col(rc).cast("long")).as(rc)): _*)
+      agg.select(explode(array(rules.map(rc =>
+          struct(lit(family).as("family"), lit(rc).as("rule"),
+            col(rc).as("n_flagged"), col("n_docs").as("n_docs"))): _*)).as("x"))
+        .select(col("x.family").as("family"), col("x.rule").as("rule"),
+          col("x.n_flagged").as("n_flagged"), col("x.n_docs").as("n_docs"),
+          (col("x.n_flagged").cast("double") / col("x.n_docs").cast("double"))
+            .as("frac"))
+    }
+    rollup(qualFlags, "quality", QualityRuleCols)
+      .union(rollup(repFlags, "repetition", RepetitionRuleCols))
+      .orderBy("family", "rule")
+  }
+
   /** Marker-word language heuristic: count hits against per-language
     * stopword lists, pick the max with a fixed precedence (en, es, fr, de),
     * `und` (undetermined) when nothing matches. A real pipeline would use

@@ -119,6 +119,33 @@ class RepetitionStatsSpec extends SparkSpec {
     }
   }
 
+  "curationReport" should "melt per-rule counts with exact fractions" in {
+    val cleanBody = Array.fill(12)("the data of stream flows").mkString(" ")
+    val qual = TextStats.gopherQualityRules(Seq(
+      (1L, cleanBody), (2L, "the data of short"),
+      (3L, Array.fill(60)("ab").mkString(" "))
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    val rep = TextStats.gopherRepetitionFilter(Seq(
+      (1L, "spam spam spam spam spam spam"),
+      // distinct words: cleanBody is 12 repeats and would (correctly)
+      // trip the repetition rules it passes the QUALITY rules with
+      (2L, "the quick brown fox jumps over a lazy dog while seven wise " +
+        "owls watch from tall oak trees beside an old stone bridge " +
+        "near quiet river banks under pale winter skies tonight"),
+      (3L, "dup line\ndup line\ndup line\nunique closing line")
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    val rows = TextStats.curationReport(qual, rep).collect()
+    rows.length shouldBe 14 // 8 quality + 6 repetition rule rows
+    val m = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    m(("quality", "kept")).getAs[Long]("n_flagged") shouldBe 1L
+    m(("quality", "kept")).getAs[Long]("n_docs") shouldBe 3L
+    m(("quality", "kept")).getAs[Double]("frac") shouldBe (1.0 / 3.0)
+    m(("quality", "bad_word_count")).getAs[Long]("n_flagged") shouldBe 1L
+    m(("quality", "bad_mean_word_len")).getAs[Long]("n_flagged") shouldBe 1L
+    m(("repetition", "kept")).getAs[Long]("n_flagged") shouldBe 1L
+    m(("repetition", "bad_dup_lines")).getAs[Long]("n_flagged") shouldBe 1L
+  }
+
   "gopherRepetitionFilter" should "drop the planted repetitive doc and keep clean text" in {
     val out = TextStats.gopherRepetitionFilter(Seq(
       (1L, "spam spam spam spam spam spam"), // top bigram ×5 → way past 0.20
