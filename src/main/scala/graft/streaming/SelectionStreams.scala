@@ -208,6 +208,26 @@ object RepetitionSignalsStream {
       .start()
 }
 
+/** Streaming twin of the p133 Gopher quality rules
+  * ([[graft.text.TextStats.gopherQualityRules]]): stateless row-local
+  * measures + threshold flags, so micro-batches score independently and
+  * the drained union equals the batch run — the live-curation gate that
+  * drops documents before they reach the training mix. */
+object GopherQualityStream {
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+             outDir: String, checkpointDir: String,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.TextStats.gopherQualityRules(batch, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+}
+
 /** Streaming INGEST into the p128 cell-partitioned ANN store: encode a
   * vector stream against a FROZEN quantizer (coarse centroids +
   * residual codebooks trained offline) and append each micro-batch's

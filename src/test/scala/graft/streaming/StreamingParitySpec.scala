@@ -645,6 +645,23 @@ class StreamingParitySpec extends SparkSpec {
     got shouldBe batch.toSeq
   }
 
+  "GopherQualityStream" should "gate a doc stream exactly like the batch quality rules (p133)" in {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val outDir = Files.createTempDirectory("graft-gq-out").toString
+    val ckpt = Files.createTempDirectory("graft-gq-ckpt").toString
+    val q = GopherQualityStream.attach(
+      docStream(dumpDocsAsJson()), "doc_id", "text", outDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).drop("batch").collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = graft.text.TextStats
+      .gopherQualityRules(docsDf, "doc_id", "text")
+      .collect().map(_.toSeq)
+    got.length shouldBe batch.length
+    got shouldBe batch.toSeq
+  }
+
   "IdfEmbedStream" should "embed a doc stream against a frozen idf vocabulary exactly like batch (p126)" in {
     val docsDf = graft.sources.Tables.documents(spark, sfDir)
     val vocab = graft.text.TextStats
