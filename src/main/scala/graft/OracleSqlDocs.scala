@@ -949,6 +949,52 @@ object OracleSqlDocs {
     // same 1-based-index list_filter coverage test (Spark's lambda index
     // is 0-based, hence the i-1). array_to_string of an empty list is
     // NULL in DuckDB where Spark's array_join gives '' — coalesced.
+    // extents twin of TextDedup.dupSpanExtents: the p87 window-key fold,
+    // then count >= 2 marks duplicated starts (keepers INCLUDED), then
+    // per-id gaps-and-islands (new extent iff pos > lag + 8) and the
+    // token slice for the covered text.
+    "p135_dup_span_extents" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, string_split(${norm("coalesce(text, '')")}, ' ') AS t FROM documents
+         |), thd AS (
+         |  SELECT id, list_transform(t, tok -> ${hash("tok")}) AS th FROM toks
+         |), win AS (
+         |  SELECT id, CASE WHEN len(th) >= 8
+         |    THEN [list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+7]),
+         |            (a, b) -> (a*31 + b) % $P) * 998244353
+         |          + list_reduce(list_prepend(CAST(11 AS BIGINT), th[i:i+7]),
+         |            (a, b) -> (a*37 + b) % 998244353)
+         |          for i in range(1, len(th)-6)]
+         |    ELSE CAST([] AS BIGINT[]) END AS ws
+         |  FROM thd
+         |), ex AS (
+         |  SELECT id, unnest(ws) AS wh, generate_subscripts(ws, 1) - 1 AS pos FROM win
+         |), dup AS (
+         |  SELECT id, pos FROM (
+         |    SELECT id, pos, count(*) OVER (PARTITION BY wh) AS cnt FROM ex
+         |  ) WHERE cnt >= 2
+         |), isl AS (
+         |  SELECT id, pos,
+         |    CASE WHEN lag(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL
+         |           OR pos > lag(pos) OVER (PARTITION BY id ORDER BY pos) + 8
+         |         THEN 1 ELSE 0 END AS new_ext
+         |  FROM dup
+         |), ext AS (
+         |  SELECT id, pos, sum(new_ext) OVER (PARTITION BY id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ext_id
+         |  FROM isl
+         |), spans AS (
+         |  SELECT id, ext_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+         |    CAST(count(*) AS BIGINT) AS n_windows
+         |  FROM ext GROUP BY id, ext_id
+         |)
+         |SELECT id AS doc_id, CAST(span_start AS BIGINT) AS span_start,
+         |  CAST(span_end AS BIGINT) AS span_end,
+         |  CAST(span_end - span_start AS BIGINT) AS span_tokens, n_windows,
+         |  array_to_string(t[span_start+1:span_end], ' ') AS span_text
+         |FROM spans JOIN toks USING (id)
+         |ORDER BY doc_id, span_start""".stripMargin,
+
     "p87_span_dedup" ->
       s"""WITH toks AS (
          |  SELECT doc_id AS id, string_split(${norm("coalesce(text, '')")}, ' ') AS t FROM documents

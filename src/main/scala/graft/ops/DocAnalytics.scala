@@ -552,6 +552,11 @@ object DocAnalytics {
     // documents is what document-level dedup can't touch.
     "p87_span_dedup" -> ((s, d) =>
       TextDedup.spanDedup(docs(s, d), "doc_id", "text")),
+    // the substring-dedup AUDIT view: maximal duplicated extents per
+    // document (keeper occurrences included — it reports duplication,
+    // not removal), with window support and the covered text
+    "p135_dup_span_extents" -> ((s, d) =>
+      TextDedup.dupSpanExtents(docs(s, d), "doc_id", "text")),
     "p16_simhash" -> ((s, d) =>
       TextDedup.simhash(docs(s, d), "doc_id", "text")),
     "p17_simhash_neardup" -> ((s, d) =>

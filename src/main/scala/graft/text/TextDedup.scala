@@ -120,6 +120,56 @@ object TextDedup {
     spanCleanup(tok, starts, spanK)
   }
 
+  /** Maximal duplicated-span EXTENTS — the audit view of the substring-
+    * dedup family (Lee et al. 2022's "what got deduplicated" report):
+    * every k-token window occurring ≥ `minCount` times corpus-wide marks
+    * its covered positions duplicated, and per document the covered
+    * positions coalesce into MAXIMAL extents. Where [[spanDedup]] ships
+    * the cleaned corpus, this reports WHERE the duplicated regions are —
+    * extent boundaries, window support, and the covered text — one row
+    * per (document, extent). Unlike spanDedup, keeper occurrences are
+    * included: the report describes duplication, not removal.
+    *
+    * Extent coalescing is gaps-and-islands PER DOCUMENT: over the
+    * id-sorted duplicated window starts, a window opens a new extent iff
+    * its start exceeds the previous start + k (coverage adjacency
+    * merges: windows at pos and pos+k cover a contiguous token run).
+    *
+    * Scale shape: the occurrence exchange is the p87 one (fixed-width
+    * (id, pos, wh) triples, window keys mostly unique so the count rides
+    * the same hash(wh) exchange); the islands window is PARTITIONED BY
+    * id — per-document work, never a global funnel; extents rejoin the
+    * token frame on id only for their text slice. */
+  def dupSpanExtents(df: DataFrame, idCol: String, textCol: String,
+                     spanK: Int = 8, minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = spanTokenFrame(df, idCol, textCol)
+    val ex = spanOccurrences(tok, spanK).repartition(col("wh"))
+    val grp = ex.groupBy("wh")
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= minCount)
+    val dup = ex.join(grp, Seq("wh")).select("id", "pos")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val prev = lag(col("pos"), 1).over(w)
+    val ext = dup
+      .withColumn("new_ext",
+        when(prev.isNull || col("pos") > prev + lit(spanK), 1L).otherwise(0L))
+      .withColumn("ext_id", sum(col("new_ext")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id", "ext_id")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + spanK).as("span_end"),
+        count(lit(1)).as("n_windows"))
+    ext.join(tok, Seq("id"))
+      .select(col("id").as("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start")).cast("long").as("span_tokens"),
+        col("n_windows"),
+        array_join(slice(col("tk"), col("span_start") + 1,
+          col("span_end") - col("span_start")), " ").as("span_text"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Span-level DECONTAMINATION — the scrubbing counterpart of the p42
     * detector: every k-token window of `df` whose key also occurs
     * anywhere in `benchmark` is removed from the document (coverage-union

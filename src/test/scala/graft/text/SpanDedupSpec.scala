@@ -140,4 +140,42 @@ class SpanDedupSpec extends SparkSpec {
       }
     }
   }
+
+  "dupSpanExtents" should "report maximal extents in every occurrence, keepers included" in {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val s2 = "one two three four five six seven eight"
+    val docs = Seq(
+      10L -> (shared + " ua1 ua2 ua3"),              // extent [0, 12)
+      11L -> ("ub1 ub2 " + shared),                  // extent [2, 14)
+      // an 8-token run duplicated WITHIN one doc, 9 unique fillers apart:
+      // two disjoint extents [0, 8) and [17, 25), one window each
+      12L -> (s2 + " f1 f2 f3 f4 f5 f6 f7 f8 f9 " + s2))
+    val out = TextDedup.dupSpanExtents(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens"),
+        r.getAs[Long]("n_windows"), r.getAs[String]("span_text")))
+    out.toSeq shouldBe Seq(
+      // the 12-token run yields 5 windows merging to ONE extent, and it
+      // is reported in BOTH documents — the keeper too (spanDedup's
+      // removal view would exclude doc 10's copy)
+      (10L, 0L, 12L, 12L, 5L, shared),
+      (11L, 2L, 14L, 12L, 5L, shared),
+      (12L, 0L, 8L, 8L, 1L, s2),
+      (12L, 17L, 25L, 8L, 1L, s2))
+  }
+
+  it should "merge coverage-adjacent windows into one extent" in {
+    // a 16-token duplicated run: duplicated window starts 0..8 include
+    // the exactly-adjacent pair (0, 8) — coverage [0,8)∪[8,16) is one
+    // contiguous run and must NOT split
+    val r16 = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(20L -> r16, 21L -> (r16 + " uq1 uq2"))
+    val out = TextDedup.dupSpanExtents(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))
+    out.toSeq shouldBe Seq((20L, 0L, 16L), (21L, 0L, 16L))
+  }
 }
