@@ -2584,6 +2584,26 @@ object OracleSqlDocs {
     // sequence packing: global prefix sum over id order → token-budget
     // bins; the Spark side computes the same sum distributed (range
     // partitions + offsets), so the values must agree exactly
+    // token-balanced shard assignment twin: the p82 prefix-sum chain,
+    // shard = (cum_before * 16) // total (integer-exact, contiguous cuts)
+    "p136_shard_assign" ->
+      s"""WITH n AS (
+         |  SELECT doc_id AS id,
+         |         CAST(len(string_split(${norm("text")}, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM n
+         |), t AS (
+         |  SELECT greatest(CAST(sum(n_tokens) AS BIGINT), 1) AS total FROM n
+         |)
+         |SELECT id, n_tokens, cum_tokens,
+         |       ((cum_tokens - n_tokens) * 16) // total AS shard
+         |FROM c CROSS JOIN t ORDER BY id""".stripMargin,
+
     "p82_sequence_packing" ->
       s"""WITH n AS (
          |  SELECT doc_id AS id,

@@ -557,6 +557,10 @@ object DocAnalytics {
     // not removal), with window support and the covered text
     "p135_dup_span_extents" -> ((s, d) =>
       TextDedup.dupSpanExtents(docs(s, d), "doc_id", "text")),
+    // token-balanced contiguous shard cuts (export planning): integer-
+    // exact prefix-sum assignment, the writer's plan side
+    "p136_shard_assign" -> ((s, d) =>
+      TextCuration.shardAssign(docs(s, d), "doc_id", "text")),
     "p16_simhash" -> ((s, d) =>
       TextDedup.simhash(docs(s, d), "doc_id", "text")),
     "p17_simhash_neardup" -> ((s, d) =>
