@@ -932,6 +932,62 @@ object OracleSqlDocs {
          |SELECT vec_a, vec_b, sim FROM sims
          |WHERE sim >= CAST(0.9 AS DOUBLE) ORDER BY vec_a, vec_b""".stripMargin),
 
+    // C4 line-dedup twin of TextDedup.lineDedup over the p133 planted
+    // corpus: lines keyed by the SAME two polynomial hashes as p13,
+    // keeper = row_number() 1 under (id, lpos), cleanup row-local.
+    "p137_line_dedup" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || chr(10) ||
+         |    CASE WHEN doc_id % 3 = 0 THEN '• ' || substr(text, 1, 20)
+         |         ELSE 'plain ' || substr(text, 1, 20) END || chr(10) ||
+         |    CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 15) || '...'
+         |         ELSE substr(text, 1, 15) END || chr(10) ||
+         |    CASE WHEN doc_id % 2 = 0 THEN 'words of and that flow'
+         |         ELSE 'words flow' END AS text
+         |  FROM documents
+         |),
+         |lf AS (
+         |  SELECT doc_id AS id,
+         |    list_filter(list_transform(string_split(text, chr(10)),
+         |                x -> trim(x)), x -> x <> '') AS ls
+         |  FROM aug
+         |),
+         |ex AS (
+         |  SELECT id, generate_subscripts(ls, 1) - 1 AS lpos, unnest(ls) AS l
+         |  FROM lf
+         |),
+         |keyed AS (
+         |  SELECT id, lpos, ${hash("l")} AS h1,
+         |    list_reduce(list_prepend(CAST(11 AS BIGINT),
+         |      list_transform(string_split(l, ''),
+         |        c -> CAST(ascii(c) AS BIGINT))),
+         |      (a, b) -> (a*37 + b) % 998244353) AS h2
+         |  FROM ex
+         |),
+         |marked AS (
+         |  SELECT id, lpos,
+         |    count(*) OVER (PARTITION BY h1, h2) AS cnt,
+         |    row_number() OVER (PARTITION BY h1, h2 ORDER BY id, lpos) AS rn
+         |  FROM keyed
+         |),
+         |rmv AS (
+         |  SELECT id, list_sort(list(lpos)) AS rm
+         |  FROM marked WHERE cnt >= 2 AND rn > 1 GROUP BY id
+         |),
+         |cl AS (
+         |  SELECT lf.id, len(lf.ls) AS n_lines,
+         |    coalesce(len(r.rm), 0) AS n_removed,
+         |    list_filter(lf.ls, (x, i) ->
+         |      len(list_filter(coalesce(r.rm, CAST([] AS BIGINT[])),
+         |          p -> p = i - 1)) = 0) AS cls
+         |  FROM lf LEFT JOIN rmv r USING (id)
+         |)
+         |SELECT id AS doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         |  CAST(n_removed AS BIGINT) AS n_removed,
+         |  coalesce(array_to_string(cls, chr(10)), '') AS cleaned_text
+         |FROM cl ORDER BY doc_id""".stripMargin,
+
     "p13_exact_dedup" ->
       s"""SELECT ${hash(norm("text"))} AS text_hash,
          |       list_reduce(list_prepend(CAST(11 AS BIGINT),

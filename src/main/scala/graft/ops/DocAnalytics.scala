@@ -561,6 +561,11 @@ object DocAnalytics {
     // exact prefix-sum assignment, the writer's plan side
     "p136_shard_assign" -> ((s, d) =>
       TextCuration.shardAssign(docs(s, d), "doc_id", "text")),
+    // C4-style corpus-wide line dedup over the planted multi-line corpus
+    // (qualityAugmented: per-doc duplicate prefix lines + two line values
+    // shared by ~half the corpus each — keep-first across documents)
+    "p137_line_dedup" -> ((s, d) =>
+      TextDedup.lineDedup(qualityAugmented(docs(s, d)), "doc_id", "text")),
     "p16_simhash" -> ((s, d) =>
       TextDedup.simhash(docs(s, d), "doc_id", "text")),
     "p17_simhash_neardup" -> ((s, d) =>

@@ -120,6 +120,54 @@ object TextDedup {
     spanCleanup(tok, starts, spanK)
   }
 
+  /** Corpus-wide LINE dedup — the C4 preprocessing archetype (Raffel et
+    * al. 2020 §2.2 deduplicate repeated lines/spans at corpus scope):
+    * every space-trimmed non-blank line occurring ≥ `minCount` times
+    * ANYWHERE in the corpus keeps only its minimum-(doc, position)
+    * occurrence; every other occurrence is removed from its document.
+    * The boilerplate scrubber for nav bars, cookie banners, and license
+    * headers that document-level dedup can't touch and token-window
+    * span dedup over-segments.
+    *
+    * Lines key by TWO independent polynomial hashes (the p13 exact-dedup
+    * convention): fixed-width shuffle keys, the line text itself never
+    * shuffles — only (id, lpos, h1, h2) quadruples cross the exchange,
+    * and the count/keeper aggregate plus the removal join share that one
+    * exchange (the spanDedup shape). Cleanup is row-local array math.
+    * Output: (doc_id, n_lines, n_removed, cleaned_text) with cleaned
+    * lines rejoined by `\n`. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minCount: Long = 2L): DataFrame = {
+    val lf = Barrier.once(
+      df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("__t")),
+      Seq("id"),
+      "ls" -> filter(transform(split(col("__t"), "\n"), l => trim(l)),
+        l => l =!= ""))
+    val ex = lf.select(col("id"), posexplode(col("ls")))
+      .toDF("id", "lpos", "l")
+      .select(col("id"), col("lpos"),
+        charHash(col("l")).as("h1"),
+        graft.functions.PolyHash(col("l"), 11L, 37L, 998244353L).as("h2"))
+      .filter(col("id").isNotNull)
+      .repartition(col("h1"), col("h2"))
+    val grp = ex.groupBy("h1", "h2")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("id"), col("lpos"))).as("keep"))
+      .filter(col("cnt") >= minCount)
+    val removals = ex.join(grp, Seq("h1", "h2"))
+      .filter(col("id") =!= col("keep.id") || col("lpos") =!= col("keep.lpos"))
+      .groupBy("id").agg(sort_array(collect_list(col("lpos"))).as("rm"))
+    val rm = coalesce(col("rm"), array().cast("array<int>"))
+    lf.join(removals, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"),
+        array_join(filter(col("ls"),
+          (l, i) => !exists(rm, p => p === i)), "\n").as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** Maximal duplicated-span EXTENTS — the audit view of the substring-
     * dedup family (Lee et al. 2022's "what got deduplicated" report):
     * every k-token window occurring ≥ `minCount` times corpus-wide marks

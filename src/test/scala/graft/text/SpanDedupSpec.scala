@@ -141,6 +141,39 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  "lineDedup" should "keep the first occurrence of each duplicated line corpus-wide" in {
+    // "cookie banner" shared by all three docs (keep-first in doc 1),
+    // a within-doc duplicate in doc 2, and blank/whitespace lines that
+    // never key (they are dropped from output entirely)
+    val docs = Seq(
+      (1L, "cookie banner\nunique one\n\ncookie banner"),
+      (2L, "unique two\ncookie banner\nrepeat me\nrepeat me"),
+      (3L, "   \ncookie banner\nunique three  "))
+    val out = TextDedup.lineDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned_text")))).toMap
+    // doc 1: 3 nonempty lines; its SECOND "cookie banner" is a dup of
+    // its own first (the keeper) and goes
+    out(1L) shouldBe ((3L, 1L, "cookie banner\nunique one"))
+    // doc 2: banner removed (doc 1 keeps it), second "repeat me" removed
+    out(2L) shouldBe ((4L, 2L, "unique two\nrepeat me"))
+    // doc 3: whitespace-only line dropped pre-keying; trailing spaces
+    // trimmed; banner removed
+    out(3L) shouldBe ((2L, 1L, "unique three"))
+  }
+
+  it should "leave a corpus of distinct lines untouched" in {
+    val docs = Seq((1L, "alpha one\nbeta two"), (2L, "gamma three"))
+    val out = TextDedup.lineDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("n_removed"),
+        r.getAs[String]("cleaned_text")))
+    out.toSeq shouldBe Seq((0L, "alpha one\nbeta two"), (0L, "gamma three"))
+  }
+
   "dupSpanExtents" should "report maximal extents in every occurrence, keepers included" in {
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val s2 = "one two three four five six seven eight"
