@@ -207,6 +207,65 @@ object SpanDedupStream {
       .start()
 }
 
+/** Streaming twin of the p137 corpus-wide line dedup
+  * ([[graft.text.TextDedup.lineDedup]]): first-seen-keeps across
+  * micro-batches — a line key already in state (or beaten by the
+  * batch's own min-(id, lpos) keeper of a never-seen key) is removed —
+  * so over id-ordered batches the drained output equals the batch
+  * operator exactly. State is the seen (h1, h2) line-key set under
+  * [[VersionedState]] (per-batch NOVELTY deltas + periodic compacts,
+  * the SpanDedupStream contract: replay-safe via the beforeBatch read,
+  * one overwritten batch=<id> output partition per batch). */
+object LineDedupStream {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  import graft.text.TextDedup
+
+  private val seenSchema = StructType(Seq(
+    StructField("h1", LongType), StructField("h2", LongType)))
+
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+             outDir: String, stateDir: String, checkpointDir: String,
+             trigger: Trigger = Trigger.AvailableNow(),
+             compactEvery: Int = 8): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val lf = TextDedup.lineFrame(batch, idCol, textCol)
+        val occ = TextDedup.lineOccurrences(lf)
+          .repartition(col("h1"), col("h2")).persist()
+        try {
+          val seen = VersionedState.readSet(spark, stateDir, Some(batchId))
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              seenSchema))
+          val grp = occ.groupBy("h1", "h2")
+            .agg(min(struct(col("id"), col("lpos"))).as("keep"))
+          val removals = occ.join(grp, Seq("h1", "h2"))
+            .join(seen.select(col("h1"), col("h2"), lit(true).as("__seen")),
+              Seq("h1", "h2"), "left")
+            .filter(col("__seen").isNotNull ||
+              col("id") =!= col("keep.id") || col("lpos") =!= col("keep.lpos"))
+            .groupBy("id").agg(sort_array(collect_list(col("lpos"))).as("rm"))
+          TextDedup.lineCleanup(lf, removals)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          val novel = grp.select("h1", "h2")
+            .join(seen, Seq("h1", "h2"), "left_anti")
+          if (VersionedState.shouldCompact(spark, stateDir, batchId, compactEvery))
+            VersionedState.write(seen.union(novel), stateDir, batchId,
+              compact = true)
+          else
+            VersionedState.write(novel, stateDir, batchId, compact = false)
+        } finally occ.unpersist(false)
+        VersionedState.prune(spark, stateDir, batchId)
+      }
+      .start()
+}
+
 /** Streaming twin of the p90 span-level decontamination scrub
   * ([[graft.text.TextDedup.spanScrub]]): scrub a document STREAM against
   * a FROZEN benchmark — stateless given the benchmark (no cross-batch

@@ -138,19 +138,8 @@ object TextDedup {
     * lines rejoined by `\n`. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 minCount: Long = 2L): DataFrame = {
-    val lf = Barrier.once(
-      df.select(col(idCol).cast("long").as("id"),
-        coalesce(col(textCol), lit("")).as("__t")),
-      Seq("id"),
-      "ls" -> filter(transform(split(col("__t"), "\n"), l => trim(l)),
-        l => l =!= ""))
-    val ex = lf.select(col("id"), posexplode(col("ls")))
-      .toDF("id", "lpos", "l")
-      .select(col("id"), col("lpos"),
-        charHash(col("l")).as("h1"),
-        graft.functions.PolyHash(col("l"), 11L, 37L, 998244353L).as("h2"))
-      .filter(col("id").isNotNull)
-      .repartition(col("h1"), col("h2"))
+    val lf = lineFrame(df, idCol, textCol)
+    val ex = lineOccurrences(lf).repartition(col("h1"), col("h2"))
     val grp = ex.groupBy("h1", "h2")
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("id"), col("lpos"))).as("keep"))
@@ -158,6 +147,34 @@ object TextDedup {
     val removals = ex.join(grp, Seq("h1", "h2"))
       .filter(col("id") =!= col("keep.id") || col("lpos") =!= col("keep.lpos"))
       .groupBy("id").agg(sort_array(collect_list(col("lpos"))).as("rm"))
+    lineCleanup(lf, removals)
+  }
+
+  /** (id, ls): space-trimmed non-blank lines per document (null text ≡
+    * empty — no lines). */
+  private[graft] def lineFrame(df: DataFrame, idCol: String,
+                               textCol: String): DataFrame =
+    Barrier.once(
+      df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("__t")),
+      Seq("id"),
+      "ls" -> filter(transform(split(col("__t"), "\n"), l => trim(l)),
+        l => l =!= ""))
+
+  /** (id, lpos, h1, h2) over a [[lineFrame]] — the p13 double polynomial
+    * hash pair as fixed-width shuffle keys; line text never leaves the
+    * row. Null ids carry no linkage (the duplicateGroups contract). */
+  private[graft] def lineOccurrences(lf: DataFrame): DataFrame =
+    lf.select(col("id"), posexplode(col("ls")))
+      .toDF("id", "lpos", "l")
+      .select(col("id"), col("lpos"),
+        charHash(col("l")).as("h1"),
+        graft.functions.PolyHash(col("l"), 11L, 37L, 998244353L).as("h2"))
+      .filter(col("id").isNotNull)
+
+  /** Drop the line positions in `removals`' per-id sorted `rm` lists from
+    * a [[lineFrame]]; documents with no removals pass through. */
+  private[graft] def lineCleanup(lf: DataFrame, removals: DataFrame): DataFrame = {
     val rm = coalesce(col("rm"), array().cast("array<int>"))
     lf.join(removals, Seq("id"), "left")
       .select(col("id").as("doc_id"),

@@ -888,6 +888,39 @@ class StreamingParitySpec extends SparkSpec {
     got shouldBe batch.toSeq
   }
 
+  "LineDedupStream" should "accumulate exactly the batch lineDedup output across id-ordered micro-batches (p137)" in {
+    // multi-line planting: a 30-char prefix line (duplicated wherever
+    // prefixes collide, incl. duplicate documents) and one constant line
+    // shared by EVERY doc — only the global first occurrence survives
+    val aug = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), concat(col("text"), lit("\n"),
+        substring(col("text"), 1, 30),
+        lit("\nshared boilerplate line")).as("text"))
+    val dir = Files.createTempDirectory("graft-line-json")
+    val lines = aug.orderBy("doc_id")
+      .select(to_json(struct(col("doc_id"), col("text"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(math.max(1, lines.length / 5)).zipWithIndex.foreach { case (ls, i) =>
+      val f = dir.resolve(f"docs-$i%03d.json")
+      Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val outDir = Files.createTempDirectory("graft-line-out").toString
+    val stateDir = Files.createTempDirectory("graft-line-state").toString
+    val ckpt = Files.createTempDirectory("graft-line-ckpt").toString
+    val q = LineDedupStream.attach(
+      docStream(dir.toString), "doc_id", "text", outDir, stateDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).drop("batch").collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = graft.text.TextDedup.lineDedup(aug, "doc_id", "text")
+      .collect().map(_.toSeq)
+    batch.map(_(2).asInstanceOf[Long]).sum should be > 0L // dups really removed
+    got.length shouldBe batch.length
+    got shouldBe batch.toSeq
+  }
+
   "SpanDedupStream" should "accumulate exactly the batch spanDedup output across id-ordered micro-batches (p87)" in {
     val docsDf = graft.sources.Tables.documents(spark, sfDir)
     val outDir = Files.createTempDirectory("graft-span-out").toString
