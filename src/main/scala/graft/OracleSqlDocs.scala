@@ -656,9 +656,11 @@ object OracleSqlDocs {
     * with the Gopher thresholds. */
   private val repetitionSignalsSql: String =
       s"""WITH aug AS (
-         |  SELECT doc_id, text || chr(10) || substr(text, 1, 40) || chr(10)
-         |    || substr(text, 1, 40) || chr(10)
-         |    || substr(text, 1, CAST(10 + doc_id % 20 AS INT)) AS text
+         |  SELECT doc_id, coalesce(text, '') || chr(10)
+         |    || substr(coalesce(text, ''), 1, 40) || chr(10)
+         |    || substr(coalesce(text, ''), 1, 40) || chr(10)
+         |    || substr(coalesce(text, ''), 1, CAST(10 + doc_id % 20 AS INT))
+         |    AS text
          |  FROM documents
          |),
          |lines AS (
@@ -778,18 +780,30 @@ object OracleSqlDocs {
   /** Shared twin of TextStats.gopherQualityRules over the planted
     * bullet/ellipsis/stopword-line corpus — p133 emits it directly;
     * p134 rolls it up. */
+  /** Shared planted-corpus CTE of the Gopher-quality family (p133/p134
+    * consume it via [[gopherQualitySql]]; p137 line-dedups the same
+    * corpus): bullet / ellipsis / stopword lines as doc_id functions —
+    * the mirror of DocAnalytics.qualityAugmented, defined ONCE so the
+    * twins cannot drift apart. */
+  private val qualityAugSql: String =
+    """aug AS (
+      |  SELECT doc_id,
+      |    coalesce(text, '') || chr(10) ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN '• ' || substr(coalesce(text, ''), 1, 20)
+      |         ELSE 'plain ' || substr(coalesce(text, ''), 1, 20)
+      |         END || chr(10) ||
+      |    CASE WHEN doc_id % 4 = 0
+      |         THEN substr(coalesce(text, ''), 1, 15) || '...'
+      |         ELSE substr(coalesce(text, ''), 1, 15)
+      |         END || chr(10) ||
+      |    CASE WHEN doc_id % 2 = 0 THEN 'words of and that flow'
+      |         ELSE 'words flow' END AS text
+      |  FROM documents
+      |)""".stripMargin
+
   private val gopherQualitySql: String =
-      s"""WITH aug AS (
-         |  SELECT doc_id,
-         |    text || chr(10) ||
-         |    CASE WHEN doc_id % 3 = 0 THEN '• ' || substr(text, 1, 20)
-         |         ELSE 'plain ' || substr(text, 1, 20) END || chr(10) ||
-         |    CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 15) || '...'
-         |         ELSE substr(text, 1, 15) END || chr(10) ||
-         |    CASE WHEN doc_id % 2 = 0 THEN 'words of and that flow'
-         |         ELSE 'words flow' END AS text
-         |  FROM documents
-         |),
+      s"""WITH $qualityAugSql,
          |base AS (
          |  SELECT doc_id AS id, ${norm("text")} AS nm, text FROM aug
          |),
@@ -808,8 +822,9 @@ object OracleSqlDocs {
          |      (a, b) -> a + b) AS len_sum,
          |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
          |      AS BIGINT) AS n_alpha_words,
-         |    CAST(len(regexp_extract_all(nm, '#')) +
-         |      len(regexp_extract_all(nm, '\\.\\.\\.')) AS BIGINT) AS n_symbols,
+         |    CAST(len(regexp_extract_all(nm, '#')) AS BIGINT) AS n_hash,
+         |    CAST(len(regexp_extract_all(nm, '\\.\\.\\.')) AS BIGINT)
+         |      AS n_ellipsis,
          |    CAST(len(list_intersect(list_distinct(t),
          |      ['the','be','to','of','and','that','have','with']))
          |      AS BIGINT) AS n_stops,
@@ -825,8 +840,10 @@ object OracleSqlDocs {
          |    CAST(len_sum AS DOUBLE) / CAST(word_count AS DOUBLE) AS mean_word_len,
          |    CAST(n_alpha_words AS DOUBLE) / CAST(word_count AS DOUBLE)
          |      AS alpha_word_frac,
-         |    CAST(n_symbols AS DOUBLE) / CAST(word_count AS DOUBLE)
-         |      AS symbol_word_ratio,
+         |    CAST(n_hash AS DOUBLE) / CAST(word_count AS DOUBLE)
+         |      AS hash_word_ratio,
+         |    CAST(n_ellipsis AS DOUBLE) / CAST(word_count AS DOUBLE)
+         |      AS ellipsis_word_ratio,
          |    n_stops AS n_distinct_stopwords,
          |    CASE WHEN n_lines = 0 THEN CAST(0 AS DOUBLE)
          |         ELSE CAST(n_bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
@@ -837,13 +854,14 @@ object OracleSqlDocs {
          |  FROM counted
          |)
          |SELECT id, word_count, mean_word_len, alpha_word_frac,
-         |  symbol_word_ratio, n_distinct_stopwords, bullet_line_frac,
-         |  ellipsis_line_frac,
+         |  hash_word_ratio, ellipsis_word_ratio, n_distinct_stopwords,
+         |  bullet_line_frac, ellipsis_line_frac,
          |  (word_count < 50 OR word_count > 100000) AS bad_word_count,
          |  (mean_word_len < CAST(3 AS DOUBLE)
          |    OR mean_word_len > CAST(10 AS DOUBLE)) AS bad_mean_word_len,
          |  (alpha_word_frac < CAST(0.80 AS DOUBLE)) AS bad_alpha_words,
-         |  (symbol_word_ratio > CAST(0.10 AS DOUBLE)) AS bad_symbol_ratio,
+         |  (hash_word_ratio > CAST(0.10 AS DOUBLE)
+         |    OR ellipsis_word_ratio > CAST(0.10 AS DOUBLE)) AS bad_symbol_ratio,
          |  (n_distinct_stopwords < 2) AS bad_stopwords,
          |  (bullet_line_frac > CAST(0.90 AS DOUBLE)) AS bad_bullets,
          |  (ellipsis_line_frac > CAST(0.30 AS DOUBLE)) AS bad_ellipsis,
@@ -851,7 +869,8 @@ object OracleSqlDocs {
          |    OR (mean_word_len < CAST(3 AS DOUBLE)
          |        OR mean_word_len > CAST(10 AS DOUBLE))
          |    OR (alpha_word_frac < CAST(0.80 AS DOUBLE))
-         |    OR (symbol_word_ratio > CAST(0.10 AS DOUBLE))
+         |    OR (hash_word_ratio > CAST(0.10 AS DOUBLE))
+         |    OR (ellipsis_word_ratio > CAST(0.10 AS DOUBLE))
          |    OR (n_distinct_stopwords < 2)
          |    OR (bullet_line_frac > CAST(0.90 AS DOUBLE))
          |    OR (ellipsis_line_frac > CAST(0.30 AS DOUBLE))) AS kept
@@ -936,17 +955,7 @@ object OracleSqlDocs {
     // corpus: lines keyed by the SAME two polynomial hashes as p13,
     // keeper = row_number() 1 under (id, lpos), cleanup row-local.
     "p137_line_dedup" ->
-      s"""WITH aug AS (
-         |  SELECT doc_id,
-         |    text || chr(10) ||
-         |    CASE WHEN doc_id % 3 = 0 THEN '• ' || substr(text, 1, 20)
-         |         ELSE 'plain ' || substr(text, 1, 20) END || chr(10) ||
-         |    CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 15) || '...'
-         |         ELSE substr(text, 1, 15) END || chr(10) ||
-         |    CASE WHEN doc_id % 2 = 0 THEN 'words of and that flow'
-         |         ELSE 'words flow' END AS text
-         |  FROM documents
-         |),
+      s"""WITH $qualityAugSql,
          |lf AS (
          |  SELECT doc_id AS id,
          |    list_filter(list_transform(string_split(text, chr(10)),

@@ -186,12 +186,13 @@ object DocAnalytics {
     * convention), so the line-dedup arithmetic is value-verified on
     * every document rather than degenerate at 1 line / 0 dups. */
   private def lineAugmented(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{concat, lit, substring}
+    import org.apache.spark.sql.functions.{coalesce, concat, lit, substring}
+    val t = coalesce(col("text"), lit("")) // null ≡ empty on BOTH engines
     docs.select(col("doc_id"), concat(
-      col("text"), lit("\n"),
-      substring(col("text"), 1, 40), lit("\n"),
-      substring(col("text"), 1, 40), lit("\n"),
-      col("text").substr(lit(1), (col("doc_id") % 20 + lit(10)).cast("int")))
+      t, lit("\n"),
+      substring(t, 1, 40), lit("\n"),
+      substring(t, 1, 40), lit("\n"),
+      t.substr(lit(1), (col("doc_id") % 20 + lit(10)).cast("int")))
       .as("text"))
   }
 
@@ -204,16 +205,17 @@ object DocAnalytics {
     * [[piiAugmented]] convention), so every flag column verifies with
     * per-document variance. */
   private def qualityAugmented(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{concat, lit, substring, when}
+    import org.apache.spark.sql.functions.{coalesce, concat, lit, substring, when}
+    val t = coalesce(col("text"), lit("")) // null ≡ empty on BOTH engines
     docs.select(col("doc_id"), concat(
-      col("text"), lit("\n"),
+      t, lit("\n"),
       when(col("doc_id") % 3 === 0,
-        concat(lit("• "), substring(col("text"), 1, 20)))
-        .otherwise(concat(lit("plain "), substring(col("text"), 1, 20))),
+        concat(lit("• "), substring(t, 1, 20)))
+        .otherwise(concat(lit("plain "), substring(t, 1, 20))),
       lit("\n"),
       when(col("doc_id") % 4 === 0,
-        concat(substring(col("text"), 1, 15), lit("...")))
-        .otherwise(substring(col("text"), 1, 15)),
+        concat(substring(t, 1, 15), lit("...")))
+        .otherwise(substring(t, 1, 15)),
       lit("\n"),
       when(col("doc_id") % 2 === 0, lit("words of and that flow"))
         .otherwise(lit("words flow"))).as("text"))
@@ -562,8 +564,10 @@ object DocAnalytics {
     "p136_shard_assign" -> ((s, d) =>
       TextCuration.shardAssign(docs(s, d), "doc_id", "text")),
     // C4-style corpus-wide line dedup over the planted multi-line corpus
-    // (qualityAugmented: per-doc duplicate prefix lines + two line values
-    // shared by ~half the corpus each — keep-first across documents)
+    // (qualityAugmented: two constant line values shared by ~half the
+    // corpus each, plus cross-doc prefix-line collisions and sf0.1's
+    // duplicate documents — keep-first across documents; within-doc
+    // duplicates only where prefixes coincide)
     "p137_line_dedup" -> ((s, d) =>
       TextDedup.lineDedup(qualityAugmented(docs(s, d)), "doc_id", "text")),
     "p16_simhash" -> ((s, d) =>

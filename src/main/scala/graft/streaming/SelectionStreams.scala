@@ -234,10 +234,14 @@ object GopherQualityStream {
   * (vec_id, codes) rows into their cell= partition directories — the
   * continuous-ingest half of the deployment split whose read half is
   * [[graft.ann.ProductQuantizer.searchPersistedIndexLut]]. Encoding is
-  * the same row-local fused projection as batch ingest, and parquet
-  * append into hive partitions is atomic per task file, so a search
-  * over the accumulated store equals the batch search over the full
-  * corpus once the stream drains — pinned by the replay test. */
+  * the same row-local fused projection as batch ingest. Each
+  * micro-batch OVERWRITES its own `batch=<id>` partition (the house
+  * twin contract): foreachBatch is at-least-once, so a replayed batch
+  * rewrites its directory instead of appending duplicate codes rows —
+  * a bare append would double-count vectors after a crash between the
+  * write and the checkpoint commit. Readers discover `batch` and
+  * `cell` as partition columns; cell pruning is unaffected, and a
+  * search over the drained store equals batch ingest (parity test). */
 object IndexIngestStream {
   def attach(vecs: DataFrame, idCol: String, vecCol: String,
              cents: Array[(Long, Array[Float])],
@@ -251,7 +255,8 @@ object IndexIngestStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ann.ProductQuantizer
           .residualCodesIndex(batch, idCol, vecCol, cents, cb)
-          .write.mode("append").partitionBy("cell").parquet(indexPath)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$indexPath/batch=$batchId")
       }
       .start()
 }

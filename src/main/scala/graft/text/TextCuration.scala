@@ -253,16 +253,20 @@ object TextCuration {
     * verified (ShardWriterSpec), like the house's other writers. */
   def writeTokenShards(df: DataFrame, idCol: String, textCol: String,
                        path: String, nShards: Int = 16): Unit = {
-    val assigned = shardAssign(df, idCol, textCol, nShards)
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .join(assigned, Seq("id"))
-      .select(col("id"), col("text"), col("n_tokens"), col("shard"))
-      .repartition(col("shard"))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
-    assigned.groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_manifest")
+    // persisted across the two actions: the shard write and the manifest
+    // would otherwise each re-run the whole tokenize + prefix-sum lineage
+    val assigned = shardAssign(df, idCol, textCol, nShards).persist()
+    try {
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+        .join(assigned, Seq("id"))
+        .select(col("id"), col("text"), col("n_tokens"), col("shard"))
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+      assigned.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/_manifest")
+    } finally assigned.unpersist(false)
   }
 
   /** Systematic probability-proportional-to-size (PPS) sampling — the

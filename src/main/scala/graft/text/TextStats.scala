@@ -53,8 +53,12 @@ object TextStats {
     * ([[graft.functions.RepetitionStats]]), zero shuffle, so throughput
     * is linear in executors at any corpus scale. */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // null text ≡ empty text (the lineFrame convention) — without the
+    // coalesce, Spark's null-in-null-out struct would diverge from the
+    // DuckDB twin's coalesced zeros on a null-text row
     val withNorm = Barrier.once(
-      df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id", "__t"),
+      df.select(col(idCol).as("id"),
+        coalesce(col(textCol), lit("")).as("__t")), Seq("id", "__t"),
       "norm" -> normText(col("__t")))
     Barrier.once(withNorm, Seq("id"),
       "r" -> graft.functions.RepetitionStats(col("__t"), col("norm")))
@@ -91,17 +95,19 @@ object TextStats {
   /** The Gopher QUALITY rules (Rae et al. 2021 Table A1, the
     * non-repetition half): per-document measures and threshold flags —
     * word-count bounds [50, 100k], mean word length [3, 10], ≥80%
-    * alphabetic words, symbol-to-word ratio ≤0.1 ('#' and '...'),
-    * ≥2 distinct core stopwords, ≤90% bullet-started lines, ≤30%
-    * ellipsis-ended lines. Entirely declarative (built-in HOFs over the
-    * token array and the raw lines — no custom expression needed): a
-    * narrow zero-shuffle projection, with every fraction one
+    * alphabetic words, symbol-to-word ratios ≤0.1 EACH for '#' and
+    * '...' (per the published rule, two separate ratios — not one
+    * combined count), ≥2 distinct core stopwords, ≤90% bullet-started
+    * lines, ≤30% ellipsis-ended lines. Entirely declarative (built-in
+    * HOFs over the token array and the raw lines — no custom expression
+    * needed): a narrow zero-shuffle projection, with every fraction one
     * integer-to-integer double division so the DuckDB twin hash-matches.
     * Lines follow the p131 contract (split raw on `\n`, U+0020-trim,
-    * drop blanks). */
+    * drop blanks). Null text ≡ empty text (the lineFrame convention). */
   def gopherQualityRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = Barrier.once(
-      df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id", "__t"),
+      df.select(col(idCol).as("id"),
+        coalesce(col(textCol), lit("")).as("__t")), Seq("id", "__t"),
       "norm" -> normText(col("__t")))
     val withArrays = Barrier.once(base, Seq("id", "norm"),
       "t" -> split(col("norm"), " "),
@@ -111,8 +117,8 @@ object TextStats {
       "word_count" -> size(col("t")).cast("long"),
       "len_sum" -> aggregate(col("t"), lit(0L), (a, w) => a + length(w)),
       "n_alpha_words" -> size(filter(col("t"), w => w.rlike("[a-z]"))).cast("long"),
-      "n_symbols" -> (size(regexp_extract_all(col("norm"), lit("#"), lit(0))) +
-        size(regexp_extract_all(col("norm"), lit("\\.\\.\\."), lit(0)))).cast("long"),
+      "n_hash" -> size(regexp_extract_all(col("norm"), lit("#"), lit(0))).cast("long"),
+      "n_ellipsis" -> size(regexp_extract_all(col("norm"), lit("\\.\\.\\."), lit(0))).cast("long"),
       "n_stops" -> size(array_intersect(array_distinct(col("t")),
         array(GopherStops.map(lit): _*))).cast("long"),
       "n_lines" -> size(col("ls")).cast("long"),
@@ -122,7 +128,8 @@ object TextStats {
         l => l.endsWith("..."))).cast("long"))
     val meanLen = col("len_sum").cast("double") / col("word_count").cast("double")
     val alphaFrac = col("n_alpha_words").cast("double") / col("word_count").cast("double")
-    val symbolRatio = col("n_symbols").cast("double") / col("word_count").cast("double")
+    val hashRatio = col("n_hash").cast("double") / col("word_count").cast("double")
+    val ellipsisRatio = col("n_ellipsis").cast("double") / col("word_count").cast("double")
     val bulletFrac = when(col("n_lines") === 0L, 0.0)
       .otherwise(col("n_bullet_lines").cast("double") / col("n_lines").cast("double"))
     val ellipsisFrac = when(col("n_lines") === 0L, 0.0)
@@ -131,14 +138,15 @@ object TextStats {
       col("id"), col("word_count"),
       meanLen.as("mean_word_len"),
       alphaFrac.as("alpha_word_frac"),
-      symbolRatio.as("symbol_word_ratio"),
+      hashRatio.as("hash_word_ratio"),
+      ellipsisRatio.as("ellipsis_word_ratio"),
       col("n_stops").as("n_distinct_stopwords"),
       bulletFrac.as("bullet_line_frac"),
       ellipsisFrac.as("ellipsis_line_frac"),
       (col("word_count") < 50L || col("word_count") > 100000L).as("bad_word_count"),
       (meanLen < 3.0 || meanLen > 10.0).as("bad_mean_word_len"),
       (alphaFrac < 0.80).as("bad_alpha_words"),
-      (symbolRatio > 0.10).as("bad_symbol_ratio"),
+      (hashRatio > 0.10 || ellipsisRatio > 0.10).as("bad_symbol_ratio"),
       (col("n_stops") < 2L).as("bad_stopwords"),
       (bulletFrac > 0.90).as("bad_bullets"),
       (ellipsisFrac > 0.30).as("bad_ellipsis"))
