@@ -166,6 +166,36 @@ object OracleSqlDocs {
     * conditional sums over the id % 10 <> 0 train split, exact-sign
     * bucket votes, and the per-document rollup. Constants (4096, 10,
     * 0.25) mirror [[graft.text.QualityScorer]]. */
+  /** Per-document conditional-bigram LM surprisal CTE chain shared by
+    * p138/p139 — the [[graft.text.TextStats.lmPerDoc]] twin. B is
+    * interpolated from the Scala constant so the two sides cannot drift;
+    * `range(1, len(bs))` is empty for len < 2, which IS the Spark side's
+    * size ≥ 2 guard. */
+  private val lmPerDocCte: String = {
+    val B = graft.text.TextStats.LmBuckets
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
+       |), bkt AS (
+       |  SELECT id, list_transform(t, tok -> ${hash("tok")} % $B) AS bs FROM toks
+       |), prs AS (
+       |  SELECT id, [bs[i]*$B + bs[i+1] for i in range(1, len(bs))] AS bgs FROM bkt
+       |), ex AS (
+       |  SELECT id, unnest(bgs) AS bg FROM prs
+       |), c12 AS (
+       |  SELECT bg, CAST(sum(CASE WHEN id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS c12
+       |  FROM ex GROUP BY bg
+       |), c1 AS (
+       |  SELECT bg // $B AS w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+       |), sc AS (
+       |  SELECT ex.id,
+       |         length(bin((c1.c1 + $B) // (c12.c12 + 1))) - 1 AS bits
+       |  FROM ex JOIN c12 USING (bg) JOIN c1 ON ex.bg // $B = c1.w1
+       |), per AS (
+       |  SELECT id, count(*) AS n_bigrams, CAST(sum(bits) AS BIGINT) AS total_bits
+       |  FROM sc GROUP BY id
+       |)""".stripMargin
+  }
+
   private val scorerFilledCte: String =
     s"""WITH toks AS (
        |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
@@ -1175,6 +1205,55 @@ object OracleSqlDocs {
          |       CASE WHEN per.n_bigrams IS NOT NULL
          |            THEN CAST(per.n_oov AS DOUBLE) / per.n_bigrams END AS oov_rate
          |FROM documents d LEFT JOIN per ON d.doc_id = per.id ORDER BY d.doc_id""".stripMargin,
+
+    // conditional-bigram LM surprisal (CCNet archetype): token buckets
+    // hash % B, bigram key b1·B + b2, Laplace-smoothed conditional
+    // surprisal quantized to whole bits — ⌊log2 n⌋ = length(bin(n)) − 1,
+    // one integer division, no transcendentals — mirroring
+    // TextStats.lmSurprisal fragment for fragment. Context counts derive
+    // from the bigram model (c1 = Σ c12 over bg // B), exactly as the
+    // Spark side derives its broadcast c1 table.
+    "p138_lm_surprisal" ->
+      s"""$lmPerDocCte
+         |SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+         |       coalesce(per.total_bits, 0) AS total_bits,
+         |       CASE WHEN per.n_bigrams IS NOT NULL
+         |            THEN CAST(per.total_bits AS DOUBLE) / per.n_bigrams
+         |       END AS bits_per_bigram
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // CCNet head/middle/tail buckets: per-LANGUAGE exact tertiles of
+    // bits-per-bigram at ascending rank ceil(q·n) (the p52 sorted-list
+    // selection mirroring Percentiles.exactRankSelect), thresholds
+    // applied with <= in tertile order. The q literals are printed from
+    // the very Scala doubles the Spark side uses and CAST AS DOUBLE so
+    // both engines multiply identical bits.
+    "p139_ccnet_buckets" ->
+      s"""$lmPerDocCte, scored AS (
+         |  SELECT d.doc_id, d.lang, coalesce(per.n_bigrams, 0) AS n_bigrams,
+         |         CASE WHEN per.n_bigrams IS NOT NULL
+         |              THEN CAST(per.total_bits AS DOUBLE) / per.n_bigrams
+         |         END AS bits_per_bigram
+         |  FROM documents d LEFT JOIN per ON d.doc_id = per.id
+         |), byl AS (
+         |  SELECT lang, list_sort(list(bits_per_bigram)) AS vs
+         |  FROM scored WHERE n_bigrams > 0 GROUP BY lang
+         |), thr AS (
+         |  SELECT lang,
+         |    vs[CAST(greatest(1, ceil(CAST(${graft.text.TextStats.TertileQs(0)}
+         |      AS DOUBLE) * len(vs))) AS INT)] AS t1,
+         |    vs[CAST(greatest(1, ceil(CAST(${graft.text.TextStats.TertileQs(1)}
+         |      AS DOUBLE) * len(vs))) AS INT)] AS t2
+         |  FROM byl
+         |)
+         |SELECT s.doc_id, s.lang, s.n_bigrams, s.bits_per_bigram,
+         |       CASE WHEN s.n_bigrams = 0 THEN 'none'
+         |            WHEN s.bits_per_bigram <= thr.t1 THEN 'head'
+         |            WHEN s.bits_per_bigram <= thr.t2 THEN 'middle'
+         |            ELSE 'tail' END AS ppl_bucket
+         |FROM scored s LEFT JOIN thr ON s.lang = thr.lang
+         |ORDER BY s.doc_id""".stripMargin,
 
     // trained-quality-scorer twin of QualityScorer.qualityScorer: heuristic
     // label = p18's quality_score fold ≥ 0.25, hashed-bucket NB counts as

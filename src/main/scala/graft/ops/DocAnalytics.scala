@@ -593,6 +593,15 @@ object DocAnalytics {
     // free perplexity stand-in — see the operator's scaladoc)
     "p88_bigram_novelty" -> ((s, d) =>
       TextStats.bigramNovelty(docs(s, d), "doc_id", "text")),
+    // CCNet archetype, step 1: conditional-bigram LM surprisal in whole
+    // bits (transcendental-free — exact on both engines), trained on the
+    // pmod(id,10)≠0 split, every doc scored
+    "p138_lm_surprisal" -> ((s, d) =>
+      TextStats.lmSurprisal(docs(s, d), "doc_id", "text")),
+    // CCNet archetype, step 2: head/middle/tail buckets against
+    // PER-LANGUAGE exact tertiles of bits-per-bigram (Wenzek §4.3)
+    "p139_ccnet_buckets" -> ((s, d) =>
+      TextStats.surprisalBuckets(docs(s, d), "doc_id", "text", "lang")),
     // Gopher repetition signals (Rae et al. 2021 §A1.1): dup-line
     // fractions, top 2/3-gram char coverage, dup 5-gram fraction — line
     // structure planted engine-mirrored (the piiAugmented convention)

@@ -114,6 +114,34 @@ object NoveltyScoreStream {
       .start()
 }
 
+/** Streaming twin of the p138 conditional-LM surprisal scorer
+  * ([[graft.text.TextStats.lmScore]]): score a document STREAM against a
+  * FROZEN [[graft.text.TextStats.lmModel]] table — the CCNet deployment
+  * split (train the reference LM once, score the crawl stream forever).
+  * Same contract as [[NoveltyScoreStream]]: per-document scoring given
+  * the model, so each micro-batch runs the exact batch scorer and
+  * overwrites its own `batch=` partition (replay-idempotent); the model
+  * is one distributed (bg, c12) table — the derived context counts are
+  * re-aggregated from it inside every batch, ≤ LmBuckets broadcast
+  * rows. */
+object LmScoreStream {
+  def attach(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+             model: org.apache.spark.sql.DataFrame, outDir: String,
+             checkpointDir: String,
+             trigger: org.apache.spark.sql.streaming.Trigger =
+               org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.text.TextStats.lmScore(batch, idCol, textCol, model)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+}
+
 /** Streaming twin of the p87 span-level dedup
   * ([[graft.text.TextDedup.spanDedup]]): incremental repeated-window
   * removal over a document stream. State is the set of window keys seen

@@ -452,4 +452,157 @@ object TextStats {
             get(filter(col("entries"), e => e.getField("j") === jj), lit(0))
               .getField("v"),
             lit(0L)).cast("float")).as("e"))
+
+  // ---------------------------------------------------------------------
+  // Conditional-bigram LM surprisal + CCNet perplexity buckets
+  // ---------------------------------------------------------------------
+
+  /** Hashed-vocabulary size of the conditional LM: token → bucket
+    * charHash mod B, bigram key → b1·B + b2 (exact packing, B² < 2^63).
+    * B is also the Laplace denominator (the smoothed next-token
+    * vocabulary), so the model table is bounded at B² rows and the
+    * context table at B rows no matter the corpus size. */
+  val LmBuckets = 4096L
+
+  /** Head/middle/tail cut points (CCNet's tertiles). Printed into the
+    * oracle SQL from these very doubles, so both engines compute
+    * ceil(q·n) on identical bits. */
+  val TertileQs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3)
+
+  /** (id, bg) conditional-bigram occurrence rows: consecutive
+    * bucket-hash pairs packed as b1·[[LmBuckets]] + b2. The context
+    * bucket is recoverable as bg div B — one column carries both
+    * factorizations, so the score join needs no second occurrence
+    * exchange. Null ids/texts carry nothing (the dedup-family
+    * convention). */
+  private def lmOccurrences(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val bs = Barrier.once(tokenFrame(df, idCol, textCol), Seq("id"),
+      "bs" -> transform(col("t"), tok => pmod(charHash(tok), lit(LmBuckets))))
+    val prs = Barrier.once(bs, Seq("id"),
+      "bgs" -> when(size(col("bs")) >= 2,
+        zip_with(
+          slice(col("bs"), lit(1), size(col("bs")) - 1),
+          slice(col("bs"), lit(2), size(col("bs")) - 1),
+          (a, b) => a * lit(LmBuckets) + b))
+        .otherwise(array().cast("array<long>")))
+    prs.select(col("id").cast("long").as("id"), explode(col("bgs")).as("bg"))
+      .filter(col("id").isNotNull)
+  }
+
+  /** The frozen LM as ONE table: (bg, c12) bigram occurrence counts over
+    * ALL of `df` (the caller picks the training corpus). Context counts
+    * need no second table — c1(w1) = Σ c12 over bg div B = w1, because
+    * every context occurrence IS a bigram occurrence — so the streaming
+    * twin freezes a single artifact. ≤ [[LmBuckets]]² rows by
+    * construction. */
+  def lmModel(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    lmOccurrences(df, idCol, textCol)
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+
+  /** Shared scoring tail: per-occurrence integer bit-surprisal
+    * s = ⌊log2((c1 + B)/(c12 + 1))⌋ — the Laplace-smoothed conditional
+    * surprisal of w2 given w1, quantized to whole bits so it is EXACT on
+    * both engines: the quotient is one integer division (c12 ≤ c1 by
+    * construction, so it is ≥ 1) and ⌊log2 n⌋ = length(bin(n)) − 1, no
+    * transcendental anywhere (the p126 idf-quantization trick applied to
+    * a conditional LM). Per-document rollup: n_bigrams, total_bits
+    * (exact longs) and bits_per_bigram = ONE correctly-rounded double
+    * division — the transcendental-free stand-in for log2-perplexity.
+    *
+    * Scale shape: the c12 join is keyed by bg on the (repartitioned)
+    * occurrence exchange; the derived c1 table is ≤ B rows and
+    * BROADCAST; the rollup partial-aggregates per document before the id
+    * exchange. No window, no unbounded collect. */
+  private def lmPerDoc(df: DataFrame, idCol: String, ex: DataFrame,
+                       model: DataFrame): DataFrame = {
+    val c1 = model.groupBy(expr(s"bg div $LmBuckets").as("w1"))
+      .agg(sum("c12").as("c1"))
+    val bits = ex
+      .join(model, Seq("bg"), "left")
+      .withColumn("w1", expr(s"bg div $LmBuckets"))
+      .join(broadcast(c1), Seq("w1"), "left")
+      .withColumn("__c12", coalesce(col("c12"), lit(0L)))
+      .withColumn("__c1", coalesce(col("c1"), lit(0L)))
+      .select(col("id"),
+        (length(bin(expr(s"(__c1 + $LmBuckets) div (__c12 + 1L)"))) - 1)
+          .cast("long").as("bits"))
+    val perDoc = bits.groupBy("id").agg(
+      count(lit(1)).as("n_bigrams"),
+      sum("bits").as("total_bits"))
+    df.select(col(idCol).cast("long").as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+        when(col("n_bigrams").isNotNull,
+          col("total_bits").cast("double") / col("n_bigrams"))
+          .as("bits_per_bigram"))
+  }
+
+  /** Fused train+score (the p138 query): conditional-bigram counts over
+    * the pmod(id, holdoutMod) ≠ 0 split (conditional sums, not a WHERE —
+    * the p88 canonical-plan lesson), every document scored. The CCNet
+    * archetype (Wenzek et al. 2020 §4.3): a reference LM's per-token
+    * surprisal as the curation signal — here the LM is the corpus's own
+    * train split and surprisal is quantized to whole bits so the oracle
+    * verifies it exactly. ≡ `lmScore(df, …, lmModel(trainSplit))`
+    * (spec-pinned). Output: (doc_id, n_bigrams, total_bits,
+    * bits_per_bigram) by doc_id. */
+  def lmSurprisal(df: DataFrame, idCol: String, textCol: String,
+                  holdoutMod: Int = 10): DataFrame =
+    lmSurprisalRaw(df, idCol, textCol, holdoutMod).orderBy("doc_id")
+
+  private def lmSurprisalRaw(df: DataFrame, idCol: String, textCol: String,
+                             holdoutMod: Int): DataFrame = {
+    val ex = lmOccurrences(df, idCol, textCol).repartition(col("bg"))
+    val model = ex.groupBy("bg").agg(
+      sum(when(pmod(col("id"), lit(holdoutMod.toLong)) =!= 0L, 1L)
+        .otherwise(0L)).as("c12"))
+    lmPerDoc(df, idCol, ex, model)
+  }
+
+  /** Score `df` against a frozen [[lmModel]] table (the production
+    * train-once / score-many split and the streaming twin's path).
+    * Bigrams absent from the model score at the OOV ceiling
+    * ⌊log2(B/1)⌋ = 12 bits — the natural Laplace value for an unseen
+    * event. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              model: DataFrame): DataFrame =
+    lmPerDoc(df, idCol, lmOccurrences(df, idCol, textCol), model)
+      .orderBy("doc_id")
+
+  /** CCNet head/middle/tail perplexity buckets (the p139 query): every
+    * document labeled by where its [[lmSurprisal]] bits-per-bigram falls
+    * against its OWN LANGUAGE's tertiles — the per-language thresholds
+    * of Wenzek et al. §4.3 (head = most reference-like). Tertiles are
+    * EXACT per-language order statistics at ascending rank ceil(q·n) via
+    * [[graft.ops.Percentiles.exactRankSelect]] (bucketed rank selection
+    * — never a per-language global sort), then one ≤C-row broadcast back
+    * onto the scored frame. Documents with no bigrams bucket as 'none'.
+    * Output: (doc_id, lang, n_bigrams, bits_per_bigram, ppl_bucket) by
+    * doc_id. */
+  def surprisalBuckets(df: DataFrame, idCol: String, textCol: String,
+                       langCol: String, holdoutMod: Int = 10): DataFrame = {
+    val scored = lmSurprisalRaw(df, idCol, textCol, holdoutMod)
+    val langs = df.select(col(idCol).cast("long").as("doc_id"),
+      col(langCol).as("lang"))
+    val base = scored.join(langs, Seq("doc_id"))
+    val thr = graft.ops.Percentiles.exactRankSelect(
+        base.filter(col("n_bigrams") > 0L)
+          .select(col("lang"), col("bits_per_bigram")),
+        "lang", "bits_per_bigram", TertileQs)
+      .groupBy("lang").agg(
+        max(when(col("q") === TertileQs(0), col("bits_per_bigram")))
+          .as("__t1"),
+        max(when(col("q") === TertileQs(1), col("bits_per_bigram")))
+          .as("__t2"))
+    base.join(broadcast(thr), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("bits_per_bigram"),
+        when(col("n_bigrams") === 0L, lit("none"))
+          .when(col("bits_per_bigram") <= col("__t1"), lit("head"))
+          .when(col("bits_per_bigram") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
 }

@@ -48,6 +48,19 @@ class PlanLockSpec extends SparkSpec {
     } should be >= 1
   }
 
+  "surprisalBuckets (p139)" should "broadcast the context counts and the per-language tertiles, never a theta join" in {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val nodes = executedNodes(graft.text.TextStats.surprisalBuckets(
+      docs, "doc_id", "text", "lang"))
+    // c1 (≤ B rows) and thr (≤ C langs) ride explicit broadcast()s; the
+    // langs join back onto scored docs may be either join family
+    nodes.count { case _: BroadcastHashJoinExec => true; case _ => false } should be >= 2
+    nodes.count {
+      case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    } shouldBe 0
+  }
+
   "contamination (p42)" should "broadcast the benchmark gram vocabulary" in {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val nodes = executedNodes(graft.text.TextCuration.contamination(

@@ -860,6 +860,26 @@ class StreamingParitySpec extends SparkSpec {
     got shouldBe batch.toSeq
   }
 
+  "LmScoreStream" should "score a doc stream against a frozen LM exactly like batch lmScore (p138)" in {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val model = graft.text.TextStats
+      .lmModel(docsDf.filter(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text")
+      .persist()
+    val outDir = Files.createTempDirectory("graft-lmscore-out").toString
+    val ckpt = Files.createTempDirectory("graft-lmscore-ckpt").toString
+    val q = LmScoreStream.attach(
+      docStream(dumpDocsAsJson()), "doc_id", "text", model, outDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).drop("batch").collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = graft.text.TextStats.lmScore(docsDf, "doc_id", "text", model)
+      .collect().map(_.toSeq)
+    model.unpersist(false)
+    got.length shouldBe docsDf.count().toInt
+    got shouldBe batch.toSeq
+  }
+
   "SpanScrubStream" should "scrub a doc stream against a frozen benchmark exactly like batch spanScrub (p90)" in {
     val all = graft.sources.Tables.documents(spark, sfDir)
     val bench = all.filter(col("doc_id") < 25).persist()
