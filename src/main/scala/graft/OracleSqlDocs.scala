@@ -2447,6 +2447,61 @@ object OracleSqlDocs {
          |WHERE cum_lang_tokens - n_bpe_tokens < 8000
          |ORDER BY id""".stripMargin),
 
+    // per-language BPE fertility (p140): the p114 recursive apply chain
+    // from p140's own persisted merges, rolled up per metadata lang —
+    // integer sums then ONE double division per rate, the p114 shape.
+    "p140_token_fertility" -> (bpeApplyCtes(graft.ops.DocAnalytics.P140MergesPath) +
+      s"""
+         |, lx AS (
+         |  SELECT f.doc_id, d.lang,
+         |         CAST(len(string_split(f.norm, ' ')) AS BIGINT) AS n_words,
+         |         CAST(length(f.norm) AS BIGINT) AS n_chars, f.n_bpe_tokens
+         |  FROM fin f JOIN documents d USING (doc_id)
+         |)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS total_words,
+         |  CAST(sum(n_bpe_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(n_bpe_tokens) AS DOUBLE) / CAST(sum(n_words) AS BIGINT)
+         |    AS tokens_per_word,
+         |  CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_bpe_tokens) AS BIGINT)
+         |    AS chars_per_token
+         |FROM lx GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // FineWeb dedup-scope report (p141): scoped-vs-global keep-min-id
+    // exact dedup over the planted cross-source duplicates, counted at
+    // GROUP level exactly like the Spark side (skeep = gkeep <=> the
+    // scope owns the global keeper).
+    "p141_scoped_dedup" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 16 = 5
+         |         THEN 'planted duplicate corpus block ' || CAST(doc_id % 3 AS VARCHAR)
+         |         ELSE text END AS text
+         |  FROM documents
+         |), nrm AS (
+         |  SELECT doc_id AS id, source AS scope, ${norm("text")} AS norm FROM aug
+         |), h AS (
+         |  SELECT id, scope, ${hash("norm")} AS h1,
+         |         list_reduce(list_prepend(CAST(11 AS BIGINT),
+         |           list_transform(string_split(norm, ''),
+         |             c -> CAST(ascii(c) AS BIGINT))),
+         |           (a, b) -> (a*37 + b) % 998244353) AS h2
+         |  FROM nrm
+         |), sg AS (
+         |  SELECT scope, h1, h2, MIN(id) AS skeep, count(*) AS n
+         |  FROM h GROUP BY 1, 2, 3
+         |), gg AS (
+         |  SELECT h1, h2, MIN(skeep) AS gkeep FROM sg GROUP BY 1, 2
+         |)
+         |SELECT scope AS source, CAST(sum(n) AS BIGINT) AS n_docs,
+         |       CAST(sum(n - 1) AS BIGINT) AS n_removed_scoped,
+         |       CAST(sum(CASE WHEN skeep = gkeep THEN n - 1 ELSE n END) AS BIGINT)
+         |         AS n_removed_global,
+         |       CAST(sum(CASE WHEN skeep = gkeep THEN n - 1 ELSE n END)
+         |         - sum(n - 1) AS BIGINT) AS n_cross_scope_extra
+         |FROM sg JOIN gg USING (h1, h2) GROUP BY scope ORDER BY source""".stripMargin,
+
     // mixture sampling keyed by the TRAINED prediction (p116): the
     // lang-id chain's lfilled frame, then the p97 budget window keyed by
     // predicted_lang (lfilled.n_tokens = the p18 token count).

@@ -122,6 +122,9 @@ object DocAnalytics {
   def P129CodebooksPath: String = s"$oracleArtifactDir/p129_codebooks"
   def P130CodebooksPath: String = s"$oracleArtifactDir/p130_codebooks"
 
+  /** p140's own merge table (independent runnability, the p117 rule). */
+  def P140MergesPath: String = s"$oracleArtifactDir/p140_merges"
+
   def oracleArtifactPaths: Seq[String] =
     Seq(P50CentroidsPath, P103CentroidsPath, P105CodebooksPath,
       P106CodebooksPath, P109CodebooksPath, P110CodebooksPath,
@@ -129,7 +132,7 @@ object DocAnalytics {
       P119CentroidsPath, P119CodebooksPath,
       P125SupersPath, P125CellsPath,
       P128CodebooksPath, P128IndexPath,
-      P129CodebooksPath, P130CodebooksPath)
+      P129CodebooksPath, P130CodebooksPath, P140MergesPath)
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -219,6 +222,22 @@ object DocAnalytics {
       lit("\n"),
       when(col("doc_id") % 2 === 0, lit("words of and that flow"))
         .otherwise(lit("words flow"))).as("text"))
+  }
+
+  /** Duplicate planting for the scoped-dedup report (p141): doc_id % 16
+    * == 5 rows become one of three constant texts (doc_id % 3 picks the
+    * variant), so exact-duplicate groups exist at EVERY scale and span
+    * sources — the synthetic corpus has no exact duplicates at sf0.01.
+    * Both engines build the identical string (the [[piiAugmented]]
+    * convention); non-planted rows keep their raw text (null included —
+    * normText treats both the same on both engines). */
+  private def dupAugmented(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 16 === 5,
+        concat(lit("planted duplicate corpus block "),
+          (col("doc_id") % 3).cast("string")))
+        .otherwise(col("text")).as("text"))
   }
 
   /** Multi-phase pipelines (training + search), keyed by registered query
@@ -420,6 +439,21 @@ object DocAnalytics {
           col("cum_weight").as("cum_lang_tokens"))
         .orderBy("id")
     }),
+    // per-language BPE tokenizer fertility (tokens/word, chars/token):
+    // the tokenizer-bias report a multilingual pipeline publishes;
+    // merges persisted for the oracle's recursive replay (the p117
+    // own-artifact rule)
+    "p140_token_fertility" -> ("rollup", (s, d, onPhase) => {
+      val ds = docs(s, d)
+      val merges = graft.text.BpeTokenizer.trainMerges(ds, "text")
+      import s.implicits._
+      merges.map(m => (m.merge_rank, m.left, m.right, m.pair_count))
+        .toDF("merge_rank", "l", "r", "pair_count").coalesce(1)
+        .write.mode("overwrite").parquet(P140MergesPath)
+      onPhase("train")
+      graft.text.BpeTokenizer.fertilityReport(ds, "doc_id", "text", "lang",
+        merges)
+    }),
     // p110 with the PRODUCTION coarse layer: Lloyd-trained MEANS instead
     // of lowest-id vectors — residuals against means have less variance
     // (r13_ann_fused.md quantifies the lowest-id penalty), so this is
@@ -570,6 +604,11 @@ object DocAnalytics {
     // duplicates only where prefixes coincide)
     "p137_line_dedup" -> ((s, d) =>
       TextDedup.lineDedup(qualityAugmented(docs(s, d)), "doc_id", "text")),
+    // FineWeb §3.2 dedup-scope audit: per-source removals under scoped
+    // vs global exact dedup over planted cross-source duplicates
+    "p141_scoped_dedup" -> ((s, d) =>
+      TextDedup.scopedDedupReport(dupAugmented(docs(s, d)),
+        "doc_id", "text", "source")),
     "p16_simhash" -> ((s, d) =>
       TextDedup.simhash(docs(s, d), "doc_id", "text")),
     "p17_simhash_neardup" -> ((s, d) =>
@@ -784,6 +823,8 @@ object DocAnalytics {
       phasedQueries("p114_bpe_tokenize")._2(s, d, _ => ())),
     "p117_bpe_budget" -> ((s, d) =>
       phasedQueries("p117_bpe_budget")._2(s, d, _ => ())),
+    "p140_token_fertility" -> ((s, d) =>
+      phasedQueries("p140_token_fertility")._2(s, d, _ => ())),
     // temperature-scaled mixture weights (mT5/UniMax): per-lang token
     // mass and the T=2-tempered sampling share — sqrt is IEEE-correctly-
     // rounded so the shares verify bit-exactly, unlike pow/log configs

@@ -373,4 +373,31 @@ object BpeTokenizer {
           .as("chars_per_token"))
       .orderBy("doc_id")
   }
+
+  /** Per-language tokenizer fertility report — the tokenizer-bias table
+    * a multilingual pipeline publishes (tokens/word and chars/token by
+    * language; high fertility = the tokenizer fragments that language's
+    * words): [[tokenize]] per document, then ONE lang-keyed aggregate of
+    * integer totals and one correctly-rounded double division per rate.
+    * Scale shape: the apply side is the fused row-local
+    * [[graft.functions.BpeTokenCount]] expression; the rollup
+    * partial-aggregates to C language rows per task. */
+  def fertilityReport(df: DataFrame, idCol: String, textCol: String,
+                      langCol: String, merges: Seq[Merge]): DataFrame = {
+    val tok = tokenize(df, idCol, textCol, merges)
+    tok.join(df.select(col(idCol).cast("long").as("doc_id"),
+        col(langCol).as("lang")), "doc_id")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_words"),
+        sum("n_bpe_tokens").as("total_tokens"),
+        sum("n_chars").as("total_chars"))
+      .select(col("lang"), col("n_docs"), col("total_words"),
+        col("total_tokens"), col("total_chars"),
+        (col("total_tokens").cast("double") / col("total_words"))
+          .as("tokens_per_word"),
+        (col("total_chars").cast("double") / col("total_tokens"))
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
 }

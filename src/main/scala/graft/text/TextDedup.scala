@@ -910,4 +910,44 @@ object TextDedup {
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** FineWeb-style dedup-scope report (Penedo et al. 2024 §3.2 — "what
+    * does deduplication scope change?"): for every partition of the
+    * corpus (source / crawl snapshot), how many documents a PER-SCOPE
+    * exact dedup would remove versus a GLOBAL one, under the house
+    * keep-min-doc_id rule over the [[exactDedup]] double-polynomial text
+    * key. `n_cross_scope_extra` is the FineWeb delta — documents only a
+    * global pass catches because their keeper lives in another scope.
+    *
+    * Scale shape: ONE occurrence exchange — the (scope, h1, h2) group
+    * aggregate over a hash-only projection (text never shuffles, the
+    * exactDedup contract); the global keeper table derives from the
+    * per-scope GROUP table by re-aggregation (≤ one row per distinct
+    * text per scope), and the join back is group-level, never
+    * document-level. Every aggregate map-side-combines. */
+  def scopedDedupReport(df: DataFrame, idCol: String, textCol: String,
+                        scopeCol: String): DataFrame = {
+    val n = Barrier.once(
+      df.select(col(idCol).cast("long").as("id"),
+        col(scopeCol).as("scope"), col(textCol).as("__t")),
+      Seq("id", "scope"), "norm" -> normText(col("__t")))
+    val keyed = n.select(col("id"), col("scope"),
+      charHash(col("norm")).as("h1"),
+      graft.functions.PolyHash(col("norm"), 11L, 37L, 998244353L).as("h2"))
+    val perScope = keyed.groupBy("scope", "h1", "h2")
+      .agg(min(col("id")).as("skeep"), count(lit(1)).as("n"))
+    val global = perScope.groupBy("h1", "h2")
+      .agg(min(col("skeep")).as("gkeep"))
+    perScope.join(global, Seq("h1", "h2"))
+      .groupBy("scope")
+      .agg(sum(col("n")).as("n_docs"),
+        sum(col("n") - 1L).as("n_removed_scoped"),
+        sum(when(col("skeep") === col("gkeep"), col("n") - 1L)
+          .otherwise(col("n"))).as("n_removed_global"))
+      .select(col("scope").as("source"), col("n_docs"),
+        col("n_removed_scoped"), col("n_removed_global"),
+        (col("n_removed_global") - col("n_removed_scoped"))
+          .as("n_cross_scope_extra"))
+      .orderBy("source")
+  }
 }
