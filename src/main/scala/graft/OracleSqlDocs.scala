@@ -331,6 +331,40 @@ object OracleSqlDocs {
        |  FROM steps, mx WHERE i = mm
        |)""".stripMargin
 
+  /** WORD-level twin of [[bpeApplyCtes]] for the coverage queries
+    * (p144/p145): the same delimited replace recursion, but over the
+    * corpus (word, freq) VOCABULARY — one row per type — ending at
+    * `wfin(word, freq, n_tokens)`. */
+  private def bpeVocabCtes(mergesPath: String): String =
+    s"""WITH RECURSIVE m AS (
+       |  SELECT merge_rank, l, r FROM read_parquet('$mergesPath/*.parquet')
+       |), mx AS (SELECT CAST(coalesce(max(merge_rank), 0) AS INT) AS mm FROM m),
+       |wv AS (
+       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(${norm("text")}, ' ')) AS w FROM documents
+       |  ) GROUP BY 1
+       |), w0 AS (
+       |  SELECT word, freq,
+       |    array_to_string(list_transform(string_split(word, ''),
+       |      c -> chr(1) || c || chr(2)), '')
+       |    || chr(1) || '</w>' || chr(2) AS repr
+       |  FROM wv
+       |), wsteps AS (
+       |  SELECT word, freq, repr, 0 AS i FROM w0
+       |  UNION ALL
+       |  SELECT s.word, s.freq,
+       |    replace(s.repr,
+       |      chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
+       |      chr(1) || m.l || m.r || chr(2)),
+       |    s.i + 1
+       |  FROM wsteps s JOIN m ON m.merge_rank = s.i + 1
+       |), wfin AS (
+       |  SELECT word, freq,
+       |    CAST(len(string_split(substring(repr, 2, length(repr) - 2),
+       |      chr(2) || chr(1))) AS BIGINT) AS n_tokens
+       |  FROM wsteps, mx WHERE i = mm
+       |)""".stripMargin
+
   /** The synthesized url of [[graft.ops.DocAnalytics.withUrl]], character
     * for character (scheme/www/extra-segment/query vary by doc_id
     * residues). */
@@ -2467,6 +2501,87 @@ object OracleSqlDocs {
          |  CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_bpe_tokens) AS BIGINT)
          |    AS chars_per_token
          |FROM lx GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // tokenizer vocabulary coverage (p144): the merge chain replayed at
+    // WORD level over the corpus vocabulary — same delimited replace
+    // recursion as bpeApplyCtes, but each row is a (word, freq) type.
+    "p144_token_coverage" ->
+      (bpeVocabCtes(graft.ops.DocAnalytics.P144MergesPath) +
+      s"""
+         |SELECT word, freq, n_tokens, n_tokens = 1 AS is_single
+         |FROM wfin ORDER BY freq DESC, word LIMIT 25""".stripMargin),
+
+    // coverage summary twin (p145): one row of integer totals with one
+    // correctly-rounded double division per rate.
+    "p145_coverage_summary" ->
+      (bpeVocabCtes(graft.ops.DocAnalytics.P145MergesPath) +
+      s"""
+         |SELECT CAST(count(*) AS BIGINT) AS n_word_types,
+         |  CAST(sum(freq) AS BIGINT) AS n_occurrences,
+         |  CAST(sum(CASE WHEN n_tokens = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS single_token_types,
+         |  CAST(sum(CASE WHEN n_tokens = 1 THEN freq ELSE 0 END) AS BIGINT)
+         |    AS single_token_occurrences,
+         |  CAST(sum(CASE WHEN n_tokens = 1 THEN freq ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(freq) AS BIGINT) AS single_token_fraction,
+         |  CAST(sum(freq * n_tokens) AS DOUBLE) / CAST(sum(freq) AS BIGINT)
+         |    AS tokens_per_occurrence
+         |FROM wfin""".stripMargin),
+
+    // PMI collocations (p142): bigram counts with position marginals
+    // DERIVED by re-aggregating the bigram table (the Spark shape);
+    // pmi_ratio = (double)c12 · N / (c1·c2) — exact integer products,
+    // one correctly-rounded division, identical on both engines.
+    "p142_collocations" ->
+      s"""WITH nrm AS (
+         |  SELECT doc_id, ${norm("text")} AS norm FROM documents
+         |), toks AS (
+         |  SELECT doc_id, string_split(norm, ' ') AS t FROM nrm
+         |), bg AS (
+         |  SELECT unnest(t[:len(t)-1]) AS w1, unnest(t[2:]) AS w2
+         |  FROM toks WHERE len(t) >= 2
+         |), c12 AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+         |  FROM bg GROUP BY 1, 2
+         |), u AS (
+         |  SELECT w1 AS w, CAST(sum(n_pair) AS BIGINT) AS n_w1
+         |  FROM c12 GROUP BY 1
+         |), v AS (
+         |  SELECT w2 AS w, CAST(sum(n_pair) AS BIGINT) AS n_w2
+         |  FROM c12 GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(n_pair) AS BIGINT) AS n_total FROM c12
+         |)
+         |SELECT w1, w2, n_pair, u.n_w1, v.n_w2,
+         |  CAST(n_pair AS DOUBLE) * n_total / (u.n_w1 * v.n_w2) AS pmi_ratio
+         |FROM c12 JOIN u ON u.w = c12.w1 JOIN v ON v.w = c12.w2, tot
+         |WHERE n_pair >= 5
+         |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 30""".stripMargin,
+
+    // per-document TF-IDF keywords (p143): tf from the (doc, token)
+    // group, df by re-aggregating the TF table, rational idf surrogate
+    // tf·N/df, per-doc rank breaking ties by term.
+    "p143_tfidf_keywords" ->
+      s"""WITH nrm AS (
+         |  SELECT doc_id, ${norm("text")} AS norm FROM documents
+         |), tok AS (
+         |  SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM nrm
+         |), tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2
+         |), dfr AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |), nd AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM nrm
+         |), scored AS (
+         |  SELECT doc_id, w, tf, df,
+         |    CAST(tf AS DOUBLE) * n_docs / df AS tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY CAST(tf AS DOUBLE) * n_docs / df DESC, w) AS rnk
+         |  FROM tf JOIN dfr USING (w), nd
+         |)
+         |SELECT doc_id, CAST(rnk AS INT) AS rank, w AS term, tf, df, tfidf
+         |FROM scored WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // FineWeb dedup-scope report (p141): scoped-vs-global keep-min-id
     // exact dedup over the planted cross-source duplicates, counted at

@@ -117,7 +117,8 @@ object ScaleCorpusBench {
     // targeted rungs were paying the full corpus-build cost for zero reports)
     val corpusOps = Seq("exact_dedup", "minhash_neardup", "ngram_jaccard_df64",
       "ngram_jaccard_df64_prefix", "sequence_packing", "span_dedup",
-      "span_scrub", "bigram_novelty", "group_representative")
+      "span_scrub", "bigram_novelty", "group_representative",
+      "lm_surprisal", "scoped_dedup")
     for (n <- docSizes if corpusOps.exists(opOn)) {
       for ((cname, gen) <- Seq(
           "uniform5k" -> synthCorpus(spark, n),
@@ -150,6 +151,15 @@ object ScaleCorpusBench {
           "doc_id", "text"))))
         report("bigram_novelty",
           time(mat(graft.text.TextStats.bigramNovelty(corpus, "doc_id", "text"))))
+        // r14 additions: the p138 LM scorer (train split inside, one
+        // frozen model exchange) and the p141 scope report (one hash-only
+        // occurrence exchange; scope = 20-way synthetic source split)
+        report("lm_surprisal",
+          time(mat(graft.text.TextStats.lmSurprisal(corpus, "doc_id", "text"))))
+        report("scoped_dedup", time(mat(TextDedup.scopedDedupReport(
+          corpus.withColumn("source",
+            concat(lit("s"), pmod(col("doc_id"), lit(20)).cast("string"))),
+          "doc_id", "text", "source"))))
         // representative (p89): time the NEW stage — the argmax riding
         // the group shuffle — over precomputed groups/quality, so the
         // figure isn't dominated by the already-laddered simhash+CC

@@ -125,6 +125,10 @@ object DocAnalytics {
   /** p140's own merge table (independent runnability, the p117 rule). */
   def P140MergesPath: String = s"$oracleArtifactDir/p140_merges"
 
+  /** p144/p145's merge tables (tokenizer coverage report / summary). */
+  def P144MergesPath: String = s"$oracleArtifactDir/p144_merges"
+  def P145MergesPath: String = s"$oracleArtifactDir/p145_merges"
+
   def oracleArtifactPaths: Seq[String] =
     Seq(P50CentroidsPath, P103CentroidsPath, P105CodebooksPath,
       P106CodebooksPath, P109CodebooksPath, P110CodebooksPath,
@@ -132,7 +136,8 @@ object DocAnalytics {
       P119CentroidsPath, P119CodebooksPath,
       P125SupersPath, P125CellsPath,
       P128CodebooksPath, P128IndexPath,
-      P129CodebooksPath, P130CodebooksPath, P140MergesPath)
+      P129CodebooksPath, P130CodebooksPath, P140MergesPath,
+      P144MergesPath, P145MergesPath)
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -438,6 +443,31 @@ object DocAnalytics {
           col("weight").as("n_bpe_tokens"),
           col("cum_weight").as("cum_lang_tokens"))
         .orderBy("id")
+    }),
+    // tokenizer vocabulary-coverage report: top-25 corpus words by
+    // frequency with their fragmentation under the frozen merges —
+    // vocabulary-sized, never corpus-sized (coverage is a property of
+    // the type distribution)
+    "p144_token_coverage" -> ("report", (s, d, onPhase) => {
+      val ds = docs(s, d)
+      val merges = graft.text.BpeTokenizer.trainMerges(ds, "text")
+      import s.implicits._
+      merges.map(m => (m.merge_rank, m.left, m.right, m.pair_count))
+        .toDF("merge_rank", "l", "r", "pair_count").coalesce(1)
+        .write.mode("overwrite").parquet(P144MergesPath)
+      onPhase("train")
+      graft.text.BpeTokenizer.coverageReport(ds, "text", merges)
+    }),
+    // the one-row corpus coverage summary beside p144's detail table
+    "p145_coverage_summary" -> ("summary", (s, d, onPhase) => {
+      val ds = docs(s, d)
+      val merges = graft.text.BpeTokenizer.trainMerges(ds, "text")
+      import s.implicits._
+      merges.map(m => (m.merge_rank, m.left, m.right, m.pair_count))
+        .toDF("merge_rank", "l", "r", "pair_count").coalesce(1)
+        .write.mode("overwrite").parquet(P145MergesPath)
+      onPhase("train")
+      graft.text.BpeTokenizer.coverageSummary(ds, "text", merges)
     }),
     // per-language BPE tokenizer fertility (tokens/word, chars/token):
     // the tokenizer-bias report a multilingual pipeline publishes;
@@ -825,6 +855,18 @@ object DocAnalytics {
       phasedQueries("p117_bpe_budget")._2(s, d, _ => ())),
     "p140_token_fertility" -> ((s, d) =>
       phasedQueries("p140_token_fertility")._2(s, d, _ => ())),
+    "p144_token_coverage" -> ((s, d) =>
+      phasedQueries("p144_token_coverage")._2(s, d, _ => ())),
+    "p145_coverage_summary" -> ((s, d) =>
+      phasedQueries("p145_coverage_summary")._2(s, d, _ => ())),
+    // PMI collocation mining (Mikolov et al. 2013 §4): adjacent-bigram
+    // phrase candidates ranked by the exact integer PMI ratio
+    "p142_collocations" -> ((s, d) =>
+      graft.text.TextStats.collocations(docs(s, d), "text")),
+    // per-document TF-IDF keyword extraction: top-3 characteristic
+    // terms per doc under the rational idf surrogate tf·N/df
+    "p143_tfidf_keywords" -> ((s, d) =>
+      graft.text.TextStats.tfidfKeywords(docs(s, d), "doc_id", "text")),
     // temperature-scaled mixture weights (mT5/UniMax): per-lang token
     // mass and the T=2-tempered sampling share — sqrt is IEEE-correctly-
     // rounded so the shares verify bit-exactly, unlike pow/log configs

@@ -400,4 +400,52 @@ object BpeTokenizer {
           .as("chars_per_token"))
       .orderBy("lang")
   }
+
+  /** Shared base of the coverage queries: the (word, freq) vocabulary
+    * with each word's BPE token count under the frozen `merges` — the
+    * fused [[graft.functions.BpeTokenCount]] node applied to the WORD
+    * (a one-word normalized text), so cost is vocabulary-sized, never
+    * corpus-sized: coverage is a property of the type distribution. */
+  private def vocabTokens(df: DataFrame, textCol: String,
+                          merges: Seq[Merge]): DataFrame =
+    vocabulary(df, textCol).select(col("word"), col("freq"),
+      graft.functions.BpeTokenCount(col("word"),
+        merges.map(m => (m.left, m.right)).toArray).as("n_tokens"))
+
+  /** Tokenizer vocabulary-coverage report — the top-`topK` corpus words
+    * by frequency with their subword fragmentation under the frozen
+    * merge table (is_single = the word survives as ONE token): the table
+    * a tokenizer evaluation publishes to show which frequent words the
+    * merge budget failed to cover. Vocabulary-sized throughout; top-K is
+    * a TakeOrdered over (freq, word), a total order. */
+  def coverageReport(df: DataFrame, textCol: String, merges: Seq[Merge],
+                     topK: Int = 25): DataFrame =
+    vocabTokens(df, textCol, merges)
+      .select(col("word"), col("freq"), col("n_tokens"),
+        (col("n_tokens") === 1L).as("is_single"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(topK)
+
+  /** One-row corpus coverage summary: word types / occurrences, how many
+    * of each the merge table covers as a single token, the
+    * occurrence-weighted single-token fraction, and mean tokens per word
+    * occurrence — the headline numbers beside [[coverageReport]]'s
+    * detail. Integer totals with one correctly-rounded double division
+    * each, over the vocabulary frame only. */
+  def coverageSummary(df: DataFrame, textCol: String,
+                      merges: Seq[Merge]): DataFrame =
+    vocabTokens(df, textCol, merges)
+      .agg(count(lit(1)).as("n_word_types"),
+        sum("freq").as("n_occurrences"),
+        sum(when(col("n_tokens") === 1L, 1L).otherwise(0L))
+          .as("single_token_types"),
+        sum(when(col("n_tokens") === 1L, col("freq")).otherwise(0L))
+          .as("single_token_occurrences"),
+        sum(col("freq") * col("n_tokens")).as("total_tokens"))
+      .select(col("n_word_types"), col("n_occurrences"),
+        col("single_token_types"), col("single_token_occurrences"),
+        (col("single_token_occurrences").cast("double") /
+          col("n_occurrences")).as("single_token_fraction"),
+        (col("total_tokens").cast("double") / col("n_occurrences"))
+          .as("tokens_per_occurrence"))
 }

@@ -605,4 +605,79 @@ object TextStats {
           .otherwise(lit("tail")).as("ppl_bucket"))
       .orderBy("doc_id")
   }
+
+  /** PMI collocation mining — the phrase-vocabulary step of a tokenizer
+    * / phrase-table pipeline (Mikolov et al. 2013 §4 use exactly this
+    * score to join phrases before training): adjacent-token bigrams with
+    * count ≥ `minCount`, ranked by the PMI ratio
+    * `P(w1,w2) / (P(w1)·P(w2)) = c12·N / (c1·c2)` over the bigram
+    * position marginals (c1 = w1's count as a LEFT element, c2 = w2's as
+    * a RIGHT element — both derived by re-aggregating the bigram table,
+    * so the corpus is read once). The ratio is the exp of PMI and orders
+    * identically; it is one correctly-rounded double division of exact
+    * integer products, so both engines agree bit-for-bit (products stay
+    * under 2^53 far beyond any single-corpus vocabulary; a log-domain
+    * variant only matters when c12·N overflows, i.e. never for counts
+    * from one corpus under ~10^13 bigrams).
+    *
+    * Scale shape: ONE corpus-sized exchange (the bigram groupBy,
+    * map-side-combined to vocab² rows); marginals and the scalar total
+    * re-aggregate the bigram TABLE, never the corpus; top-K is a
+    * TakeOrdered, never a global sort. */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Int = 5, topK: Int = 30): DataFrame = {
+    val t = df.select(tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bg = t.select(explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1))).as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val u = c12.groupBy(col("w1").as("__uw"))
+      .agg(sum("n_pair").as("n_w1"))
+    val v = c12.groupBy(col("w2").as("__vw"))
+      .agg(sum("n_pair").as("n_w2"))
+    val tot = c12.agg(sum("n_pair").as("n_total"))
+    c12.join(u, col("w1") === col("__uw")).drop("__uw")
+      .join(v, col("w2") === col("__vw")).drop("__vw")
+      .crossJoin(broadcast(tot))
+      .filter(col("n_pair") >= minCount)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        (col("n_pair").cast("double") * col("n_total") /
+          (col("n_w1") * col("n_w2"))).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Per-document TF-IDF keyword extraction — the top-`k` most
+    * characteristic terms of every document, scored `tf · N/df` (the
+    * rational idf surrogate: monotone in tf-idf for fixed tf since
+    * log is monotone, and exact on both engines as one correctly-rounded
+    * double division of exact integers). The per-document rank breaks
+    * ties by term, so the output is a total order.
+    *
+    * Scale shape: tf is the (doc, token) groupBy (one corpus exchange,
+    * map-side-combined); df re-aggregates the TF TABLE (never the
+    * corpus); N is a 1-row broadcast; the rank window partitions by
+    * doc_id — high cardinality, rows per partition bounded by the
+    * document's distinct-token count, so no funnel. */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).cast("long").as("doc_id"),
+      explode(tokens(col(textCol))).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nd = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfr, "w").crossJoin(broadcast(nd))
+      .withColumn("tfidf",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("w"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("w").as("term"),
+        col("tf"), col("df"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
 }
