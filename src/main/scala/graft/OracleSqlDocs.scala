@@ -2502,6 +2502,26 @@ object OracleSqlDocs {
          |    AS chars_per_token
          |FROM lx GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // merge-budget curve (p146): the SAME recursive chain, snapshotted
+    // at three depths — a prefix of a sequential merge table is a valid
+    // smaller tokenizer, so step i's repr IS the i-merge tokenization.
+    // (bpeApplyCtes' fin CTE goes unused here; snap reads steps.)
+    "p146_merge_budget" ->
+      (bpeApplyCtes(graft.ops.DocAnalytics.P146MergesPath) +
+      s"""
+         |, snap AS (
+         |  SELECT CAST(i AS INT) AS n_merges,
+         |    CAST(len(string_split(substring(repr, 2, length(repr) - 2),
+         |      chr(2) || chr(1))) AS BIGINT) AS n_tokens,
+         |    CAST(length(norm) AS BIGINT) AS n_chars
+         |  FROM steps WHERE i IN (10, 20, 40)
+         |)
+         |SELECT n_merges, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tokens) AS BIGINT)
+         |    AS chars_per_token
+         |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // tokenizer vocabulary coverage (p144): the merge chain replayed at
     // WORD level over the corpus vocabulary — same delimited replace
     // recursion as bpeApplyCtes, but each row is a (word, freq) type.

@@ -129,6 +129,9 @@ object DocAnalytics {
   def P144MergesPath: String = s"$oracleArtifactDir/p144_merges"
   def P145MergesPath: String = s"$oracleArtifactDir/p145_merges"
 
+  /** p146's merge table (merge-budget compression curve). */
+  def P146MergesPath: String = s"$oracleArtifactDir/p146_merges"
+
   def oracleArtifactPaths: Seq[String] =
     Seq(P50CentroidsPath, P103CentroidsPath, P105CodebooksPath,
       P106CodebooksPath, P109CodebooksPath, P110CodebooksPath,
@@ -137,7 +140,7 @@ object DocAnalytics {
       P125SupersPath, P125CellsPath,
       P128CodebooksPath, P128IndexPath,
       P129CodebooksPath, P130CodebooksPath, P140MergesPath,
-      P144MergesPath, P145MergesPath)
+      P144MergesPath, P145MergesPath, P146MergesPath)
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -457,6 +460,19 @@ object DocAnalytics {
         .write.mode("overwrite").parquet(P144MergesPath)
       onPhase("train")
       graft.text.BpeTokenizer.coverageReport(ds, "text", merges)
+    }),
+    // the merge-budget compression curve: chars/token under prefixes of
+    // ONE trained merge table, every budget fused into a single corpus
+    // pass (a prefix of a sequential merge table is a valid tokenizer)
+    "p146_merge_budget" -> ("curve", (s, d, onPhase) => {
+      val ds = docs(s, d)
+      val merges = graft.text.BpeTokenizer.trainMerges(ds, "text")
+      import s.implicits._
+      merges.map(m => (m.merge_rank, m.left, m.right, m.pair_count))
+        .toDF("merge_rank", "l", "r", "pair_count").coalesce(1)
+        .write.mode("overwrite").parquet(P146MergesPath)
+      onPhase("train")
+      graft.text.BpeTokenizer.mergeBudgetCurve(ds, "text", merges)
     }),
     // the one-row corpus coverage summary beside p144's detail table
     "p145_coverage_summary" -> ("summary", (s, d, onPhase) => {
@@ -859,6 +875,8 @@ object DocAnalytics {
       phasedQueries("p144_token_coverage")._2(s, d, _ => ())),
     "p145_coverage_summary" -> ((s, d) =>
       phasedQueries("p145_coverage_summary")._2(s, d, _ => ())),
+    "p146_merge_budget" -> ((s, d) =>
+      phasedQueries("p146_merge_budget")._2(s, d, _ => ())),
     // PMI collocation mining (Mikolov et al. 2013 §4): adjacent-bigram
     // phrase candidates ranked by the exact integer PMI ratio
     "p142_collocations" -> ((s, d) =>

@@ -448,4 +448,33 @@ object BpeTokenizer {
           col("n_occurrences")).as("single_token_fraction"),
         (col("total_tokens").cast("double") / col("n_occurrences"))
           .as("tokens_per_occurrence"))
+
+  /** Merge-budget compression curve — the "chars per token vs vocabulary
+    * size" table every tokenizer paper publishes (Sennrich et al. 2016
+    * Table 2's axis): corpus token totals under PREFIXES of one trained
+    * merge table. ONE corpus pass computes every budget — each prefix is
+    * its own fused [[graft.functions.BpeTokenCount]] counter riding the
+    * same scan (sequential-chain semantics make a prefix of the table a
+    * valid smaller tokenizer) — then the 1-row aggregate explodes to one
+    * row per budget. Budgets beyond the trained table (early-stopped
+    * training) are dropped rather than silently aliased to the full
+    * table. */
+  def mergeBudgetCurve(df: DataFrame, textCol: String, merges: Seq[Merge],
+                       budgets: Seq[Int] = Seq(10, 20, 40)): DataFrame = {
+    val bs = budgets.filter(_ <= merges.length).sorted
+    require(bs.nonEmpty, "mergeBudgetCurve: no budget <= the trained " +
+      s"merge count ${merges.length}")
+    val base = df.select(normText(col(textCol)).as("norm"))
+    val agg = base.agg(
+      sum(length(col("norm")).cast("long")).as("total_chars"),
+      bs.map(b => sum(graft.functions.BpeTokenCount(col("norm"),
+        merges.take(b).map(m => (m.left, m.right)).toArray)).as(s"__t$b")): _*)
+    agg.select(col("total_chars"), explode(map(
+        bs.flatMap(b => Seq(lit(b), col(s"__t$b"))): _*))
+        .as(Seq("n_merges", "total_tokens")))
+      .select(col("n_merges"), col("total_tokens"), col("total_chars"),
+        (col("total_chars").cast("double") / col("total_tokens"))
+          .as("chars_per_token"))
+      .orderBy("n_merges")
+  }
 }

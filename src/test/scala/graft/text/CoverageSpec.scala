@@ -52,6 +52,34 @@ class CoverageSpec extends SparkSpec {
     top2 shouldBe Seq("low", "lower")
   }
 
+  "mergeBudgetCurve" should "match per-budget tokenize totals and be monotone" in {
+    val df = docs.toDF("doc_id", "text")
+    val merges = BpeTokenizer.trainMerges(df, "text", nMerges = 12)
+    val budgets = Seq(2, 5, 12).filter(_ <= merges.length)
+    val curve = BpeTokenizer.mergeBudgetCurve(df, "text", merges, budgets)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    curve.map(_._1).toSeq shouldBe budgets
+    // each budget row equals tokenize() under the same prefix, summed
+    budgets.zip(curve).foreach { case (b, (_, tokens, chars, cpt)) =>
+      val tok = BpeTokenizer.tokenize(df, "doc_id", "text", merges.take(b))
+        .collect()
+      tokens shouldBe tok.map(_.getAs[Long]("n_bpe_tokens")).sum
+      chars shouldBe tok.map(_.getAs[Long]("n_chars")).sum
+      cpt shouldBe chars.toDouble / tokens
+    }
+    // more merges never produce MORE tokens
+    curve.map(_._2).toSeq shouldBe curve.map(_._2).toSeq.sorted.reverse
+  }
+
+  it should "drop budgets beyond the trained table instead of aliasing them" in {
+    val df = docs.toDF("doc_id", "text")
+    val merges = BpeTokenizer.trainMerges(df, "text", nMerges = 6)
+    val curve = BpeTokenizer.mergeBudgetCurve(df, "text", merges,
+      Seq(3, 6, 1000)).collect()
+    curve.map(_.getInt(0)).toSeq shouldBe Seq(3, 6)
+  }
+
   "coverageSummary" should "equal the report's universe rolled up" in {
     val df = docs.toDF("doc_id", "text")
     val merges = BpeTokenizer.trainMerges(df, "text", nMerges = 12)
