@@ -2502,6 +2502,29 @@ object OracleSqlDocs {
          |    AS chars_per_token
          |FROM lx GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // D4 prototypicality audit (p147): flat cosine argmax over the
+    // persisted trained centroids (the p125 flat convention), cosine to
+    // the OWN centroid as proto_sim, within-cell rank (sim DESC, id),
+    // and the integer-exact drop verdict rank > (n·25) // 100.
+    "p147_prototypicality" ->
+      s"""WITH cents AS (SELECT cent_id AS cid, ce FROM read_parquet(
+         |  '${graft.ops.DocAnalytics.P147CentroidsPath}/*.parquet')),
+         |e AS (SELECT vec_id, embedding AS qe FROM embeddings),
+         |fs AS (SELECT e.vec_id, c.cid, ${cos("qe", "ce")} AS cs
+         |       FROM e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, cid AS cell, cs AS proto_sim FROM (
+         |  SELECT vec_id, cid, cs, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cs DESC, cid) AS rn FROM fs) WHERE rn = 1),
+         |rk AS (SELECT vec_id, cell, proto_sim,
+         |  CAST(row_number() OVER (PARTITION BY cell
+         |    ORDER BY proto_sim DESC, vec_id) AS INT) AS proto_rank
+         |  FROM asg),
+         |ct AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_cell
+         |       FROM asg GROUP BY 1)
+         |SELECT vec_id, cell, proto_sim, proto_rank, n_cell,
+         |  proto_rank > (n_cell * 25) // 100 AS kept
+         |FROM rk JOIN ct USING (cell) ORDER BY vec_id""".stripMargin,
+
     // merge-budget curve (p146): the SAME recursive chain, snapshotted
     // at three depths — a prefix of a sequential merge table is a valid
     // smaller tokenizer, so step i's repr IS the i-merge tokenization.

@@ -491,4 +491,43 @@ object Similarity {
       .select(col("vb").as("vec_id"))
     cells.join(dups, Seq("vec_id"), "left_anti").orderBy("vec_id")
   }
+
+  /** D4-style prototypicality audit (Tirumala et al. 2023: after
+    * SemDeDup, additionally prune the most PROTOTYPICAL points — those
+    * closest to their cluster centroid — because they carry the least
+    * marginal information): every vector's cosine similarity to its
+    * assigned centroid, its within-cell prototypicality rank (1 = most
+    * prototypical, ties toward the smaller id), the cell population,
+    * and the keep verdict dropping the top `dropPct`% of each cell
+    * under INTEGER arithmetic (`rank > (n·dropPct) div 100` — exact on
+    * both engines, no float threshold).
+    *
+    * Scale shape: assignment is the fused constant-plan [[assignCells]]
+    * argmax; the centroid table is a broadcast join; the rank window
+    * partitions by CELL, so per-cell work is bounded by cell population
+    * — the same per-cell bound SemDeDup's pairwise step already accepts
+    * (and this one is linear in it, not quadratic). */
+  def prototypicalityPrune(emb: DataFrame, idCol: String, vecCol: String,
+                           cents: Array[(Long, Array[Float])],
+                           dropPct: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dropPct >= 0 && dropPct <= 100,
+      s"prototypicalityPrune: dropPct must be a percentage, got $dropPct")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cdf = cents.toSeq.toDF("__cid", "__ce")
+    val scored = assignCells(emb, idCol, vecCol, cents)
+      .join(broadcast(cdf), col("cell") === col("__cid"))
+      .select(col("vec_id"), col("cell"),
+        cosine(col("e"), col("__ce")).as("proto_sim"))
+    val ranked = scored.withColumn("proto_rank", row_number().over(
+      Window.partitionBy("cell")
+        .orderBy(col("proto_sim").desc, col("vec_id"))))
+    val counts = scored.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+    ranked.join(counts, "cell")
+      .select(col("vec_id"), col("cell"), col("proto_sim"),
+        col("proto_rank"), col("n_cell"),
+        expr(s"proto_rank > (n_cell * $dropPct) div 100").as("kept"))
+      .orderBy("vec_id")
+  }
 }

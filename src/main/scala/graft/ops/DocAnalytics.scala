@@ -132,6 +132,9 @@ object DocAnalytics {
   /** p146's merge table (merge-budget compression curve). */
   def P146MergesPath: String = s"$oracleArtifactDir/p146_merges"
 
+  /** p147's trained centroids (D4 prototypicality audit). */
+  def P147CentroidsPath: String = s"$oracleArtifactDir/p147_centroids"
+
   def oracleArtifactPaths: Seq[String] =
     Seq(P50CentroidsPath, P103CentroidsPath, P105CodebooksPath,
       P106CodebooksPath, P109CodebooksPath, P110CodebooksPath,
@@ -140,7 +143,7 @@ object DocAnalytics {
       P125SupersPath, P125CellsPath,
       P128CodebooksPath, P128IndexPath,
       P129CodebooksPath, P130CodebooksPath, P140MergesPath,
-      P144MergesPath, P145MergesPath, P146MergesPath)
+      P144MergesPath, P145MergesPath, P146MergesPath, P147CentroidsPath)
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -261,6 +264,16 @@ object DocAnalytics {
       persistCentroids(s, cents)
       onPhase("train")
       p50Search(s, d, cents)
+    }),
+    // D4 prototypicality audit (SemDeDup's published companion): cosine
+    // to the assigned trained centroid, within-cell rank, integer-exact
+    // drop verdict; centroids persisted for the oracle replay
+    "p147_prototypicality" -> ("prune", (s, d, onPhase) => {
+      val cents = p50Train(s, d)
+      persistCentroids(s, cents, P147CentroidsPath)
+      onPhase("train")
+      Similarity.prototypicalityPrune(emb(s, d), "vec_id", "embedding",
+        cents)
     }),
     // SemDeDup: the same bounded-Lloyd trainer, then cell-scoped cosine
     // pruning; centroids persisted so the oracle replays the assignment
@@ -877,6 +890,8 @@ object DocAnalytics {
       phasedQueries("p145_coverage_summary")._2(s, d, _ => ())),
     "p146_merge_budget" -> ((s, d) =>
       phasedQueries("p146_merge_budget")._2(s, d, _ => ())),
+    "p147_prototypicality" -> ((s, d) =>
+      phasedQueries("p147_prototypicality")._2(s, d, _ => ())),
     // PMI collocation mining (Mikolov et al. 2013 §4): adjacent-bigram
     // phrase candidates ranked by the exact integer PMI ratio
     "p142_collocations" -> ((s, d) =>

@@ -126,4 +126,25 @@ class SimilaritySpec extends SparkSpec {
     val kept = Similarity.semanticDedup(emb, "vec_id", "embedding", cents, minSim = 1.1)
     kept.count() shouldBe 4
   }
+
+  "prototypicalityPrune" should "drop exactly the most-prototypical dropPct of each cell" in {
+    // cells: v1,v2 -> c1 (sims 1.0, ~0.99995); v3,v4 -> c3 (sims 1.0, 0.0 —
+    // v4's cos to c1 is -1 so it lands in c3). dropPct=50 on n=2 cells drops
+    // rank 1 (the centroid-nearest vector) and keeps rank 2.
+    val cents = Array((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+                      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+    val out = Similarity.prototypicalityPrune(emb, "vec_id", "embedding", cents, dropPct = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getLong(4), r.getBoolean(5)))
+    out.toSeq shouldBe Seq(
+      (1L, 1L, 1, 2L, false), (2L, 1L, 2, 2L, true),
+      (3L, 3L, 1, 2L, false), (4L, 3L, 2, 2L, true))
+  }
+
+  it should "keep everything at dropPct = 0 and reject an out-of-range percentage" in {
+    val cents = Array((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    Similarity.prototypicalityPrune(emb, "vec_id", "embedding", cents, dropPct = 0)
+      .filter(!col("kept")).count() shouldBe 0
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.prototypicalityPrune(emb, "vec_id", "embedding", cents, dropPct = 101)
+  }
 }
