@@ -2575,6 +2575,50 @@ object OracleSqlDocs {
     // DERIVED by re-aggregating the bigram table (the Spark shape);
     // pmi_ratio = (double)c12 · N / (c1·c2) — exact integer products,
     // one correctly-rounded division, identical on both engines.
+    // Heaps'-law vocabulary growth (p148): same integer checkpoint
+    // bucketing (ceil((id-lo+1)·n/width) via exact integer div), token
+    // first-appearance min(doc_id) per TYPE, prefix sums over the
+    // 10-row spine; the ratio is the same single correctly-rounded
+    // division both engines perform on identical integers.
+    "p148_vocab_growth" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(
+         |    ${norm("coalesce(text, '')")}, ' ') AS t FROM documents
+         |), b AS (
+         |  SELECT min(doc_id) AS lo, max(doc_id) - min(doc_id) + 1 AS wd
+         |  FROM base
+         |), pd AS (
+         |  SELECT ((doc_id - lo + 1) * 10 + wd - 1) // wd AS bk,
+         |         CAST(count(*) AS BIGINT) AS nd,
+         |         CAST(sum(len(t)) AS BIGINT) AS nt
+         |  FROM base CROSS JOIN b GROUP BY 1
+         |), ft AS (
+         |  SELECT tok, min(doc_id) AS fid FROM (
+         |    SELECT doc_id, unnest(t) AS tok FROM base) GROUP BY 1
+         |), tb AS (
+         |  SELECT ((fid - lo + 1) * 10 + wd - 1) // wd AS bk,
+         |         CAST(count(*) AS BIGINT) AS ny
+         |  FROM ft CROSS JOIN b GROUP BY 1
+         |), sp AS (
+         |  SELECT CAST(i AS INT) AS checkpoint,
+         |         lo + (wd * i) // 10 - 1 AS cut_id
+         |  FROM range(1, 11) r(i) CROSS JOIN b
+         |), j AS (
+         |  SELECT checkpoint, cut_id, coalesce(nd, 0) AS nd,
+         |         coalesce(nt, 0) AS nt, coalesce(ny, 0) AS ny
+         |  FROM sp LEFT JOIN pd ON pd.bk = sp.checkpoint
+         |          LEFT JOIN tb ON tb.bk = sp.checkpoint
+         |)
+         |SELECT checkpoint, cut_id,
+         |  CAST(sum(nd) OVER win AS BIGINT) AS cum_docs,
+         |  CAST(sum(nt) OVER win AS BIGINT) AS cum_tokens,
+         |  CAST(sum(ny) OVER win AS BIGINT) AS cum_types,
+         |  CAST(sum(ny) OVER win AS DOUBLE) / CAST(sum(nt) OVER win AS BIGINT)
+         |    AS type_token_ratio
+         |FROM j
+         |WINDOW win AS (ORDER BY checkpoint ROWS UNBOUNDED PRECEDING)
+         |ORDER BY checkpoint""".stripMargin,
+
     "p142_collocations" ->
       s"""WITH nrm AS (
          |  SELECT doc_id, ${norm("text")} AS norm FROM documents

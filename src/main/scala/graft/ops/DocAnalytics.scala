@@ -896,6 +896,11 @@ object DocAnalytics {
     // phrase candidates ranked by the exact integer PMI ratio
     "p142_collocations" -> ((s, d) =>
       graft.text.TextStats.collocations(docs(s, d), "text")),
+    // Heaps'-law vocabulary growth curve: cumulative docs/tokens/types
+    // at 10 doc-id prefix checkpoints — the corpus repetitiveness
+    // diagnostic; checkpoint math is exact integer arithmetic
+    "p148_vocab_growth" -> ((s, d) =>
+      graft.text.TextStats.vocabGrowth(docs(s, d), "doc_id", "text")),
     // per-document TF-IDF keyword extraction: top-3 characteristic
     // terms per doc under the rational idf surrogate tf·N/df
     "p143_tfidf_keywords" -> ((s, d) =>

@@ -680,4 +680,58 @@ object TextStats {
         col("tf"), col("df"), col("tfidf"))
       .orderBy("doc_id", "rank")
   }
+
+  /** Heaps'-law vocabulary growth curve (Heaps 1978; the standard
+    * corpus-size diagnostic: distinct types V(n) vs running tokens n —
+    * a corpus whose curve flattens early is repetitive/duplicated, one
+    * that keeps climbing is still adding information): cumulative docs,
+    * tokens and distinct TYPES at `nCheckpoints` equal-width doc-id
+    * prefixes, plus the running type/token ratio. All checkpoint math
+    * is integer (`bucket = ceil((id-lo+1)·n / width)` as exact integer
+    * arithmetic; cuts by integer division), so the curve is bit-equal
+    * on both engines; the ratio is one correctly-rounded division.
+    *
+    * Scale shape: ONE corpus exchange — tokens groupBy(type) with
+    * map-side partial min(doc_id) (a type's first appearance decides
+    * which prefix first counts it); per-doc token counts are row-local;
+    * both reduce to `nCheckpoints`-row frames before the prefix-sum
+    * window, which therefore runs over a bounded spine, never the
+    * corpus. The driver collect is the 1-row bounds aggregate. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  nCheckpoints: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nCheckpoints >= 1,
+      s"vocabGrowth: nCheckpoints must be positive, got $nCheckpoints")
+    val spark = df.sparkSession
+    // null text ≡ empty text (the lineFrame convention, mirrored in SQL)
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      tokens(coalesce(col(textCol), lit(""))).as("t"))
+    val b = base.agg(min("doc_id"), max("doc_id"), count(lit(1))).collect()(0)
+    require(b.getLong(2) > 0, "vocabGrowth requires a non-empty corpus")
+    val lo = b.getLong(0); val wd = b.getLong(1) - lo + 1
+    val n = nCheckpoints.toLong
+    def bucketOf(idc: Column): Column =
+      expr(s"((${idc.toString} - $lo + 1) * $n + ${wd - 1}) div $wd")
+    val perDoc = base
+      .select(bucketOf(col("doc_id")).as("bk"), size(col("t")).cast("long").as("n_toks"))
+      .groupBy("bk").agg(count(lit(1)).as("nd"), sum("n_toks").as("nt"))
+    val perType = base.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy("w").agg(min("doc_id").as("fid"))
+      .select(bucketOf(col("fid")).as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("ny"))
+    val spine = spark.range(1, n + 1).toDF("checkpoint")
+      .select(col("checkpoint").cast("int").as("checkpoint"),
+        expr(s"$lo + ($wd * checkpoint) div $n - 1").as("cut_id"))
+    val win = Window.orderBy("checkpoint").rowsBetween(Window.unboundedPreceding, 0)
+    spine
+      .join(perDoc, col("checkpoint") === col("bk"), "left").drop("bk")
+      .join(perType, col("checkpoint") === col("bk"), "left").drop("bk")
+      .select(col("checkpoint"), col("cut_id"),
+        sum(coalesce(col("nd"), lit(0L))).over(win).as("cum_docs"),
+        sum(coalesce(col("nt"), lit(0L))).over(win).as("cum_tokens"),
+        sum(coalesce(col("ny"), lit(0L))).over(win).as("cum_types"))
+      .withColumn("type_token_ratio",
+        col("cum_types").cast("double") / col("cum_tokens"))
+      .orderBy("checkpoint")
+  }
 }

@@ -91,4 +91,35 @@ class TextStatsSpec extends SparkSpec {
     v.count(_ != 0.0f) shouldBe 1
     v.count(_ == 0.0f) shouldBe 63
   }
+
+  "vocabGrowth" should "count each type once, at its first-appearance prefix" in {
+    // ids 0..3, 2 checkpoints -> prefix 1 = docs {0,1}, prefix 2 = all.
+    // Types a,b,c first appear in prefix 1; d,e only in prefix 2.
+    val df = Seq((0L, "a b"), (1L, "b c"), (2L, "c d"), (3L, "a e"))
+      .toDF("doc_id", "text")
+    val out = TextStats.vocabGrowth(df, "doc_id", "text", nCheckpoints = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    out.toSeq shouldBe Seq(
+      (1, 1L, 2L, 4L, 3L, 0.75),
+      (2, 3L, 4L, 8L, 5L, 0.625))
+  }
+
+  it should "emit empty checkpoints as flat curve segments" in {
+    // ids 0 and 9: with 5 checkpoints only the first and last buckets
+    // receive docs — the middle ones must appear with unchanged cums.
+    val df = Seq((0L, "a"), (9L, "b")).toDF("doc_id", "text")
+    val out = TextStats.vocabGrowth(df, "doc_id", "text", nCheckpoints = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(4)))
+    out.toSeq shouldBe Seq((1, 1L), (2, 1L), (3, 1L), (4, 1L), (5, 2L))
+  }
+
+  it should "reject an empty corpus and a non-positive checkpoint count" in {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((0L, "a")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      TextStats.vocabGrowth(df.filter(col("doc_id") < 0), "doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      TextStats.vocabGrowth(df, "doc_id", "text", nCheckpoints = 0)
+  }
 }
