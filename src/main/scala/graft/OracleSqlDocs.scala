@@ -2875,6 +2875,32 @@ object OracleSqlDocs {
 
     // content-hash split twin: same hash, same Knuth re-scramble, same
     // per-mille thresholds
+    // group-aware leakage-safe split (p149): p37's recursive component
+    // closure decides each doc's group; the split bucket is the group
+    // REPRESENTATIVE's p39 scramble, joined back by group label, so
+    // members move together and singletons reproduce p39 bit-for-bit.
+    "p149_group_split" -> (simhashCandCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+         |pairs AS (SELECT da, db FROM cand WHERE bit_count(xor(sa, sb)) <= 1),
+         |gnodes AS (SELECT da AS id FROM pairs UNION SELECT db AS id FROM pairs),
+         |edges AS (SELECT da AS a, db AS b FROM pairs
+         |          UNION ALL SELECT db AS a, da AS b FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS lab FROM gnodes
+         |  UNION
+         |  SELECT e.b AS id, r.lab AS lab FROM reach r JOIN edges e ON e.a = r.id
+         |),
+         |comp AS (SELECT id, MIN(lab) AS g FROM reach GROUP BY id),
+         |n AS (SELECT doc_id AS id, ${norm("text")} AS nrm FROM documents),
+         |bkt AS (SELECT id, ${hash("nrm")} * 2654435761 % $P % 1000 AS bucket FROM n),
+         |wg AS (SELECT b.id, coalesce(c.g, b.id) AS group_id
+         |       FROM bkt b LEFT JOIN comp c ON c.id = b.id)
+         |SELECT w.id AS doc_id, w.group_id, r.bucket,
+         |  CASE WHEN r.bucket < 800 THEN 'train'
+         |       WHEN r.bucket < 900 THEN 'val' ELSE 'test' END AS split
+         |FROM wg w JOIN bkt r ON r.id = w.group_id
+         |ORDER BY doc_id""".stripMargin),
+
     "p39_hash_split" ->
       s"""WITH n AS (SELECT doc_id AS id, ${norm("text")} AS nrm FROM documents),
          |b AS (SELECT id, ${hash("nrm")} * 2654435761 % $P % 1000 AS bucket FROM n)

@@ -901,6 +901,15 @@ object DocAnalytics {
     // diagnostic; checkpoint math is exact integer arithmetic
     "p148_vocab_growth" -> ((s, d) =>
       graft.text.TextStats.vocabGrowth(docs(s, d), "doc_id", "text")),
+    // group-aware leakage-safe split: near-dup groups (p37's components)
+    // inherit their representative's hashSplit bucket, so no duplicate
+    // pair ever straddles train/test; singletons match p39 exactly
+    "p149_group_split" -> ((s, d) => {
+      val ds = docs(s, d)
+      val groups = TextDedup.duplicateGroups(
+        TextDedup.simhashNearDup(ds, "doc_id", "text"), "doc_a", "doc_b")
+      TextCuration.groupAwareSplit(ds, "doc_id", "text", groups)
+    }),
     // per-document TF-IDF keyword extraction: top-3 characteristic
     // terms per doc under the rational idf surrogate tf·N/df
     "p143_tfidf_keywords" -> ((s, d) =>

@@ -59,6 +59,39 @@ object TextCuration {
       .filter(col("sample_key") < percent)
       .orderBy("id")
 
+  /** Group-aware (leakage-safe) train/val/test split: near-duplicate
+    * documents MUST land in the same split or the test set contaminates
+    * training (Lee et al. 2021 §6 measure this leakage directly). Every
+    * document inherits its duplicate GROUP's assignment — the re-scrambled
+    * content-hash bucket of the group REPRESENTATIVE (the min-id member,
+    * [[TextDedup.duplicateGroups]]' label) — so all members move together;
+    * singletons keep exactly their [[hashSplit]] assignment (same scramble,
+    * same thresholds: making a doc group-aware never reshuffles the rest
+    * of the corpus). Output: (doc_id, group_id, bucket, split).
+    *
+    * Scale shape: two keyed equi-joins — groups (only docs appearing in
+    * some near-dup pair, the small frame by construction) onto the corpus
+    * by id, then the representative's bucket by group_id; no window, no
+    * funnel, and the bucket itself is the row-local hashSplit expression. */
+  def groupAwareSplit(df: DataFrame, idCol: String, textCol: String,
+                      groups: DataFrame,
+                      trainPerMille: Int = 800, valPerMille: Int = 100): DataFrame = {
+    val hf = hashFrame(df, idCol, textCol)
+      .select(col("id").cast("long").as("id"),
+        (col("h") * 2654435761L % P % 1000L).as("__b"))
+    val g = groups.select(col("doc_id").cast("long").as("id"),
+      col("group_id").cast("long").as("__g"))
+    val withG = hf.join(g, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__g"), col("id")).as("group_id"))
+    val reps = hf.select(col("id").as("group_id"), col("__b").as("bucket"))
+    withG.join(reps, Seq("group_id"))
+      .select(col("id").as("doc_id"), col("group_id"), col("bucket"),
+        when(col("bucket") < trainPerMille, "train")
+          .when(col("bucket") < trainPerMille + valPerMille, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** PII patterns, ordered — longest/most-specific first so e.g. an email
     * is replaced before its digit run could match the id pattern. Written
     * in the regex subset Java (Spark) and RE2 (DuckDB) parse AND match

@@ -322,4 +322,29 @@ class TextCurationSpec extends SparkSpec {
     // exercised (not vacuously green) at the smallest test scale
     out.filter(col("maybe_seen") && !col("is_seen")).count() should be > 0L
   }
+
+  "groupAwareSplit" should "keep every duplicate group in one split and leave singletons on their hashSplit row" in {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "completely original content about gardens"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "another standalone document on sailing ships")
+    ).toDF("doc_id", "text")
+    val groups = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "group_id")
+    val out = TextCuration.groupAwareSplit(docs, "doc_id", "text", groups)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // the planted pair shares the representative's bucket AND split
+    out(1L) shouldBe out(2L)
+    out(1L)._1 shouldBe 1L
+    // singletons are exactly their hashSplit assignment
+    val solo = TextCuration.hashSplit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    Seq(0L, 3L).foreach { id =>
+      out(id)._1 shouldBe id
+      (out(id)._2, out(id)._3) shouldBe solo(id)
+    }
+    // and the grouped docs' shared row IS the representative's solo row
+    (out(2L)._2, out(2L)._3) shouldBe solo(1L)
+  }
 }
