@@ -509,17 +509,30 @@ object Similarity {
     * (and this one is linear in it, not quadratic). */
   def prototypicalityPrune(emb: DataFrame, idCol: String, vecCol: String,
                            cents: Array[(Long, Array[Float])],
-                           dropPct: Int = 25): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(dropPct >= 0 && dropPct <= 100,
-      s"prototypicalityPrune: dropPct must be a percentage, got $dropPct")
+                           dropPct: Int = 25): DataFrame =
+    prototypicalityVerdict(protoScore(emb, idCol, vecCol, cents), dropPct)
+
+  /** The row-local half of [[prototypicalityPrune]]: frozen-quantizer
+    * cell assignment + cosine to the OWN centroid. (vec_id, cell,
+    * proto_sim) — the scoring shape a streaming twin freezes. */
+  def protoScore(emb: DataFrame, idCol: String, vecCol: String,
+                 cents: Array[(Long, Array[Float])]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cdf = cents.toSeq.toDF("__cid", "__ce")
-    val scored = assignCells(emb, idCol, vecCol, cents)
+    assignCells(emb, idCol, vecCol, cents)
       .join(broadcast(cdf), col("cell") === col("__cid"))
       .select(col("vec_id"), col("cell"),
         cosine(col("e"), col("__ce")).as("proto_sim"))
+  }
+
+  /** The corpus-dependent half of [[prototypicalityPrune]]: within-cell
+    * rank, cell population, and the integer drop verdict over an
+    * already-scored (vec_id, cell, proto_sim) frame. */
+  def prototypicalityVerdict(scored: DataFrame, dropPct: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dropPct >= 0 && dropPct <= 100,
+      s"prototypicalityPrune: dropPct must be a percentage, got $dropPct")
     val ranked = scored.withColumn("proto_rank", row_number().over(
       Window.partitionBy("cell")
         .orderBy(col("proto_sim").desc, col("vec_id"))))

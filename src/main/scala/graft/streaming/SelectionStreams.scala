@@ -343,3 +343,57 @@ object BloomProbeStream {
       }
       .start()
 }
+
+/** Streaming twin of the p147 D4 prototypicality prune
+  * ([[graft.ann.Similarity.prototypicalityPrune]]): vectors arrive as a
+  * stream, the quantizer is FROZEN, and each micro-batch emits the full
+  * re-ranked verdict over everything seen so far. Scoring (cell argmax +
+  * cosine to the own centroid) is row-local per batch; only the SCALAR
+  * score triple (vec_id, cell, proto_sim) enters [[VersionedState]] —
+  * never the vectors, so state is O(rows · 24 B), not O(rows · dim).
+  * Because a new arrival can displace any ranked member of its cell, the
+  * per-batch verdict recomputes the rank window over the unioned state
+  * (per-cell work, the same bound the batch operator accepts); at
+  * deployment scale the cut is re-ranking only the cells the batch
+  * touched and carrying untouched cells' verdicts forward. Parity: the
+  * last batch=<id> partition is row-identical to batch
+  * prototypicalityPrune over all vectors seen, pinned by the parity
+  * test. */
+object PrototypicalityStream {
+  private def stateSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("cell", LongType),
+    StructField("proto_sim", org.apache.spark.sql.types.DoubleType)))
+
+  def attach(vecs: DataFrame, idCol: String, vecCol: String,
+             cents: Array[(Long, Array[Float])],
+             outDir: String, stateDir: String, checkpointDir: String,
+             dropPct: Int = 25,
+             trigger: Trigger = Trigger.AvailableNow(),
+             compactEvery: Int = 8): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val scoredNew = graft.ann.Similarity
+          .protoScore(batch, idCol, vecCol, cents)
+          .persist()
+        try {
+          // a replayed batch reads its PREDECESSOR's state, never its own
+          // failed attempt's delta (the SpanDedupStream rule)
+          val seen = VersionedState.readSet(spark, stateDir, Some(batchId))
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema))
+          val all = seen.unionByName(scoredNew)
+          graft.ann.Similarity.prototypicalityVerdict(all, dropPct)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          if (VersionedState.shouldCompact(spark, stateDir, batchId, compactEvery))
+            VersionedState.write(all, stateDir, batchId, compact = true)
+          else
+            VersionedState.write(scoredNew, stateDir, batchId, compact = false)
+        } finally scoredNew.unpersist(false)
+        VersionedState.prune(spark, stateDir, batchId)
+      }
+      .start()
+}

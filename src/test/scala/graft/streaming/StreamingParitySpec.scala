@@ -840,6 +840,57 @@ class StreamingParitySpec extends SparkSpec {
     stateRows shouldBe embDf.count()
   }
 
+  "PrototypicalityStream" should "re-rank to exactly the batch prototypicalityPrune verdict as vectors accumulate (p147)" in {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val embDf = graft.sources.Tables.embeddings(spark, sfDir)
+    val cents = graft.ann.Similarity
+      .trainIvfCentroids(embDf, "vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-proto-json")
+    val lines = embDf.orderBy("vec_id")
+      .select(to_json(struct(col("vec_id"), col("embedding"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(math.max(1, lines.length / 4)).zipWithIndex.foreach { case (ls, i) =>
+      val f = dir.resolve(f"vecs-$i%03d.json")
+      Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val outDir = Files.createTempDirectory("graft-proto-out").toString
+    val stateDir = Files.createTempDirectory("graft-proto-state").toString
+    val ckpt = Files.createTempDirectory("graft-proto-ckpt").toString
+    val q = PrototypicalityStream.attach(stream, "vec_id", "embedding", cents,
+      outDir, stateDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    def verdicts(path: String) = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    val batchDirs = new java.io.File(outDir).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("batch="))
+      .map(_.getName).sortBy(_.drop(6).toLong)
+    batchDirs.length should be > 1 // the stream really ran incrementally
+    // final verdict == batch operator over the whole corpus
+    val got = verdicts(s"$outDir/${batchDirs.last}")
+    val full = graft.ann.Similarity
+      .prototypicalityPrune(embDf, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getLong(4), r.getBoolean(5)))
+    got.toSeq shouldBe full.toSeq
+    // every PREFIX verdict == batch operator over exactly the ids seen so
+    // far (a displaced rank must be re-issued, never carried stale)
+    val first = verdicts(s"$outDir/${batchDirs.head}")
+    val seenIds = first.map(_._1)
+    val prefix = graft.ann.Similarity
+      .prototypicalityPrune(embDf.filter(col("vec_id").isin(seenIds: _*)),
+        "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getLong(4), r.getBoolean(5)))
+    first.toSeq shouldBe prefix.toSeq
+  }
+
   "NoveltyScoreStream" should "score a doc stream against a frozen model exactly like batch bigramScore (p88)" in {
     val docsDf = graft.sources.Tables.documents(spark, sfDir)
     val model = graft.text.TextStats
