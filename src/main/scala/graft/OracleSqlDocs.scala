@@ -2875,6 +2875,24 @@ object OracleSqlDocs {
 
     // content-hash split twin: same hash, same Knuth re-scramble, same
     // per-mille thresholds
+    // cross-source contamination matrix (p150): the p17 cand pairs
+    // labeled with endpoint sources, orientation normalized by
+    // least/greatest, counted per unordered source pair; the share is
+    // one exact-integer division per cell.
+    "p150_contamination_matrix" -> (simhashCandCtes +
+      s""",
+         |pairs AS (SELECT da, db FROM cand WHERE bit_count(xor(sa, sb)) <= 1),
+         |lab AS (SELECT least(x.source, y.source) AS source_a,
+         |               greatest(x.source, y.source) AS source_b
+         |        FROM pairs p JOIN documents x ON x.doc_id = p.da
+         |                     JOIN documents y ON y.doc_id = p.db),
+         |m AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |      FROM lab GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tt FROM m)
+         |SELECT source_a, source_b, n_pairs,
+         |  CAST(n_pairs AS DOUBLE) / tt AS pair_share
+         |FROM m CROSS JOIN t ORDER BY source_a, source_b""".stripMargin),
+
     // group-aware leakage-safe split (p149): p37's recursive component
     // closure decides each doc's group; the split bucket is the group
     // REPRESENTATIVE's p39 scramble, joined back by group label, so

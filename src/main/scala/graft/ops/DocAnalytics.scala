@@ -901,6 +901,11 @@ object DocAnalytics {
     // diagnostic; checkpoint math is exact integer arithmetic
     "p148_vocab_growth" -> ((s, d) =>
       graft.text.TextStats.vocabGrowth(docs(s, d), "doc_id", "text")),
+    // cross-source contamination matrix: near-dup pair counts per
+    // unordered source pair + each cell's share — the "which sources
+    // re-crawl each other" audit over the p17 simhash pairs
+    "p150_contamination_matrix" -> ((s, d) =>
+      TextDedup.contaminationMatrix(docs(s, d), "doc_id", "text", "source")),
     // group-aware leakage-safe split: near-dup groups (p37's components)
     // inherit their representative's hashSplit bucket, so no duplicate
     // pair ever straddles train/test; singletons match p39 exactly

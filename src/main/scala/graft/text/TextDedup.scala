@@ -950,4 +950,36 @@ object TextDedup {
           .as("n_cross_scope_extra"))
       .orderBy("source")
   }
+
+  /** Cross-source contamination matrix: where near-duplicates come FROM
+    * — every [[simhashNearDup]] pair labeled with its endpoints' sources
+    * (orientation normalized so (source_a, source_b) is unordered), the
+    * pair count per source pair, and each cell's share of all pairs. The
+    * diagonal is within-source duplication; off-diagonal cells are the
+    * cross-source contamination a scoped dedup (p141) would miss — this
+    * is the "which pipelines are re-crawling each other" audit FineWeb
+    * §3.2 motivates.
+    *
+    * Scale shape: the pair miner is the existing banded, hot-bucket-
+    * capped simhash join; source labels attach by two id-keyed equi-joins
+    * of an (id, source) projection — text never shuffles; the matrix is
+    * ≤ |sources|² rows and the share a re-aggregation of it. */
+  def contaminationMatrix(df: DataFrame, idCol: String, textCol: String,
+                          scopeCol: String,
+                          maxHamming: Int = 1,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val pairs = simhashNearDup(df, idCol, textCol, maxHamming, maxBucket)
+    val src = df.select(col(idCol).as("__id"), col(scopeCol).as("__s"))
+    val lab = pairs
+      .join(src.select(col("__id").as("doc_a"), col("__s").as("sa0")), Seq("doc_a"))
+      .join(src.select(col("__id").as("doc_b"), col("__s").as("sb0")), Seq("doc_b"))
+      .select(least(col("sa0"), col("sb0")).as("source_a"),
+        greatest(col("sa0"), col("sb0")).as("source_b"))
+    val m = lab.groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+    val tot = m.agg(sum("n_pairs").as("__t"))
+    m.crossJoin(broadcast(tot))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (col("n_pairs").cast("double") / col("__t")).as("pair_share"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -240,4 +240,19 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("hamming"))).toMap
     pairs((1L, 2L)) shouldBe 0L
   }
+
+  "contaminationMatrix" should "count pairs per unordered source pair with exact shares" in {
+    // doc 1 (crawlA) duplicates doc 2 (crawlB) -> one cross-source cell;
+    // docs 5/6 are both crawlB duplicates -> one diagonal cell. Source
+    // orientation must not depend on id order.
+    val df = Seq(
+      (1L, base, "crawlB"), (2L, base, "crawlA"),
+      (5L, unrelated, "crawlB"), (6L, unrelated, "crawlB")
+    ).toDF("doc_id", "text", "source")
+    val out = TextDedup.contaminationMatrix(df, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    out.toSeq shouldBe Seq(
+      ("crawlA", "crawlB", 1L, 0.5),
+      ("crawlB", "crawlB", 1L, 0.5))
+  }
 }
