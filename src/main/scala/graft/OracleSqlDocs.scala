@@ -2502,6 +2502,27 @@ object OracleSqlDocs {
          |    AS chars_per_token
          |FROM lx GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // quantizer assignment churn (p151): the p147 flat cosine argmax
+    // replayed against BOTH persisted quantizers; moved is their
+    // disagreement. Ties toward the smaller cent_id, the cellOf
+    // convention.
+    "p151_quantizer_churn" ->
+      s"""WITH co AS (SELECT cent_id AS cid, ce FROM read_parquet(
+         |  '${graft.ops.DocAnalytics.P151OldCentroidsPath}/*.parquet')),
+         |cn AS (SELECT cent_id AS cid, ce FROM read_parquet(
+         |  '${graft.ops.DocAnalytics.P151NewCentroidsPath}/*.parquet')),
+         |e AS (SELECT vec_id, embedding AS qe FROM embeddings),
+         |ao AS (SELECT vec_id, cid AS cell_old FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cos("qe", "ce")} DESC, cid) AS rn
+         |  FROM e CROSS JOIN co) WHERE rn = 1),
+         |an AS (SELECT vec_id, cid AS cell_new FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cos("qe", "ce")} DESC, cid) AS rn
+         |  FROM e CROSS JOIN cn) WHERE rn = 1)
+         |SELECT vec_id, cell_old, cell_new, cell_old <> cell_new AS moved
+         |FROM ao JOIN an USING (vec_id) ORDER BY vec_id""".stripMargin,
+
     // D4 prototypicality audit (p147): flat cosine argmax over the
     // persisted trained centroids (the p125 flat convention), cosine to
     // the OWN centroid as proto_sim, within-cell rank (sim DESC, id),

@@ -526,6 +526,26 @@ object Similarity {
         cosine(col("e"), col("__ce")).as("proto_sim"))
   }
 
+  /** Quantizer assignment-churn audit — the index-maintenance question
+    * "if I retrain the coarse quantizer, how much of the corpus moves
+    * cells?": every vector's cell under the OLD and NEW quantizer and
+    * whether it migrated. A high churn fraction means a retrain forces
+    * rewriting most of a cell-partitioned ANN store (p123's layout);
+    * a low one means incremental compaction suffices.
+    *
+    * Scale shape: ONE corpus scan, zero shuffle — both assignments are
+    * fused constant-plan [[graft.functions.CellArgmax]] expressions
+    * evaluated row-locally side by side; the plan size is constant in
+    * both cell counts. */
+  def assignmentChurn(emb: DataFrame, idCol: String, vecCol: String,
+                      centsOld: Array[(Long, Array[Float])],
+                      centsNew: Array[(Long, Array[Float])]): DataFrame =
+    emb.select(col(idCol).cast("long").as("vec_id"),
+        cellOf(col(vecCol), centsOld).as("cell_old"),
+        cellOf(col(vecCol), centsNew).as("cell_new"))
+      .withColumn("moved", col("cell_old") =!= col("cell_new"))
+      .orderBy("vec_id")
+
   /** The corpus-dependent half of [[prototypicalityPrune]]: within-cell
     * rank, cell population, and the integer drop verdict over an
     * already-scored (vec_id, cell, proto_sim) frame. */

@@ -135,6 +135,10 @@ object DocAnalytics {
   /** p147's trained centroids (D4 prototypicality audit). */
   def P147CentroidsPath: String = s"$oracleArtifactDir/p147_centroids"
 
+  /** p151's OLD and NEW quantizers (assignment-churn audit). */
+  def P151OldCentroidsPath: String = s"$oracleArtifactDir/p151_centroids_old"
+  def P151NewCentroidsPath: String = s"$oracleArtifactDir/p151_centroids_new"
+
   def oracleArtifactPaths: Seq[String] =
     Seq(P50CentroidsPath, P103CentroidsPath, P105CodebooksPath,
       P106CodebooksPath, P109CodebooksPath, P110CodebooksPath,
@@ -143,7 +147,8 @@ object DocAnalytics {
       P125SupersPath, P125CellsPath,
       P128CodebooksPath, P128IndexPath,
       P129CodebooksPath, P130CodebooksPath, P140MergesPath,
-      P144MergesPath, P145MergesPath, P146MergesPath, P147CentroidsPath)
+      P144MergesPath, P145MergesPath, P146MergesPath, P147CentroidsPath,
+      P151OldCentroidsPath, P151NewCentroidsPath)
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -264,6 +269,20 @@ object DocAnalytics {
       persistCentroids(s, cents)
       onPhase("train")
       p50Search(s, d, cents)
+    }),
+    // quantizer assignment-churn audit: cell under yesterday's quantizer
+    // (trained on the even-id half, the snapshot-growth simulation) vs
+    // today's (full corpus); both assignments fused row-local in ONE
+    // scan; both quantizers persisted for the oracle replay
+    "p151_quantizer_churn" -> ("assign", (s, d, onPhase) => {
+      val e = emb(s, d)
+      val centsOld = Similarity.trainIvfCentroids(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding")
+      val centsNew = Similarity.trainIvfCentroids(e, "vec_id", "embedding")
+      persistCentroids(s, centsOld, P151OldCentroidsPath)
+      persistCentroids(s, centsNew, P151NewCentroidsPath)
+      onPhase("train")
+      Similarity.assignmentChurn(e, "vec_id", "embedding", centsOld, centsNew)
     }),
     // D4 prototypicality audit (SemDeDup's published companion): cosine
     // to the assigned trained centroid, within-cell rank, integer-exact
@@ -892,6 +911,8 @@ object DocAnalytics {
       phasedQueries("p146_merge_budget")._2(s, d, _ => ())),
     "p147_prototypicality" -> ((s, d) =>
       phasedQueries("p147_prototypicality")._2(s, d, _ => ())),
+    "p151_quantizer_churn" -> ((s, d) =>
+      phasedQueries("p151_quantizer_churn")._2(s, d, _ => ())),
     // PMI collocation mining (Mikolov et al. 2013 §4): adjacent-bigram
     // phrase candidates ranked by the exact integer PMI ratio
     "p142_collocations" -> ((s, d) =>

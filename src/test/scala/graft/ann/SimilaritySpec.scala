@@ -140,6 +140,28 @@ class SimilaritySpec extends SparkSpec {
       (3L, 3L, 1, 2L, false), (4L, 3L, 2, 2L, true))
   }
 
+  "assignmentChurn" should "flag exactly the vectors whose argmax cell changes" in {
+    val centsOld = Array((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+                         (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+    // retrain replaces cell 3's centroid with v4's direction: v3 now
+    // prefers... cos(v3, c3new) = 0 vs cos(v3, c1) = 0 -> tie toward the
+    // smaller cent_id, so v3 migrates to cell 1; v4 migrates to 3.
+    val centsNew = Array((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+                         (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)))
+    val out = Similarity.assignmentChurn(emb, "vec_id", "embedding", centsOld, centsNew)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    out.toSeq shouldBe Seq(
+      (1L, 1L, 1L, false), (2L, 1L, 1L, false),
+      (3L, 3L, 1L, true), (4L, 3L, 3L, false))
+  }
+
+  it should "report zero churn when the quantizer is unchanged" in {
+    val cents = Array((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+                      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+    Similarity.assignmentChurn(emb, "vec_id", "embedding", cents, cents)
+      .filter(col("moved")).count() shouldBe 0
+  }
+
   it should "keep everything at dropPct = 0 and reject an out-of-range percentage" in {
     val cents = Array((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
     Similarity.prototypicalityPrune(emb, "vec_id", "embedding", cents, dropPct = 0)
