@@ -2502,6 +2502,28 @@ object OracleSqlDocs {
          |    AS chars_per_token
          |FROM lx GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // ICLM semantic packing (p152): the p121 hashed-embedding chain,
+    // cosine argmax against the persisted trained centroids (p147
+    // convention), then the cell-partitioned token prefix sum and the
+    // integer bin cut — every stage exact, so the composed pipeline
+    // verifies end-to-end.
+    "p152_semantic_packing" -> (hashedEmbCte +
+      s""",
+         |cents AS (SELECT cent_id AS cid, ce FROM read_parquet(
+         |  '${graft.ops.DocAnalytics.P152CentroidsPath}/*.parquet')),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cos("e", "ce")} DESC, cid) AS rn
+         |  FROM v CROSS JOIN cents) WHERE rn = 1),
+         |nt AS (SELECT id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+         |w AS (SELECT a.vec_id AS doc_id, a.cell, n.n_tokens,
+         |  CAST(sum(n.n_tokens) OVER (PARTITION BY a.cell ORDER BY a.vec_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cell_tokens
+         |  FROM asg a JOIN nt n ON n.id = a.vec_id)
+         |SELECT doc_id, cell, n_tokens, cum_cell_tokens,
+         |  (cum_cell_tokens - n_tokens) // 512 AS bin
+         |FROM w ORDER BY doc_id""".stripMargin),
+
     // quantizer assignment churn (p151): the p147 flat cosine argmax
     // replayed against BOTH persisted quantizers; moved is their
     // disagreement. Ties toward the smaller cent_id, the cellOf

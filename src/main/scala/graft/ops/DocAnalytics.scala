@@ -139,6 +139,9 @@ object DocAnalytics {
   def P151OldCentroidsPath: String = s"$oracleArtifactDir/p151_centroids_old"
   def P151NewCentroidsPath: String = s"$oracleArtifactDir/p151_centroids_new"
 
+  /** p152's quantizer over hashed text embeddings (semantic packing). */
+  def P152CentroidsPath: String = s"$oracleArtifactDir/p152_centroids"
+
   def oracleArtifactPaths: Seq[String] =
     Seq(P50CentroidsPath, P103CentroidsPath, P105CodebooksPath,
       P106CodebooksPath, P109CodebooksPath, P110CodebooksPath,
@@ -148,7 +151,7 @@ object DocAnalytics {
       P128CodebooksPath, P128IndexPath,
       P129CodebooksPath, P130CodebooksPath, P140MergesPath,
       P144MergesPath, P145MergesPath, P146MergesPath, P147CentroidsPath,
-      P151OldCentroidsPath, P151NewCentroidsPath)
+      P151OldCentroidsPath, P151NewCentroidsPath, P152CentroidsPath)
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -269,6 +272,19 @@ object DocAnalytics {
       persistCentroids(s, cents)
       onPhase("train")
       p50Search(s, d, cents)
+    }),
+    // ICLM semantic packing: the text→hashed-embedding→trained-cell loop
+    // (p121 + p50's trainer) feeding cell-scoped token-budget packing —
+    // related documents land in the same packed sequence
+    "p152_semantic_packing" -> ("pack", (s, d, onPhase) => {
+      val ds = docs(s, d)
+      val he = TextStats.hashedEmbedding(ds, "doc_id", "text")
+      val cents = Similarity.trainIvfCentroids(he, "vec_id", "e")
+      persistCentroids(s, cents, P152CentroidsPath)
+      onPhase("train")
+      val cells = Similarity.assignCells(he, "vec_id", "e", cents)
+        .select("vec_id", "cell")
+      TextCuration.semanticPacking(ds, "doc_id", "text", cells)
     }),
     // quantizer assignment-churn audit: cell under yesterday's quantizer
     // (trained on the even-id half, the snapshot-growth simulation) vs
@@ -913,6 +929,8 @@ object DocAnalytics {
       phasedQueries("p147_prototypicality")._2(s, d, _ => ())),
     "p151_quantizer_churn" -> ((s, d) =>
       phasedQueries("p151_quantizer_churn")._2(s, d, _ => ())),
+    "p152_semantic_packing" -> ((s, d) =>
+      phasedQueries("p152_semantic_packing")._2(s, d, _ => ())),
     // PMI collocation mining (Mikolov et al. 2013 §4): adjacent-bigram
     // phrase candidates ranked by the exact integer PMI ratio
     "p142_collocations" -> ((s, d) =>

@@ -251,6 +251,38 @@ object TextCuration {
       .orderBy("id")
   }
 
+  /** ICLM-style semantic packing (Shi et al. 2023, "In-Context
+    * Pretraining": training sequences read better when RELATED documents
+    * are packed adjacently instead of shuffled): documents are packed
+    * into `budgetTokens` bins WITHIN their semantic cell — `cells` is any
+    * (vec_id, cell) assignment, e.g. the trained quantizer over hashed
+    * text embeddings (p121 → p50's trainer) — in id order, so each bin
+    * holds same-cell, i.e. semantically related, documents. `bin` is
+    * cell-scoped: (cell, bin) identifies a packed sequence.
+    *
+    * Scale shape: token counts are row-local; one id-keyed equi-join
+    * attaches cells; the prefix-sum window partitions by CELL, so
+    * per-partition work is bounded by cell population (the SemDeDup
+    * bound — a production cut for degenerate giant cells is
+    * [[sequencePacking]]'s range-bucket refinement applied per cell).
+    * Output: (doc_id, cell, n_tokens, cum_cell_tokens, bin). */
+  def semanticPacking(df: DataFrame, idCol: String, textCol: String,
+                      cells: DataFrame, budgetTokens: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0,
+      s"semanticPacking: budgetTokens must be positive, got $budgetTokens")
+    val n = df.select(col(idCol).cast("long").as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val c = cells.select(col("vec_id").cast("long").as("doc_id"), col("cell"))
+    val w = Window.partitionBy("cell").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n.join(c, "doc_id")
+      .withColumn("cum_cell_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("cell"), col("n_tokens"), col("cum_cell_tokens"),
+        expr(s"(cum_cell_tokens - n_tokens) div $budgetTokens").as("bin"))
+      .orderBy("doc_id")
+  }
+
   /** Token-balanced shard assignment — the export-planning step before a
     * training corpus is written: documents (in id order) are cut into
     * `nShards` CONTIGUOUS shards of ~equal token mass,

@@ -323,6 +323,33 @@ class TextCurationSpec extends SparkSpec {
     out.filter(col("maybe_seen") && !col("is_seen")).count() should be > 0L
   }
 
+  "semanticPacking" should "restart the token prefix sum and bin cut per cell" in {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c"), (1L, "d e"), (2L, "f g h i"), (3L, "j k l m n o")
+    ).toDF("doc_id", "text")
+    // docs 0,1,3 share a cell; doc 2 is alone — its cum must restart
+    val cells = Seq((0L, 7L), (1L, 7L), (2L, 9L), (3L, 7L))
+      .toDF("vec_id", "cell")
+    val out = TextCuration.semanticPacking(docs, "doc_id", "text", cells,
+        budgetTokens = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    out.toSeq shouldBe Seq(
+      (0L, 7L, 3L, 3L, 0L),  // starts at offset 0 -> bin 0
+      (1L, 7L, 2L, 5L, 0L),  // starts at offset 3 < 4 -> still bin 0
+      (2L, 9L, 4L, 4L, 0L),  // own cell: prefix sum restarted
+      (3L, 7L, 6L, 11L, 1L)) // starts at offset 5 -> bin 1
+  }
+
+  it should "reject a non-positive budget" in {
+    import spark.implicits._
+    val docs = Seq((0L, "a")).toDF("doc_id", "text")
+    val cells = Seq((0L, 0L)).toDF("vec_id", "cell")
+    an[IllegalArgumentException] should be thrownBy
+      TextCuration.semanticPacking(docs, "doc_id", "text", cells, budgetTokens = 0L)
+  }
+
   "groupAwareSplit" should "keep every duplicate group in one split and leave singletons on their hashSplit row" in {
     import spark.implicits._
     val docs = Seq(
