@@ -261,23 +261,44 @@ object TextCuration {
     * cell-scoped: (cell, bin) identifies a packed sequence.
     *
     * Scale shape: token counts are row-local; one id-keyed equi-join
-    * attaches cells; the prefix-sum window partitions by CELL, so
-    * per-partition work is bounded by cell population (the SemDeDup
-    * bound — a production cut for degenerate giant cells is
-    * [[sequencePacking]]'s range-bucket refinement applied per cell).
-    * Output: (doc_id, cell, n_tokens, cum_cell_tokens, bin). */
+    * attaches cells; the per-cell prefix sum is the house TWO-LEVEL
+    * decomposition ([[sequencePacking]]'s range-bucket refinement,
+    * keyed by cell): docs bucket into `numRanges` global id ranges, the
+    * (cell, bucket) TOTALS frame (≤ cells·numRanges rows) gets per-cell
+    * bucket offsets via a window whose partitions hold ≤ numRanges rows,
+    * and the running sum window partitions by (cell, bucket) — so even a
+    * DEGENERATE quantizer that collapses the corpus into one giant cell
+    * cannot funnel a window partition beyond corpus/numRanges rows.
+    * No driver collect anywhere. Output: (doc_id, cell, n_tokens,
+    * cum_cell_tokens, bin). */
   def semanticPacking(df: DataFrame, idCol: String, textCol: String,
-                      cells: DataFrame, budgetTokens: Long = 512L): DataFrame = {
+                      cells: DataFrame, budgetTokens: Long = 512L,
+                      numRanges: Int = graft.ops.Adaptive.Auto): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetTokens > 0,
       s"semanticPacking: budgetTokens must be positive, got $budgetTokens")
     val n = df.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("n_tokens"))
     val c = cells.select(col("vec_id").cast("long").as("doc_id"), col("cell"))
-    val w = Window.partitionBy("cell").orderBy("doc_id")
+    val b = n.agg(min(col("doc_id")), max(col("doc_id")), count(lit(1))).head()
+    val (lo, span) =
+      if (b.isNullAt(0)) (0L, 1L) else (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+    val nR = math.min(span,
+      graft.ops.Adaptive.resolveRanges(numRanges, b.getLong(2)).toLong)
+    val bucketed = n.join(c, "doc_id")
+      .withColumn("__b", expr(s"((doc_id - $lo) * $nR) div $span"))
+    // per-(cell, bucket) totals -> per-cell bucket offsets: the window
+    // runs over the TOTALS frame, ≤ numRanges rows per cell partition
+    val wOff = Window.partitionBy("cell").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("cell", "__b")
+      .agg(sum(col("n_tokens")).as("__s"))
+      .withColumn("__off", coalesce(sum(col("__s")).over(wOff), lit(0L)))
+      .select(col("cell"), col("__b"), col("__off"))
+    val wRun = Window.partitionBy("cell", "__b").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    n.join(c, "doc_id")
-      .withColumn("cum_cell_tokens", sum(col("n_tokens")).over(w))
+    bucketed.join(offsets, Seq("cell", "__b"))
+      .withColumn("cum_cell_tokens", sum(col("n_tokens")).over(wRun) + col("__off"))
       .select(col("doc_id"), col("cell"), col("n_tokens"), col("cum_cell_tokens"),
         expr(s"(cum_cell_tokens - n_tokens) div $budgetTokens").as("bin"))
       .orderBy("doc_id")

@@ -350,6 +350,26 @@ class TextCurationSpec extends SparkSpec {
       TextCuration.semanticPacking(docs, "doc_id", "text", cells, budgetTokens = 0L)
   }
 
+  it should "survive a degenerate one-cell quantizer via the bucketed prefix sum" in {
+    // the two-level decomposition's reason to exist: a quantizer that
+    // collapses every doc into ONE cell must not funnel a single window
+    // partition — force many id-range buckets and pin the output against
+    // the plain per-cell running sum
+    import spark.implicits._
+    val docs = (0L until 64L).map(i => (i, ("w " * (i % 5 + 1).toInt).trim)).toDF("doc_id", "text")
+    val cells = (0L until 64L).map(i => (i, 0L)).toDF("vec_id", "cell")
+    val out = TextCuration.semanticPacking(docs, "doc_id", "text", cells,
+        budgetTokens = 7L, numRanges = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    var cum = 0L
+    val expected = (0L until 64L).map { i =>
+      val n = i % 5 + 1
+      cum += n
+      (i, cum, (cum - n) / 7L)
+    }
+    out.toSeq shouldBe expected
+  }
+
   "groupAwareSplit" should "keep every duplicate group in one split and leave singletons on their hashSplit row" in {
     import spark.implicits._
     val docs = Seq(
