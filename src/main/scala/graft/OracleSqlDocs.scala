@@ -2799,6 +2799,49 @@ object OracleSqlDocs {
          |  sqrt_tokens / denom AS weight_share
          |FROM sq CROSS JOIN dn ORDER BY key""".stripMargin,
 
+    // UniMax epoch-capped allocation (p155): water-filling closed form —
+    // keys ascending by cap mass, capped iff cap·(C−rn+1) ≤ B − cum_prev
+    // (all integer), uncapped share is ONE double division.
+    "p155_unimax_alloc" ->
+      s"""WITH c AS (
+         |  SELECT lang AS key, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split(${norm("text")}, ' '))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY lang
+         |), b AS (
+         |  SELECT CAST((sum(n_tokens) * 3) // 2 AS BIGINT) AS bud FROM c
+         |), w AS (
+         |  SELECT key, n_docs, n_tokens,
+         |    CAST(n_tokens * 2 AS BIGINT) AS cap_tokens,
+         |    CAST(row_number() OVER (ORDER BY n_tokens * 2, key) AS BIGINT)
+         |      AS rn,
+         |    CAST(sum(n_tokens * 2) OVER (ORDER BY n_tokens * 2, key
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(count(*) OVER () AS BIGINT) AS cc
+         |  FROM c
+         |), f AS (
+         |  SELECT w.*, bud,
+         |    cap_tokens * (cc - rn + 1) <= bud - (cum - cap_tokens) AS capped
+         |  FROM w CROSS JOIN b
+         |), g AS (
+         |  SELECT *,
+         |    CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT)
+         |      AS k,
+         |    CAST(sum(CASE WHEN capped THEN cap_tokens ELSE 0 END) OVER ()
+         |      AS BIGINT) AS cmass
+         |  FROM f
+         |), a AS (
+         |  SELECT key, n_docs, n_tokens, cap_tokens, capped,
+         |    CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+         |         ELSE CAST(bud - cmass AS DOUBLE) / (cc - k) END
+         |      AS alloc_tokens
+         |  FROM g
+         |)
+         |SELECT key, n_docs, n_tokens, cap_tokens, capped, alloc_tokens,
+         |  CASE WHEN n_tokens > 0 THEN alloc_tokens / n_tokens
+         |       ELSE 0.0 END AS n_epochs
+         |FROM a ORDER BY key""".stripMargin,
+
     // KMV bottom-k quantile-sketch twin of Sketches.kmvQuantiles: same
     // hash-priority sample (pr ASC, id ASC — the negated-heap order),
     // lower discrete quantile of the sample at rank max(1, ceil(q·k)),

@@ -963,6 +963,18 @@ object DocAnalytics {
     // rounded so the shares verify bit-exactly, unlike pow/log configs
     "p120_mixture_weights" -> ((s, d) =>
       TextCuration.mixtureWeights(docs(s, d), "doc_id", "lang", "text")),
+    // UniMax epoch-capped budget allocation (p120's allocation half):
+    // budget = 1.5× corpus mass at a 2-epoch cap — chosen so the cap
+    // BITES with variance at both scales (the four smaller languages cap,
+    // en takes the re-split remainder). The 1-row mass aggregate is the
+    // house bounds-collect pattern.
+    "p155_unimax_alloc" -> ((s, d) => {
+      val ds = docs(s, d)
+      val total = ds.agg(sum(org.apache.spark.sql.functions.size(
+        graft.functions.TextPrims.tokens(col("text")))).cast("long")).head().getLong(0)
+      TextCuration.unimaxAllocation(ds, "doc_id", "lang", "text",
+        budgetTokens = total * 3 / 2, maxEpochs = 2L)
+    }),
     // mixture sampling keyed by the TRAINED lang-id prediction — the
     // trained-config variant of p96 (heuristic) / p97 (metadata)
     "p116_mixture_trained" -> ((s, d) => {

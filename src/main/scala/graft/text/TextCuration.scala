@@ -481,6 +481,63 @@ object TextCuration {
       .orderBy("key")
   }
 
+  /** UniMax budget allocation (Chung et al. 2023 "UniMax: Fairer and More
+    * Effective Language Sampling", Algorithm 1 — the allocation half that
+    * p120's temperature weights approximate): split a total training-token
+    * budget over languages so every language receives an EQUAL share,
+    * except those whose share would exceed `maxEpochs` passes over their
+    * own data — those cap at maxEpochs·mass and the freed budget re-splits
+    * among the rest (water-filling). The paper's sequential smallest-first
+    * loop has a closed form this rides instead: with keys ascending by cap
+    * mass, capped-ness is prefix-monotone (once a key overflows its equal
+    * share, every larger key does too), so key i is capped iff
+    * `cap_i·(C−i+1) ≤ B − cumcap_{i−1}` — all exact integer arithmetic —
+    * and each uncapped key receives `(B − Σ_capped cap_j)/(C−k)`, ONE
+    * double division of exact integers, bit-equal on both engines;
+    * `n_epochs` is the follow-on alloc/mass division.
+    *
+    * Scale shape: one partial-aggregable (key, counts) rollup — C rows —
+    * then unpartitioned windows over those C rows (the post-aggregation
+    * one-partition pattern [[mixtureWeights]] uses). Long bounds: with
+    * corpus mass ≤ 2⁴⁵ tokens (~100 TB of text), cap·C stays far under
+    * 2⁶³ for any sane key cardinality. Output: (key, n_docs, n_tokens,
+    * cap_tokens, capped, alloc_tokens, n_epochs) by key. */
+  def unimaxAllocation(df: DataFrame, idCol: String, keyCol: String,
+                       textCol: String, budgetTokens: Long,
+                       maxEpochs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens >= 0, s"unimaxAllocation: budgetTokens must be >= 0")
+    require(maxEpochs >= 1, s"unimaxAllocation: maxEpochs must be >= 1")
+    val perKey = df
+      .select(col(keyCol).as("key"),
+        size(tokens(col(textCol))).cast("long").as("n_tok"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * maxEpochs)
+    val asc = Window.orderBy(col("cap_tokens"), col("key"))
+    val all = Window.partitionBy()
+    perKey
+      .withColumn("__rn", row_number().over(asc))
+      .withColumn("__cum", sum(col("cap_tokens"))
+        .over(asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__c", count(lit(1)).over(all))
+      .withColumn("capped",
+        col("cap_tokens") * (col("__c") - col("__rn") + 1) <=
+          lit(budgetTokens) - (col("__cum") - col("cap_tokens")))
+      .withColumn("__k", sum(col("capped").cast("long")).over(all))
+      .withColumn("__cmass",
+        sum(when(col("capped"), col("cap_tokens")).otherwise(0L)).over(all))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap_tokens").cast("double"))
+          .otherwise((lit(budgetTokens) - col("__cmass")).cast("double") /
+            (col("__c") - col("__k"))))
+      .select(col("key"), col("n_docs"), col("n_tokens"), col("cap_tokens"),
+        col("capped"), col("alloc_tokens"),
+        when(col("n_tokens") > 0, col("alloc_tokens") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("n_epochs"))
+      .orderBy("key")
+  }
+
   def tokenBudgetSample(rows: DataFrame, idCol: String, keyCol: String,
                         weightCol: String, budget: Long,
                         numRanges: Int = graft.ops.Adaptive.Auto): DataFrame = {

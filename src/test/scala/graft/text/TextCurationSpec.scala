@@ -370,6 +370,43 @@ class TextCurationSpec extends SparkSpec {
     out.toSeq shouldBe expected
   }
 
+  "unimaxAllocation" should "cap small keys and water-fill the rest (hand-computed)" in {
+    import spark.implicits._
+    // masses 10 / 20 / 100 tokens, cap 2 epochs, budget 150:
+    // ascending caps (20, 40, 200) -> a capped (20*3=60<=150), b capped
+    // (40*2=80<=130), c uncapped -> gets 150-60=90 -> 0.9 epochs
+    val docs = Seq(
+      (0L, ("x " * 10).trim, "a"), (1L, ("x " * 20).trim, "b"),
+      (2L, ("x " * 100).trim, "c")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextCuration.unimaxAllocation(docs, "doc_id", "lang", "text",
+        budgetTokens = 150L, maxEpochs = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getBoolean(4),
+        r.getDouble(5), r.getDouble(6)))
+    out.toSeq shouldBe Seq(
+      ("a", 20L, true, 20.0, 2.0),
+      ("b", 40L, true, 40.0, 2.0),
+      ("c", 200L, false, 90.0, 0.9))
+  }
+
+  it should "cap everything when the budget exceeds total cap mass, cap nothing when equal shares fit all" in {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, ("x " * 10).trim, "a"), (1L, ("x " * 20).trim, "b"),
+      (2L, ("x " * 100).trim, "c")
+    ).toDF("doc_id", "text", "lang")
+    val allCapped = TextCuration.unimaxAllocation(docs, "doc_id", "lang",
+        "text", budgetTokens = 400L, maxEpochs = 2L)
+      .collect().map(r => (r.getBoolean(4), r.getDouble(5)))
+    allCapped.toSeq shouldBe Seq((true, 20.0), (true, 40.0), (true, 200.0))
+    // budget 30: smallest cap 20*3=60 > 30 -> nothing capped, 10 each
+    val noneCapped = TextCuration.unimaxAllocation(docs, "doc_id", "lang",
+        "text", budgetTokens = 30L, maxEpochs = 2L)
+      .collect().map(r => (r.getBoolean(4), r.getDouble(5), r.getDouble(6)))
+    noneCapped.toSeq shouldBe Seq(
+      (false, 10.0, 1.0), (false, 10.0, 0.5), (false, 10.0, 0.1))
+  }
+
   "groupAwareSplit" should "keep every duplicate group in one split and leave singletons on their hashSplit row" in {
     import spark.implicits._
     val docs = Seq(
