@@ -3069,6 +3069,25 @@ object OracleSqlDocs {
          |  sum(hit) >= 1 AS is_contaminated
          |FROM j GROUP BY id ORDER BY id""".stripMargin),
 
+    // eval-set dirtiness (p153): p42 flipped — per benchmark example,
+    // its distinct grams found anywhere in the corpus
+    "p153_eval_dirtiness" -> (gramCtes(5) +
+      s""",
+         |bench AS (SELECT id, unnest(g) AS g FROM gr WHERE id < 25),
+         |hits AS (
+         |  SELECT DISTINCT c.g
+         |  FROM (SELECT unnest(g) AS g FROM gr WHERE id >= 25) c
+         |  JOIN (SELECT DISTINCT g FROM bench) b ON c.g = b.g
+         |),
+         |j AS (
+         |  SELECT bench.id, CASE WHEN hits.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM bench LEFT JOIN hits ON bench.g = hits.g
+         |)
+         |SELECT id, count(*) AS n_grams, CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE)/count(*) AS dirtiness_ratio,
+         |  sum(hit) >= 1 AS is_dirty
+         |FROM j GROUP BY id ORDER BY id""".stripMargin),
+
     "p43_hash_sample" ->
       s"""WITH n AS (SELECT doc_id AS id, ${norm("text")} AS nrm FROM documents),
          |b AS (SELECT id, ${hash("nrm")} * 48271 % $P % 100 AS sample_key FROM n)

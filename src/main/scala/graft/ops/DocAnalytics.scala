@@ -1045,6 +1045,15 @@ object DocAnalytics {
         all.filter(col("doc_id") >= 25), all.filter(col("doc_id") < 25),
         "doc_id", "text")
     }),
+    // p42's direction flip: per benchmark EXAMPLE (doc_id < 25), how much
+    // of it leaks from the training corpus — the clean/dirty eval audit;
+    // the corpus side is a broadcast semi-probe, it never shuffles
+    "p153_eval_dirtiness" -> ((s, d) => {
+      val all = docs(s, d)
+      TextCuration.evalDirtiness(
+        all.filter(col("doc_id") >= 25), all.filter(col("doc_id") < 25),
+        "doc_id", "text")
+    }),
     // p42's scrubbing counterpart: REMOVE the contaminated spans (doc_id
     // < 25 again stands in as the held-out benchmark) instead of flagging
     // the documents that carry them

@@ -714,18 +714,22 @@ object TextCuration {
       .orderBy("id")
   }
 
+  /** (id, g) distinct hashed word `k`-grams of a document frame — the
+    * shared gram projection of [[contamination]] / [[evalDirtiness]]. */
+  private def docGrams(df: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame =
+    Barrier.once(
+      Barrier.once(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
+        "th" -> transform(tokens(col("__t")), charHash _)),
+      Seq("id"), "g" -> hashedShinglesFromTokenHashes(col("th"), k))
+
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, k: Int = 5,
                     minHits: Int = 1): DataFrame = {
-    def grams(df: DataFrame): DataFrame =
-      Barrier.once(
-        Barrier.once(
-          df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
-          "th" -> transform(tokens(col("__t")), charHash _)),
-        Seq("id"), "g" -> hashedShinglesFromTokenHashes(col("th"), k))
-    val corpusGrams = grams(corpus)
+    val corpusGrams = docGrams(corpus, idCol, textCol, k)
       .select(col("id"), explode(col("g")).as("g"))
-    val benchGrams = grams(benchmark)
+    val benchGrams = docGrams(benchmark, idCol, textCol, k)
       .select(explode(col("g")).as("g")).distinct()
       .select(col("g"), lit(1L).as("__hit"))
     corpusGrams.join(benchGrams, Seq("g"), "left")
@@ -734,6 +738,44 @@ object TextCuration {
       .select(col("id"), col("n_grams"), col("n_hits"),
         (col("n_hits").cast("double") / col("n_grams")).as("contamination_ratio"),
         (col("n_hits") >= minHits).as("is_contaminated"))
+      .orderBy("id")
+  }
+
+  /** Eval-set dirtiness report — the DIRECTION FLIP of [[contamination]]
+    * (GPT-3 Appendix C / PaLM App. C "clean vs dirty eval" methodology):
+    * per benchmark EXAMPLE, how many of its distinct hashed word
+    * `k`-grams appear anywhere in the training corpus. p42 answers
+    * "which corpus docs carry benchmark text" (and [[graft.text.TextDedup.spanScrub]]
+    * removes it); this answers "which eval examples are compromised
+    * ANYWAY" — the audit that decides whether to report metrics on
+    * clean/dirty eval subsets after training has already happened.
+    *
+    * Scale shape — the flip is what makes it cheap at 100 TB: the
+    * benchmark gram vocabulary is tiny by charter, so it broadcasts into
+    * the corpus scan as a left-SEMI probe; only matched grams (≤ the
+    * benchmark vocabulary) leave the scan, collapse to a distinct hit
+    * set, and broadcast back onto the benchmark's (id, gram) frame. The
+    * corpus never shuffles and no corpus-wide distinct-gram table is
+    * built (the naive shape — a full-corpus exchange — is exactly what
+    * this avoids). Examples shorter than `k` tokens carry no gram and
+    * drop from the report (the p42 convention). Output: (id, n_grams,
+    * n_hits, dirtiness_ratio, is_dirty) by id. */
+  def evalDirtiness(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, k: Int = 5,
+                    minHits: Int = 1): DataFrame = {
+    val benchGrams = docGrams(benchmark, idCol, textCol, k)
+      .select(col("id"), explode(col("g")).as("g"))
+    val hitGrams = docGrams(corpus, idCol, textCol, k)
+      .select(explode(col("g")).as("g"))
+      .join(broadcast(benchGrams.select("g").distinct()), Seq("g"), "left_semi")
+      .distinct()
+      .select(col("g"), lit(1L).as("__hit"))
+    benchGrams.join(broadcast(hitGrams), Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col("id"), col("n_grams"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_grams")).as("dirtiness_ratio"),
+        (col("n_hits") >= minHits).as("is_dirty"))
       .orderBy("id")
   }
 }

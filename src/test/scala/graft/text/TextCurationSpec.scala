@@ -370,6 +370,36 @@ class TextCurationSpec extends SparkSpec {
     out.toSeq shouldBe expected
   }
 
+  "evalDirtiness" should "flag benchmark examples whose grams leak from the corpus" in {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "completely unrelated corpus content filler words here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (0L, "quick brown fox jumps over"),          // its one 5-gram leaks
+      (1L, "zebra yak xylophone wombat vulture emu") // 2 grams, no leak
+    ).toDF("doc_id", "text")
+    val out = TextCuration.evalDirtiness(corpus, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    out.toSeq shouldBe Seq(
+      (0L, 1L, 1L, 1.0, true),
+      (1L, 2L, 0L, 0.0, false))
+  }
+
+  it should "probe the corpus through broadcast joins (the corpus never shuffles)" in {
+    import spark.implicits._
+    val corpus = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val bench = Seq((0L, "b c d e f")).toDF("doc_id", "text")
+    val plan = TextCuration.evalDirtiness(corpus, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    // the corpus-side probe must be the SEMI join, not an equi-join that
+    // would hold corpus grams past the filter
+    plan should include("LeftSemi")
+  }
+
   "unimaxAllocation" should "cap small keys and water-fill the rest (hand-computed)" in {
     import spark.implicits._
     // masses 10 / 20 / 100 tokens, cap 2 epochs, budget 150:
