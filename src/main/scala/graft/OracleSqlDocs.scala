@@ -2524,6 +2524,32 @@ object OracleSqlDocs {
          |  (cum_cell_tokens - n_tokens) // 512 AS bin
          |FROM w ORDER BY doc_id""".stripMargin),
 
+    // c-TF-IDF cluster labels (p154): the p152 hashed-embedding + trained
+    // cell chain, then p143's rational-idf rank at CELL granularity
+    "p154_cell_topterms" -> (hashedEmbCte +
+      s""",
+         |cents AS (SELECT cent_id AS cid, ce FROM read_parquet(
+         |  '${graft.ops.DocAnalytics.P154CentroidsPath}/*.parquet')),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cos("e", "ce")} DESC, cid) AS rn
+         |  FROM v CROSS JOIN cents) WHERE rn = 1),
+         |tok AS (SELECT a.cell, unnest(t.t) AS w
+         |        FROM toks t JOIN asg a ON a.vec_id = t.id),
+         |tf AS (SELECT cell, w, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY 1, 2),
+         |cfr AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM tf GROUP BY 1),
+         |nc AS (SELECT CAST(count(DISTINCT cell) AS BIGINT) AS n_cells FROM tf),
+         |scored AS (
+         |  SELECT cell, w, tf, cf,
+         |    CAST(tf AS DOUBLE) * n_cells / cf AS ctfidf,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY CAST(tf AS DOUBLE) * n_cells / cf DESC, w) AS rnk
+         |  FROM tf JOIN cfr USING (w), nc
+         |)
+         |SELECT cell, CAST(rnk AS INT) AS rank, w AS term, tf, cf, ctfidf
+         |FROM scored WHERE rnk <= 3 ORDER BY cell, rank""".stripMargin),
+
     // quantizer assignment churn (p151): the p147 flat cosine argmax
     // replayed against BOTH persisted quantizers; moved is their
     // disagreement. Ties toward the smaller cent_id, the cellOf

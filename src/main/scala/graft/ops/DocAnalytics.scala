@@ -142,6 +142,9 @@ object DocAnalytics {
   /** p152's quantizer over hashed text embeddings (semantic packing). */
   def P152CentroidsPath: String = s"$oracleArtifactDir/p152_centroids"
 
+  /** p154's quantizer over hashed text embeddings (c-TF-IDF labels). */
+  def P154CentroidsPath: String = s"$oracleArtifactDir/p154_centroids"
+
   def oracleArtifactPaths: Seq[String] =
     Seq(P50CentroidsPath, P103CentroidsPath, P105CodebooksPath,
       P106CodebooksPath, P109CodebooksPath, P110CodebooksPath,
@@ -151,7 +154,8 @@ object DocAnalytics {
       P128CodebooksPath, P128IndexPath,
       P129CodebooksPath, P130CodebooksPath, P140MergesPath,
       P144MergesPath, P145MergesPath, P146MergesPath, P147CentroidsPath,
-      P151OldCentroidsPath, P151NewCentroidsPath, P152CentroidsPath)
+      P151OldCentroidsPath, P151NewCentroidsPath, P152CentroidsPath,
+      P154CentroidsPath)
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -285,6 +289,19 @@ object DocAnalytics {
       val cells = Similarity.assignCells(he, "vec_id", "e", cents)
         .select("vec_id", "cell")
       TextCuration.semanticPacking(ds, "doc_id", "text", cells)
+    }),
+    // c-TF-IDF cluster labels (BERTopic's labeling step): trained cells
+    // over hashed text embeddings (the p152 chain), then the top-3
+    // characteristic terms per cell under the rational cell-idf surrogate
+    "p154_cell_topterms" -> ("label", (s, d, onPhase) => {
+      val ds = docs(s, d)
+      val he = TextStats.hashedEmbedding(ds, "doc_id", "text")
+      val cents = Similarity.trainIvfCentroids(he, "vec_id", "e")
+      persistCentroids(s, cents, P154CentroidsPath)
+      onPhase("train")
+      val cells = Similarity.assignCells(he, "vec_id", "e", cents)
+        .select("vec_id", "cell")
+      TextStats.cellTopTerms(ds, "doc_id", "text", cells)
     }),
     // quantizer assignment-churn audit: cell under yesterday's quantizer
     // (trained on the even-id half, the snapshot-growth simulation) vs
@@ -931,6 +948,8 @@ object DocAnalytics {
       phasedQueries("p151_quantizer_churn")._2(s, d, _ => ())),
     "p152_semantic_packing" -> ((s, d) =>
       phasedQueries("p152_semantic_packing")._2(s, d, _ => ())),
+    "p154_cell_topterms" -> ((s, d) =>
+      phasedQueries("p154_cell_topterms")._2(s, d, _ => ())),
     // PMI collocation mining (Mikolov et al. 2013 §4): adjacent-bigram
     // phrase candidates ranked by the exact integer PMI ratio
     "p142_collocations" -> ((s, d) =>

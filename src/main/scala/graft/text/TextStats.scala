@@ -681,6 +681,46 @@ object TextStats {
       .orderBy("doc_id", "rank")
   }
 
+  /** c-TF-IDF cluster labeling (Grootendorst 2022 "BERTopic" §2.3 —
+    * the topic-labeling step after clustering): per CELL of a trained
+    * quantizer, the top-`k` characteristic terms, treating each cell's
+    * concatenated documents as ONE class document. Class term frequency
+    * `tf` is the term's occurrence count inside the cell; the idf
+    * surrogate is [[tfidfKeywords]]'s rational form at cell granularity,
+    * `tf·C/cf` with `cf` = number of cells containing the term and `C` =
+    * number of non-empty cells — one double division of exact integers,
+    * bit-equal on both engines; ties break by term for a total order.
+    *
+    * Scale shape: cells attach via ONE id-keyed equi-join BEFORE the
+    * token explode (the exchange carries text rows, not token rows);
+    * the (cell, term) rollup partial-aggregates map-side; `cf` and `C`
+    * re-aggregate the TF table (per-cell vocabulary scale, not corpus
+    * scale); the rank window partitions by cell over that same TF
+    * table, so no partition exceeds a cell's vocabulary. Output:
+    * (cell, rank, term, tf, cf, ctfidf) by (cell, rank). */
+  def cellTopTerms(df: DataFrame, idCol: String, textCol: String,
+                   cells: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"cellTopTerms: k must be positive, got $k")
+    val withCell = df
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .join(cells.select(col("vec_id").cast("long").as("doc_id"), col("cell")),
+        "doc_id")
+      .select(col("cell"), explode(tokens(col("__t"))).as("w"))
+    val tf = withCell.groupBy("cell", "w").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("w").agg(count(lit(1)).as("cf"))
+    val nc = tf.select("cell").distinct().agg(count(lit(1)).as("n_cells"))
+    tf.join(cf, "w").crossJoin(broadcast(nc))
+      .withColumn("ctfidf",
+        col("tf").cast("double") * col("n_cells") / col("cf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("cell").orderBy(col("ctfidf").desc, col("w"))))
+      .filter(col("rank") <= k)
+      .select(col("cell"), col("rank"), col("w").as("term"),
+        col("tf"), col("cf"), col("ctfidf"))
+      .orderBy("cell", "rank")
+  }
+
   /** Heaps'-law vocabulary growth curve (Heaps 1978; the standard
     * corpus-size diagnostic: distinct types V(n) vs running tokens n —
     * a corpus whose curve flattens early is repetitive/duplicated, one

@@ -115,4 +115,60 @@ class KeywordMiningSpec extends SparkSpec {
       .toSeq
     got shouldBe refKeywords(docs, 3)
   }
+
+  // --- cellTopTerms (c-TF-IDF labels) ---
+
+  /** Sequential c-TF-IDF reference: per cell, top-k terms by tf·C/cf. */
+  private def refCellTerms(docs: Seq[(Long, String)], cells: Map[Long, Long],
+                           k: Int): Seq[(Long, Int, String, Long, Long, Double)] = {
+    val tf = docs.flatMap { case (id, t) =>
+        norm(t).split(" ").map(w => (cells(id), w)) }
+      .groupBy(identity).map { case (key, v) => key -> v.size.toLong }
+    val cf = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val nCells = tf.keys.map(_._1).toSet.size.toLong
+    tf.toSeq.map { case ((cell, w), f) =>
+        (cell, w, f, cf(w), f.toDouble * nCells / cf(w)) }
+      .groupBy(_._1).toSeq.flatMap { case (cell, rows) =>
+        rows.sortBy { case (_, w, _, _, s) => (-s, w) }.take(k).zipWithIndex
+          .map { case ((_, w, f, c, s), i) => (cell, i + 1, w, f, c, s) }
+      }.sortBy(r => (r._1, r._2))
+  }
+
+  "cellTopTerms" should "label each cell by its characteristic terms, not shared vocabulary" in {
+    val docs = Seq(
+      0L -> "the market rose and the market fell",
+      1L -> "the traders sold the market short",
+      2L -> "the striker scored and the keeper saved",
+      3L -> "the match ended and the striker cried")
+    val cells = Map(0L -> 10L, 1L -> 10L, 2L -> 20L, 3L -> 20L)
+    val cellsDf = cells.toSeq.toDF("vec_id", "cell")
+    val got = TextStats.cellTopTerms(docs.toDF("doc_id", "text"),
+        "doc_id", "text", cellsDf, k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSeq
+    got shouldBe refCellTerms(docs, cells, 2)
+    // each cell's top term is cell-specific ("market"/"striker"), never
+    // the cross-cell "the"/"and"
+    got.filter(_._2 == 1).map(r => (r._1, r._3)).toSet shouldBe
+      Set((10L, "market"), (20L, "striker"))
+  }
+
+  it should "match the reference on a random clustered corpus" in {
+    val rnd = new scala.util.Random(154)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val docs = (0L until 60L).map(id =>
+      id -> (0 until (3 + rnd.nextInt(12)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val cells = docs.map { case (id, _) => id -> (id % 4) }.toMap
+    val got = TextStats.cellTopTerms(docs.toDF("doc_id", "text"),
+        "doc_id", "text", cells.toSeq.toDF("vec_id", "cell"), k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSeq
+    got shouldBe refCellTerms(docs, cells, 3)
+  }
 }
