@@ -470,3 +470,76 @@ object ContainmentStream {
       }
       .start()
 }
+
+/** Streaming twin of the p153 eval-set dirtiness audit
+  * ([[graft.text.TextCuration.evalDirtiness]]): accumulate, across a
+  * corpus STREAM, the set of frozen-benchmark grams seen so far — the
+  * only cross-batch memory the report needs, and bounded by the
+  * BENCHMARK vocabulary by construction, never by the stream. Per
+  * micro-batch the batch's grams probe the broadcast frozen benchmark
+  * vocabulary (left-semi, so the batch never shuffles) and the NOVEL
+  * hits land as a [[VersionedState]] delta (the SpanDedupStream
+  * contract: replay-safe beforeBatch read, per-batch novelty deltas +
+  * periodic compacts). [[report]] joins the drained hit set back onto
+  * the benchmark gram frame through the exact batch report half
+  * ([[graft.text.TextCuration.dirtinessFrom]] — shared code, so batch
+  * and stream cannot drift), making the drained report equal to batch
+  * evalDirtiness over all rows seen; pinned by the parity test. */
+object EvalDirtinessStream {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  private val hitSchema = StructType(Seq(StructField("g", LongType)))
+
+  private def emptyHits(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], hitSchema)
+
+  /** Frozen benchmark gram frame (id, g) — build once, pass to both
+    * [[attach]] (its distinct g column is the probe vocabulary) and
+    * [[report]], so the two halves see the identical gram rule. */
+  def benchGrams(benchmark: DataFrame, idCol: String, textCol: String,
+                 k: Int = 5): DataFrame =
+    TextCuration.docGrams(benchmark, idCol, textCol, k)
+      .select(col("id"), explode(col("g")).as("g"))
+
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+             benchGramFrame: DataFrame, stateDir: String,
+             checkpointDir: String, k: Int = 5,
+             trigger: Trigger = Trigger.AvailableNow(),
+             compactEvery: Int = 8): StreamingQuery = {
+    // freeze the probe vocabulary ONCE — re-deriving it per batch would
+    // re-run the benchmark gram fold every trigger
+    val vocab = benchGramFrame.select("g").distinct().persist()
+    vocab.count()
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val seen = VersionedState.readSet(spark, stateDir, Some(batchId))
+          .getOrElse(emptyHits(spark))
+        val batchHits = TextCuration.docGrams(batch, idCol, textCol, k)
+          .select(explode(col("g")).as("g"))
+          .join(broadcast(vocab), Seq("g"), "left_semi")
+          .distinct()
+        val novel = batchHits.join(seen, Seq("g"), "left_anti")
+        if (VersionedState.shouldCompact(spark, stateDir, batchId, compactEvery))
+          VersionedState.write(seen.union(novel), stateDir, batchId, compact = true)
+        else
+          VersionedState.write(novel, stateDir, batchId, compact = false)
+        VersionedState.prune(spark, stateDir, batchId)
+      }
+      .start()
+  }
+
+  /** The dirtiness report over the drained hit-set state — the batch
+    * operator's report half verbatim. */
+  def report(spark: SparkSession, stateDir: String,
+             benchGramFrame: DataFrame, minHits: Int = 1): DataFrame =
+    TextCuration.dirtinessFrom(benchGramFrame,
+      VersionedState.readSet(spark, stateDir, None).getOrElse(emptyHits(spark)),
+      minHits)
+}

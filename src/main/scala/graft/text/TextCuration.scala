@@ -715,9 +715,11 @@ object TextCuration {
   }
 
   /** (id, g) distinct hashed word `k`-grams of a document frame — the
-    * shared gram projection of [[contamination]] / [[evalDirtiness]]. */
-  private def docGrams(df: DataFrame, idCol: String, textCol: String,
-                       k: Int): DataFrame =
+    * shared gram projection of [[contamination]] / [[evalDirtiness]] and
+    * the [[graft.streaming.EvalDirtinessStream]] twin (shared so batch
+    * and stream cannot drift on the gram rule). */
+  private[graft] def docGrams(df: DataFrame, idCol: String, textCol: String,
+                              k: Int): DataFrame =
     Barrier.once(
       Barrier.once(
         df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
@@ -769,13 +771,21 @@ object TextCuration {
       .select(explode(col("g")).as("g"))
       .join(broadcast(benchGrams.select("g").distinct()), Seq("g"), "left_semi")
       .distinct()
-      .select(col("g"), lit(1L).as("__hit"))
-    benchGrams.join(broadcast(hitGrams), Seq("g"), "left")
+    dirtinessFrom(benchGrams, hitGrams, minHits)
+  }
+
+  /** The report half of [[evalDirtiness]] over an already-mined hit-gram
+    * set — shared with [[graft.streaming.EvalDirtinessStream]], whose
+    * state IS the hit set accumulated across micro-batches. */
+  private[graft] def dirtinessFrom(benchGrams: DataFrame, hitGrams: DataFrame,
+                                   minHits: Int): DataFrame =
+    benchGrams
+      .join(broadcast(hitGrams.select(col("g"), lit(1L).as("__hit"))),
+        Seq("g"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
       .select(col("id"), col("n_grams"), col("n_hits"),
         (col("n_hits").cast("double") / col("n_grams")).as("dirtiness_ratio"),
         (col("n_hits") >= minHits).as("is_dirty"))
       .orderBy("id")
-  }
 }

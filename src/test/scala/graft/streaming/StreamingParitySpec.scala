@@ -959,6 +959,41 @@ class StreamingParitySpec extends SparkSpec {
     got shouldBe batch.toSeq
   }
 
+  "EvalDirtinessStream" should "drain to exactly the batch evalDirtiness report (p153)" in {
+    val all = graft.sources.Tables.documents(spark, sfDir)
+    val bench = all.filter(col("doc_id") < 25).persist()
+    val corpus = all.filter(col("doc_id") >= 25)
+    val dir = Files.createTempDirectory("graft-dirty-json")
+    val lines = corpus.orderBy("doc_id")
+      .select(to_json(struct(col("doc_id"), col("text"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(math.max(1, lines.length / 5)).zipWithIndex.foreach { case (ls, i) =>
+      val f = dir.resolve(f"docs-$i%03d.json")
+      Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stateDir = Files.createTempDirectory("graft-dirty-state").toString
+    val ckpt = Files.createTempDirectory("graft-dirty-ckpt").toString
+    val bg = EvalDirtinessStream.benchGrams(bench, "doc_id", "text").persist()
+    val q = EvalDirtinessStream.attach(
+      docStream(dir.toString), "doc_id", "text", bg, stateDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = EvalDirtinessStream.report(spark, stateDir, bg)
+      .collect().map(_.toSeq)
+    val batch = graft.text.TextCuration.evalDirtiness(
+        corpus, bench, "doc_id", "text")
+      .collect().map(_.toSeq)
+    bench.unpersist(false); bg.unpersist(false)
+    batch.exists(_(2).asInstanceOf[Long] > 0L) shouldBe true // real leakage found
+    got shouldBe batch.toSeq
+    // the state is bounded by the BENCHMARK vocabulary, never the stream
+    val stateRows = new java.io.File(stateDir).listFiles()
+      .filter(_.isDirectory).map(d => spark.read.parquet(d.getPath).count()).sum
+    val benchVocab = batch.map(_(1).asInstanceOf[Long]).sum
+    stateRows should be <= benchVocab
+  }
+
   "LineDedupStream" should "accumulate exactly the batch lineDedup output across id-ordered micro-batches (p137)" in {
     // multi-line planting: a 30-char prefix line (duplicated wherever
     // prefixes collide, incl. duplicate documents) and one constant line
