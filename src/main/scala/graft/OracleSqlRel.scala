@@ -103,5 +103,50 @@ object OracleSqlRel {
          |  CAST(promo_units AS DOUBLE) / CAST(10000 AS DOUBLE) AS promo_revenue,
          |  CAST(total_units AS DOUBLE) / CAST(10000 AS DOUBLE) AS total_revenue,
          |  CAST(promo_units AS DOUBLE) / CAST(total_units AS DOUBLE) AS promo_share
-         |FROM a""".stripMargin)
+         |FROM a""".stripMargin,
+
+    // Q21-shaped sole-late-supplier (p156): the EXISTS / NOT EXISTS pair
+    // verbatim — DuckDB decorrelates it the same way the Spark side
+    // states it (semi + anti on l_orderkey).
+    "p156_sole_late_suppliers" ->
+      s"""WITH l AS (
+         |  SELECT l_orderkey, l_suppkey,
+         |    l_shipdate > o_orderdate + INTERVAL 365 DAY AS late
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderstatus = 'F'
+         |), l1 AS (SELECT * FROM l WHERE late)
+         |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         |FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+         |WHERE EXISTS (SELECT 1 FROM l l2
+         |        WHERE l2.l_orderkey = l1.l_orderkey
+         |          AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM l1 l3
+         |        WHERE l3.l_orderkey = l1.l_orderkey
+         |          AND l3.l_suppkey <> l1.l_suppkey)
+         |GROUP BY s_name
+         |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    // Q22-shaped dormant high-value customers (p157): scalar positive-
+    // balance average (exact cents, one division) + NOT EXISTS against
+    // the date-pruned orders slice.
+    "p157_dormant_high_value" ->
+      s"""WITH c AS (
+         |  SELECT c_custkey, c_nationkey,
+         |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+         |  FROM customer
+         |), a AS (
+         |  SELECT CAST(sum(bal_cents) AS BIGINT) AS s,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM c WHERE bal_cents > 0
+         |), d AS (
+         |  SELECT c.c_nationkey, c.bal_cents
+         |  FROM c CROSS JOIN a
+         |  WHERE CAST(bal_cents AS DOUBLE) > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+         |    AND NOT EXISTS (SELECT 1 FROM orders o
+         |          WHERE o.o_custkey = c.c_custkey
+         |            AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+         |)
+         |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+         |  CAST(sum(bal_cents) AS DOUBLE) / CAST(100 AS DOUBLE) AS total_acctbal
+         |FROM d GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
 }

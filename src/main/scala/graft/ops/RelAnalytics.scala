@@ -193,11 +193,78 @@ object RelAnalytics {
       .orderBy("plate")
   }
 
+  /** p156 — Q21-shaped: suppliers who were the SOLE late supplier on a
+    * finished multi-supplier order ("late" = shipped > 365 days after the
+    * order date — the schema's delivery-commitment proxy). The classic
+    * correlated EXISTS / NOT EXISTS pair, stated as the fact-scale
+    * LEFT SEMI + LEFT ANTI self-joins Catalyst decorrelates it into:
+    * all three legs (candidates, the co-supplier probe, the co-late
+    * probe) shuffle ONCE on l_orderkey and stay co-partitioned, the
+    * different-supplier predicate rides the joins as a residual
+    * condition, and the supplier NAME dimension joins after the
+    * per-supplier rollup (C rows, size-based broadcast). numwait counts
+    * candidate ROWS, the Q21 convention. */
+  def soleLateSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS"))
+          .as("late"))
+    val l1 = l.filter(col("late"))
+    val others = l.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val lateOthers = l1.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    l1.join(others,
+        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+        "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),
+        "left_anti")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(10)
+  }
+
+  /** p157 — Q22-shaped: high-balance customers gone DORMANT (no order
+    * since the cutoff), per nation — the scalar-subquery-filter + anti
+    * join decorrelation showcase. The positive-balance average is a
+    * 1-row broadcast (sum/count in exact integer cents, ONE double
+    * division); dormancy is a LEFT ANTI against the date-pruned orders
+    * scan (the predicate pushes to parquet, so the anti join probes only
+    * the post-cutoff slice); the per-nation rollup sums exact cents. */
+  def dormantHighValue(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2000-06-01").cast("timestamp")
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey"), col("c_nationkey"), cents(col("c_acctbal")).as("bal_cents"))
+    val avgRow = c.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("s"), count(lit(1)).as("n"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= cutoff).select("o_custkey")
+    c.crossJoin(broadcast(avgRow))
+      .filter(col("bal_cents").cast("double") >
+        col("s").cast("double") / col("n").cast("double"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_custs"), sum(col("bal_cents")).as("bal_sum"))
+      .select(col("c_nationkey"), col("n_custs"),
+        (col("bal_sum").cast("double") / lit(100.0)).as("total_acctbal"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p68_pricing_summary" -> (pricingSummary _),
     "p69_top_orders" -> (topOrders _),
     "p70_nation_revenue" -> (nationRevenue _),
     "p71_promo_share" -> (promoShare _),
     "p74_small_qty_revenue" -> (smallQuantityRevenue _),
-    "p75_entry_exit_reconciliation" -> (entryExitReconciliation _))
+    "p75_entry_exit_reconciliation" -> (entryExitReconciliation _),
+    "p156_sole_late_suppliers" -> (soleLateSuppliers _),
+    "p157_dormant_high_value" -> (dormantHighValue _))
 }

@@ -61,6 +61,37 @@ class PlanLockSpec extends SparkSpec {
     } shouldBe 0
   }
 
+  "soleLateSuppliers (p156)" should "plan the EXISTS/NOT EXISTS as equi semi/anti joins, never a theta join" in {
+    import org.apache.spark.sql.catalyst.plans.{LeftSemi, LeftAnti}
+    val nodes = executedNodes(RelAnalytics.soleLateSuppliers(spark, sfDir))
+    // the different-supplier predicate must ride the l_orderkey equi-join
+    // as a residual condition, not force a nested-loop
+    nodes.count {
+      case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    } shouldBe 0
+    val joinTypes = nodes.collect {
+      case j: SortMergeJoinExec => j.joinType
+      case j: BroadcastHashJoinExec => j.joinType
+    }
+    joinTypes.count(_ == LeftSemi) should be >= 1
+    joinTypes.count(_ == LeftAnti) should be >= 1
+  }
+
+  "dormantHighValue (p157)" should "push the dormancy cutoff to the orders scan and anti-join it" in {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val df = RelAnalytics.dormantHighValue(spark, sfDir)
+    val nodes = executedNodes(df)
+    nodes.collect {
+      case j: SortMergeJoinExec => j.joinType
+      case j: BroadcastHashJoinExec => j.joinType
+    }.count(_ == LeftAnti) should be >= 1
+    // the date filter reaches parquet: the orders scan is pruned before
+    // the anti join probes it
+    df.queryExecution.executedPlan.toString should
+      include("GreaterThanOrEqual(o_orderdate")
+  }
+
   "contamination (p42)" should "broadcast the benchmark gram vocabulary" in {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val nodes = executedNodes(graft.text.TextCuration.contamination(
