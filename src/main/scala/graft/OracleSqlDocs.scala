@@ -1955,6 +1955,36 @@ object OracleSqlDocs {
     // TextDedup.ngramJaccardPairs(maxShingleDf = 4), where the cap filters
     // the exploded index only and jaccard is a lower bound.
     "p15b_ngram_jaccard_capped" -> ngramCappedSql(4),
+
+    // winnowing/MOSS pairs (p158): ORDERED 5-gram hashes (no distinct —
+    // winnowing needs positions), window-of-4 minima as the fingerprint
+    // set, df-capped inverted-index self-join on the fingerprint value.
+    "p158_winnowing_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents
+         |), thd AS (
+         |  SELECT id, list_transform(t, tok -> ${hash("tok")}) AS th FROM toks
+         |), gr AS (
+         |  SELECT id, CASE WHEN len(th) >= 5
+         |    THEN [list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+4]),
+         |          (a, b) -> (a*31 + b) % $P) for i in range(1, len(th)-3)]
+         |    ELSE CAST([] AS BIGINT[]) END AS g
+         |  FROM thd
+         |), fps AS (
+         |  SELECT id, unnest(CASE
+         |    WHEN len(g) >= 4
+         |      THEN list_distinct([list_min(g[i:i+3]) for i in range(1, len(g)-2)])
+         |    WHEN len(g) >= 1 THEN [list_min(g)]
+         |    ELSE CAST([] AS BIGINT[]) END) AS fp
+         |  FROM gr
+         |), rare AS (
+         |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 16
+         |), ex AS (SELECT id, fp FROM fps JOIN rare USING (fp))
+         |SELECT x.id AS doc_a, y.id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM ex x JOIN ex y ON x.fp = y.fp AND x.id < y.id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // cap biting at sf0.1 (df there reaches ~25, so 16 drops the hottest
     // shingles but keeps the duplicate families' shared ones): the
     // configuration whose POSITIVE rows survive at the dual-gate's

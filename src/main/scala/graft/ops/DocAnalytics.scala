@@ -636,6 +636,11 @@ object DocAnalytics {
     // oracle.
     "p15b_ngram_jaccard_capped" -> ((s, d) =>
       TextDedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", TextDedup.MaxDf(4))),
+    // winnowing/MOSS match report: substring-granular fingerprint overlap
+    // pairs over the window-min index, hot fingerprints df-capped at 16
+    // (the p93 cap convention)
+    "p158_winnowing_pairs" -> ((s, d) =>
+      TextDedup.winnowingPairs(docs(s, d), "doc_id", "text", TextDedup.MaxDf(16))),
     // cap-biting AT sf0.1: the sf0.1 corpus's duplicate families push
     // shared-shingle df to ~25, so cap 4 (p15b) drops every true
     // near-dup pair there and the capped path's positives go untested at

@@ -982,4 +982,66 @@ object TextDedup {
         (col("n_pairs").cast("double") / col("__t")).as("pair_share"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken 2003
+    * §4 — the MOSS algorithm): per document, the DISTINCT set of
+    * window-minimum gram hashes, i.e. `min` over every window of `w`
+    * consecutive token-`k`-gram hashes. The published guarantee: any two
+    * documents sharing a token run of length ≥ w + k − 1 share at least
+    * one fingerprint — substring-granular matching with ~1/w of the
+    * grams' index size, the niche between MinHash (whole-document
+    * Jaccard) and span dedup (exact fixed-k windows). Deviation from the
+    * paper, documented: the rightmost-min tie rule exists to pick ONE
+    * position per window for positional reporting; a SET of per-window
+    * minima (the standard set-based simplification) selects the same
+    * hash values, which is all the pair miner consumes. Documents with
+    * fewer than `w` grams contribute the min of what they have (one
+    * partial window); gram-less documents contribute nothing.
+    * Row-local, one array fold per document. Output: (id, fp) exploded. */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowing: k and w must be >= 1")
+    val grams = Barrier.once(
+      Barrier.once(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
+        "th" -> transform(tokens(col("__t")), charHash _)),
+      Seq("id"),
+      // ORDERED, non-distinct gram hashes — winnowing needs positions
+      "g" -> when(size(col("th")) >= k,
+        transform(sequence(lit(1), size(col("th")) - (k - 1)),
+          i => aggregate(slice(col("th"), i, lit(k)), lit(7L),
+            (a, v) => (a * 31L + v) % P)))
+        .otherwise(array().cast("array<long>")))
+    grams.select(col("id"),
+        explode(when(size(col("g")) >= w,
+          array_distinct(transform(sequence(lit(1), size(col("g")) - (w - 1)),
+            i => array_min(slice(col("g"), i, lit(w))))))
+          .when(size(col("g")) >= 1, array(array_min(col("g"))))
+          .otherwise(array().cast("array<long>"))).as("fp"))
+  }
+
+  /** Winnowing match report (the MOSS pair view): documents ranked by
+    * shared fingerprint count. The inverted-index self-join on the
+    * fingerprint value — the [[ngramJaccardPairs]] exchange shape over a
+    * ~1/w-sized index — with the house hot-key df-cap: fingerprints in
+    * more than `maxFpDf` documents leave the index before the join (the
+    * p15b convention, oracle-mirrored; boilerplate fingerprints are
+    * exactly the hot keys that would go quadratic at web scale).
+    * Output: (doc_a, doc_b, n_shared) for pairs sharing ≥ `minShared`. */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+                     maxFpDf: MaxDf, k: Int = 5, w: Int = 4,
+                     minShared: Int = 2): DataFrame = {
+    // (id, fp) rows are already distinct — the fingerprint arrays are
+    // array_distinct per document before the explode
+    val fp = winnowingFingerprints(df, idCol, textCol, k, w)
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxFpDf.value).select("fp")
+    val ex = fp.join(rare, Seq("fp"))
+    ex.as("x").join(ex.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -241,6 +241,62 @@ class TextDedupSpec extends SparkSpec {
     pairs((1L, 2L)) shouldBe 0L
   }
 
+  // sequential winnowing reference: ordered gram hashes, window-of-w
+  // minima, distinct — the Schleimer §4 set-based form
+  private def refFingerprints(text: String, k: Int, w: Int): Set[Long] = {
+    val P = 1000000007L
+    def h(s: String): Long =
+      s.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % P)
+    val th = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").map(h)
+    val g = if (th.length >= k)
+      (0 to th.length - k).map(i =>
+        th.slice(i, i + k).foldLeft(7L)((a, v) => (a * 31 + v) % P))
+    else Seq.empty[Long]
+    if (g.size >= w) (0 to g.size - w).map(i => g.slice(i, i + w).min).toSet
+    else if (g.nonEmpty) Set(g.min)
+    else Set.empty
+  }
+
+  "winnowingFingerprints" should "match the sequential reference and honor the shared-run guarantee" in {
+    val out = TextDedup.winnowingFingerprints(docs, "doc_id", "text")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    Seq(1L -> base, 3L -> nearDup, 4L -> unrelated).foreach { case (id, t) =>
+      out(id) shouldBe refFingerprints(t, 5, 4)
+    }
+    // guarantee: docs 1 and 3 share long token runs (>= w+k-1 = 8) ->
+    // they must share a fingerprint; the unrelated doc shares none
+    (out(1L) intersect out(3L)) should not be empty
+    (out(1L) intersect out(4L)) shouldBe empty
+    // normalization variants fingerprint identically
+    out(2L) shouldBe out(1L)
+  }
+
+  it should "emit one partial-window fingerprint for short docs and none for gram-less docs" in {
+    val tiny = Seq(
+      (10L, "a b c d e f"), // 2 grams < w -> min of both, one fingerprint
+      (11L, "a b")          // no 5-gram -> nothing
+    ).toDF("doc_id", "text")
+    val out = TextDedup.winnowingFingerprints(tiny, "doc_id", "text")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    out.getOrElse(10L, 0) shouldBe 1
+    out.getOrElse(11L, 0) shouldBe 0
+  }
+
+  "winnowingPairs" should "rank duplicate families by shared fingerprints under the df cap" in {
+    val out = TextDedup.winnowingPairs(docs, "doc_id", "text",
+        TextDedup.MaxDf(16), minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val m = out.map(t => (t._1, t._2) -> t._3).toMap
+    // exact normalization twins share their whole fingerprint set
+    m((1L, 2L)) shouldBe refFingerprints(base, 5, 4).size.toLong
+    // the near-dup shares plenty but not everything
+    m((1L, 3L)) should be > 0L
+    m((1L, 3L)) should be < m((1L, 2L))
+    // unrelated doc pairs with nobody
+    out.exists(t => t._1 == 4L || t._2 == 4L) shouldBe false
+  }
+
   "contaminationMatrix" should "count pairs per unordered source pair with exact shares" in {
     // doc 1 (crawlA) duplicates doc 2 (crawlB) -> one cross-source cell;
     // docs 5/6 are both crawlB duplicates -> one diagonal cell. Source
