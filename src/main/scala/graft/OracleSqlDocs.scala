@@ -2601,6 +2601,33 @@ object OracleSqlDocs {
          |SELECT vec_id, cell_old, cell_new, cell_old <> cell_new AS moved
          |FROM ao JOIN an USING (vec_id) ORDER BY vec_id""".stripMargin,
 
+    // quantizer inertia audit (p159): flat cosine argmax over the
+    // persisted centroids, per-row l2sq to the OWN centroid quantized to
+    // 2^-20 fixed point, integer sums, one division each for mean/share.
+    "p159_quantizer_inertia" ->
+      s"""WITH cents AS (SELECT cent_id AS cid, ce FROM read_parquet(
+         |  '${graft.ops.DocAnalytics.P159CentroidsPath}/*.parquet')),
+         |e AS (SELECT vec_id, embedding AS qe FROM embeddings),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cos("qe", "ce")} DESC, cid) AS rn
+         |  FROM e CROSS JOIN cents) WHERE rn = 1),
+         |qd AS (
+         |  SELECT a.cell,
+         |    CAST(floor(${l2sq("qe", "ce")} * 1048576.0) AS BIGINT) AS q
+         |  FROM asg a JOIN e ON e.vec_id = a.vec_id
+         |  JOIN cents c ON c.cid = a.cell),
+         |per AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         |         CAST(sum(q) AS BIGINT) AS sse_q20
+         |  FROM qd GROUP BY 1),
+         |tot AS (SELECT CAST(sum(sse_q20) AS BIGINT) AS t FROM per)
+         |SELECT cell, n_vecs, sse_q20,
+         |  CAST(sse_q20 AS DOUBLE) / CAST(n_vecs * 1048576 AS DOUBLE)
+         |    AS mean_sse,
+         |  CAST(sse_q20 AS DOUBLE) / CAST(t AS DOUBLE) AS sse_share
+         |FROM per CROSS JOIN tot ORDER BY cell""".stripMargin,
+
     // D4 prototypicality audit (p147): flat cosine argmax over the
     // persisted trained centroids (the p125 flat convention), cosine to
     // the OWN centroid as proto_sim, within-cell rank (sim DESC, id),

@@ -546,6 +546,42 @@ object Similarity {
       .withColumn("moved", col("cell_old") =!= col("cell_new"))
       .orderBy("vec_id")
 
+  /** Quantizer inertia audit — the k-means TRAINING-QUALITY report the
+    * p62 balance profile (populations) lacks: per cell, the within-cell
+    * sum of squared L2 distances to the trained centroid (Lloyd's own
+    * objective), its per-vector mean, and the cell's share of total
+    * inertia — the table that says WHICH cells are loose (retrain or
+    * split candidates) rather than merely big.
+    *
+    * Exactness: each distance is the bit-equal [[graft.functions.L2Sq]]
+    * ordered fold; the SUM is made order-independent by quantizing every
+    * distance to 2⁻²⁰ fixed point (⌊d·2²⁰⌋ — a power-of-two multiply is
+    * exact) and summing INTEGERS, the house doctrine; mean and share are
+    * one double division each. Scale shape: row-local fused assignment +
+    * one C-row broadcast centroid join, a partial-aggregable per-cell
+    * rollup, and a 1-row total broadcast back for the share. */
+  def inertiaReport(emb: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[(Long, Array[Float])]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cdf = cents.toSeq.toDF("__cid", "__ce")
+    val q = assignCells(emb, idCol, vecCol, cents)
+      .join(broadcast(cdf), col("cell") === col("__cid"))
+      .select(col("cell"),
+        floor(graft.functions.L2Sq(col("e"), col("__ce")) * lit(1048576.0))
+          .cast("long").as("__q"))
+    val per = q.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__q")).as("sse_q20"))
+    val tot = per.agg(sum(col("sse_q20")).as("__t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"), col("sse_q20"),
+        (col("sse_q20").cast("double") /
+          (col("n_vecs") * lit(1048576L)).cast("double")).as("mean_sse"),
+        (col("sse_q20").cast("double") / col("__t").cast("double"))
+          .as("sse_share"))
+      .orderBy("cell")
+  }
+
   /** The corpus-dependent half of [[prototypicalityPrune]]: within-cell
     * rank, cell population, and the integer drop verdict over an
     * already-scored (vec_id, cell, proto_sim) frame. */

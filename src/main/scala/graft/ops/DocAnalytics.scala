@@ -145,6 +145,9 @@ object DocAnalytics {
   /** p154's quantizer over hashed text embeddings (c-TF-IDF labels). */
   def P154CentroidsPath: String = s"$oracleArtifactDir/p154_centroids"
 
+  /** p159's trained centroids (quantizer inertia audit). */
+  def P159CentroidsPath: String = s"$oracleArtifactDir/p159_centroids"
+
   def oracleArtifactPaths: Seq[String] =
     Seq(P50CentroidsPath, P103CentroidsPath, P105CodebooksPath,
       P106CodebooksPath, P109CodebooksPath, P110CodebooksPath,
@@ -155,7 +158,7 @@ object DocAnalytics {
       P129CodebooksPath, P130CodebooksPath, P140MergesPath,
       P144MergesPath, P145MergesPath, P146MergesPath, P147CentroidsPath,
       P151OldCentroidsPath, P151NewCentroidsPath, P152CentroidsPath,
-      P154CentroidsPath)
+      P154CentroidsPath, P159CentroidsPath)
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -316,6 +319,15 @@ object DocAnalytics {
       persistCentroids(s, centsNew, P151NewCentroidsPath)
       onPhase("train")
       Similarity.assignmentChurn(e, "vec_id", "embedding", centsOld, centsNew)
+    }),
+    // quantizer inertia audit: per-cell SSE to the trained centroid
+    // (Lloyd's objective) in 2^-20 fixed point, mean and total-share —
+    // the training-quality companion of p62's balance profile
+    "p159_quantizer_inertia" -> ("report", (s, d, onPhase) => {
+      val cents = p50Train(s, d)
+      persistCentroids(s, cents, P159CentroidsPath)
+      onPhase("train")
+      Similarity.inertiaReport(emb(s, d), "vec_id", "embedding", cents)
     }),
     // D4 prototypicality audit (SemDeDup's published companion): cosine
     // to the assigned trained centroid, within-cell rank, integer-exact
@@ -955,6 +967,8 @@ object DocAnalytics {
       phasedQueries("p152_semantic_packing")._2(s, d, _ => ())),
     "p154_cell_topterms" -> ((s, d) =>
       phasedQueries("p154_cell_topterms")._2(s, d, _ => ())),
+    "p159_quantizer_inertia" -> ((s, d) =>
+      phasedQueries("p159_quantizer_inertia")._2(s, d, _ => ())),
     // PMI collocation mining (Mikolov et al. 2013 §4): adjacent-bigram
     // phrase candidates ranked by the exact integer PMI ratio
     "p142_collocations" -> ((s, d) =>

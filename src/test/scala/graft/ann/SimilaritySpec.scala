@@ -140,6 +140,28 @@ class SimilaritySpec extends SparkSpec {
       (3L, 3L, 1, 2L, false), (4L, 3L, 2, 2L, true))
   }
 
+  "inertiaReport" should "sum fixed-point within-cell SSE exactly (hand-computed)" in {
+    val cents = Array((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+                      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }
+    def q(a: Array[Float], b: Array[Float]): Long =
+      math.floor(l2(a, b) * 1048576.0).toLong
+    // assignment is the cosine argmax: v1,v2 -> c1; v3,v4 -> c3
+    val v2 = Array(0.99f, 0.01f, 0.0f, 0.0f)
+    val v4 = Array(-1.0f, 0.0f, 0.0f, 0.0f)
+    val sse1 = q(v2, cents(0)._2)               // v1 contributes 0
+    val sse3 = q(v4, cents(1)._2)               // v3 contributes 0
+    val tot = (sse1 + sse3).toDouble
+    val out = Similarity.inertiaReport(emb, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    out.toSeq shouldBe Seq(
+      (1L, 2L, sse1, sse1.toDouble / (2L * 1048576L).toDouble, sse1 / tot),
+      (3L, 2L, sse3, sse3.toDouble / (2L * 1048576L).toDouble, sse3 / tot))
+  }
+
   "assignmentChurn" should "flag exactly the vectors whose argmax cell changes" in {
     val centsOld = Array((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
                          (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
