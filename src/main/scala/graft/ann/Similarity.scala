@@ -561,17 +561,32 @@ object Similarity {
     * one C-row broadcast centroid join, a partial-aggregable per-cell
     * rollup, and a 1-row total broadcast back for the share. */
   def inertiaReport(emb: DataFrame, idCol: String, vecCol: String,
-                    cents: Array[(Long, Array[Float])]): DataFrame = {
+                    cents: Array[(Long, Array[Float])]): DataFrame =
+    inertiaFrom(inertiaPartials(emb, idCol, vecCol, cents))
+
+  /** The per-cell INTEGER partials of [[inertiaReport]] — (cell, n_vecs,
+    * sse_q20). Mergeable by construction (integer sums), which is what
+    * the streaming twin accumulates as its ≤C-row state. */
+  def inertiaPartials(emb: DataFrame, idCol: String, vecCol: String,
+                      cents: Array[(Long, Array[Float])]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cdf = cents.toSeq.toDF("__cid", "__ce")
-    val q = assignCells(emb, idCol, vecCol, cents)
+    assignCells(emb, idCol, vecCol, cents)
       .join(broadcast(cdf), col("cell") === col("__cid"))
       .select(col("cell"),
         floor(graft.functions.L2Sq(col("e"), col("__ce")) * lit(1048576.0))
           .cast("long").as("__q"))
-    val per = q.groupBy("cell")
+      .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"), sum(col("__q")).as("sse_q20"))
+  }
+
+  /** The report half of [[inertiaReport]] over (possibly pre-merged)
+    * per-cell partials — shared with the streaming twin so batch and
+    * stream cannot drift on the mean/share arithmetic. */
+  def inertiaFrom(partials: DataFrame): DataFrame = {
+    val per = partials.groupBy("cell")
+      .agg(sum(col("n_vecs")).as("n_vecs"), sum(col("sse_q20")).as("sse_q20"))
     val tot = per.agg(sum(col("sse_q20")).as("__t"))
     per.crossJoin(broadcast(tot))
       .select(col("cell"), col("n_vecs"), col("sse_q20"),

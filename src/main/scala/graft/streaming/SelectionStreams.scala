@@ -397,3 +397,55 @@ object PrototypicalityStream {
       }
       .start()
 }
+
+/** Streaming twin of the p159 quantizer inertia audit
+  * ([[graft.ann.Similarity.inertiaReport]]): accumulate, across a vector
+  * STREAM scored against a FROZEN quantizer, the per-cell integer
+  * partials (n_vecs, fixed-point SSE) — mergeable by construction, so
+  * the state is ≤ C rows of three longs at ANY stream length and each
+  * batch's merge is a C-row aggregate. State rides [[VersionedState]]
+  * compacts every batch (the whole state is smaller than a delta ledger
+  * would be; replay-safe via the predecessor read). [[report]] runs the
+  * batch operator's own report half over the drained partials — shared
+  * code, so batch and stream cannot drift — making the drained report
+  * equal to batch inertiaReport over all rows seen; pinned by the
+  * parity test. */
+object InertiaStream {
+  private def stateSchema = StructType(Seq(
+    StructField("cell", LongType), StructField("n_vecs", LongType),
+    StructField("sse_q20", LongType)))
+
+  private def emptyState(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+
+  def attach(vecs: DataFrame, idCol: String, vecCol: String,
+             cents: Array[(Long, Array[Float])],
+             stateDir: String, checkpointDir: String,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val seen = VersionedState.readSet(spark, stateDir, Some(batchId))
+          .getOrElse(emptyState(spark))
+        val merged = seen
+          .unionByName(graft.ann.Similarity
+            .inertiaPartials(batch, idCol, vecCol, cents))
+          .groupBy("cell")
+          .agg(sum(col("n_vecs")).as("n_vecs"),
+            sum(col("sse_q20")).as("sse_q20"))
+        VersionedState.write(merged, stateDir, batchId, compact = true)
+        VersionedState.prune(spark, stateDir, batchId)
+      }
+      .start()
+
+  /** The inertia report over the drained per-cell partials — the batch
+    * operator's report half verbatim. */
+  def report(spark: org.apache.spark.sql.SparkSession,
+             stateDir: String): DataFrame =
+    graft.ann.Similarity.inertiaFrom(
+      VersionedState.readSet(spark, stateDir, None).getOrElse(emptyState(spark)))
+}

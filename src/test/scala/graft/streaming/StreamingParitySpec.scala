@@ -840,6 +840,42 @@ class StreamingParitySpec extends SparkSpec {
     stateRows shouldBe embDf.count()
   }
 
+  "InertiaStream" should "drain to exactly the batch inertiaReport over O(cells) integer state (p159)" in {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val embDf = graft.sources.Tables.embeddings(spark, sfDir)
+    val cents = graft.ann.Similarity
+      .trainIvfCentroids(embDf, "vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-inertia-json")
+    val lines = embDf.orderBy("vec_id")
+      .select(to_json(struct(col("vec_id"), col("embedding"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(math.max(1, lines.length / 4)).zipWithIndex.foreach { case (ls, i) =>
+      val f = dir.resolve(f"vecs-$i%03d.json")
+      Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val stateDir = Files.createTempDirectory("graft-inertia-state").toString
+    val ckpt = Files.createTempDirectory("graft-inertia-ckpt").toString
+    val q = InertiaStream.attach(stream, "vec_id", "embedding", cents,
+      stateDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = InertiaStream.report(spark, stateDir).collect().map(_.toSeq)
+    val batch = graft.ann.Similarity
+      .inertiaReport(embDf, "vec_id", "embedding", cents)
+      .collect().map(_.toSeq)
+    batch.length should be > 1 // real multi-cell report
+    got.toSeq shouldBe batch.toSeq
+    // state stays <= C rows of integer partials regardless of stream length
+    val lastState = new java.io.File(stateDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).max
+    spark.read.parquet(s"$stateDir/$lastState").count() should be <= batch.length.toLong
+  }
+
   "PrototypicalityStream" should "re-rank to exactly the batch prototypicalityPrune verdict as vectors accumulate (p147)" in {
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
     val embDf = graft.sources.Tables.embeddings(spark, sfDir)
