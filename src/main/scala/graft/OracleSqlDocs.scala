@@ -560,6 +560,67 @@ object OracleSqlDocs {
        |  FROM thd
        |)""".stripMargin
 
+  /** MMR twin of [[graft.ann.Similarity.mmrRerank]]: the m-step greedy
+    * UNROLLED into generated CTEs, one (anti-join, penalty, argmax)
+    * block per step — assembled programmatically from the same λ/(1−λ)
+    * Scala doubles the Spark side multiplies by (Double.toString
+    * round-trips exactly), so the scores compare bit-for-bit. */
+  private def mmrSql(kCand: Int, m: Int, lam: Double): String = {
+    val lc = s"CAST($lam AS DOUBLE)"
+    val mc = s"CAST(${1.0 - lam} AS DOUBLE)"
+    val base =
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20),
+         |sims AS (
+         |  SELECT query_id, v.vec_id AS neighbor_id, ${cos("qe", "e")} AS sim
+         |  FROM q JOIN v ON v.vec_id <> query_id
+         |),
+         |cand AS (
+         |  SELECT query_id, neighbor_id, sim, e FROM (
+         |    SELECT s.query_id, s.neighbor_id, s.sim, v.e,
+         |      row_number() OVER (PARTITION BY s.query_id
+         |        ORDER BY s.sim DESC, s.neighbor_id) AS rn
+         |    FROM sims s JOIN v ON v.vec_id = s.neighbor_id) WHERE rn <= $kCand
+         |),
+         |sel1 AS (
+         |  SELECT query_id, CAST(1 AS BIGINT) AS mmr_rank, neighbor_id, sim,
+         |         $lc*sim AS mmr_score, e
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY $lc*sim DESC, neighbor_id) AS r1 FROM cand)
+         |  WHERE r1 = 1
+         |)""".stripMargin
+    val steps = (2 to m).map { j =>
+      val prev = (1 until j).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+      s""",
+         |prev$j AS ($prev),
+         |rem$j AS (
+         |  SELECT c.* FROM cand c ANTI JOIN prev$j p
+         |    ON p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id
+         |),
+         |pen$j AS (
+         |  SELECT r.query_id, r.neighbor_id, max(${cos("r.e", "p.e")}) AS pen
+         |  FROM rem$j r JOIN prev$j p ON p.query_id = r.query_id
+         |  GROUP BY 1, 2
+         |),
+         |sel$j AS (
+         |  SELECT query_id, CAST($j AS BIGINT) AS mmr_rank, neighbor_id, sim,
+         |         score AS mmr_score, e
+         |  FROM (SELECT r.query_id, r.neighbor_id, r.sim, r.e,
+         |          $lc*r.sim - $mc*pn.pen AS score,
+         |          row_number() OVER (PARTITION BY r.query_id
+         |            ORDER BY $lc*r.sim - $mc*pn.pen DESC, r.neighbor_id) AS rj
+         |        FROM rem$j r JOIN pen$j pn
+         |          ON pn.query_id = r.query_id AND pn.neighbor_id = r.neighbor_id)
+         |  WHERE rj = 1
+         |)""".stripMargin
+    }.mkString
+    val all = (1 to m).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    base + steps +
+      s"""
+         |SELECT query_id, mmr_rank, neighbor_id, sim, mmr_score
+         |FROM ($all) ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   /** Shared CTE chain producing simhash near-dup candidates (`cand` with
     * both signatures) — p17's body, also the pair source for p37's
     * connected components. */
@@ -2262,6 +2323,8 @@ object OracleSqlDocs {
          |       list_min(gh) AS min_gram_hash, list_max(gh) AS max_gram_hash,
          |       CAST(len(gh) AS BIGINT) AS n_grams
          |FROM h ORDER BY id""".stripMargin,
+
+    "p160_mmr_rerank" -> mmrSql(kCand = 8, m = 3, lam = 0.7),
 
     "p21_knn_bruteforce" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),

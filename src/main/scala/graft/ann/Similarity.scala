@@ -52,6 +52,65 @@ object Similarity {
     topK(cands, k)
   }
 
+  /** MMR diversity re-rank (Carbonell & Goldstein 1998 — maximal
+    * marginal relevance, the standard retrieval-diversity pass every
+    * RAG stack runs after ANN): from each query's exact top-`kCand`
+    * candidates, greedily select `m` results maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — relevance traded
+    * against redundancy with what is already picked. Step 1's penalty
+    * term is empty by convention (score = λ·sim, same argmax as plain
+    * relevance); ties break toward the smaller neighbor id at every
+    * step (a total order, so both engines pick identically).
+    *
+    * The selection loop is UNROLLED into m declarative stages (m is a
+    * small constant by charter, like nProbe): each stage anti-joins the
+    * picked set off the candidates, computes the max-similarity penalty
+    * against the picked vectors, and takes the per-query argmax via
+    * `max(struct(...))` — no window over the corpus, no driver loop.
+    * Scale shape: every stage's frames are bounded by |queries|·kCand
+    * (the broadcast-probe charter all ANN queries share); the corpus is
+    * touched only by the candidate generation, which is the existing
+    * verified search. All doubles are single products/subtractions of
+    * bit-equal cosines, so the oracle replays the greedy exactly.
+    * Output: (query_id, mmr_rank, neighbor_id, sim, mmr_score). */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, kCand: Int = 8, m: Int = 3,
+                lambda: Double = 0.7): DataFrame = {
+    require(m >= 1 && m <= kCand, s"mmrRerank: need 1 <= m <= kCand")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrRerank: lambda must be in [0, 1], got $lambda")
+    val v = emb.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("ne"))
+    val cands = knnBruteForce(emb, idCol, vecCol, queryPred, kCand)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("neighbor_id"), col("sim"))
+      .join(v, "neighbor_id")
+    def pick(scored: DataFrame, rank: Int): DataFrame =
+      scored.groupBy("query_id")
+        .agg(max(struct(col("score"), (-col("neighbor_id")).as("nid"),
+          col("neighbor_id").as("id"), col("sim").as("s"))).as("m"))
+        .select(col("query_id"), lit(rank.toLong).as("mmr_rank"),
+          col("m.id").as("neighbor_id"), col("m.s").as("sim"),
+          col("m.score").as("mmr_score"))
+    var selected = pick(cands.withColumn("score", lit(lambda) * col("sim")), 1)
+    for (j <- 2 to m) {
+      val selVec = selected.join(v, "neighbor_id")
+        .select(col("query_id"), col("ne").as("se"))
+      val remaining = cands.join(
+        selected.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val pens = remaining.join(selVec, Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("ne"), col("se")).as("ps"))
+        .groupBy("query_id", "neighbor_id").agg(max(col("ps")).as("pen"))
+      val scored = remaining.join(pens, Seq("query_id", "neighbor_id"))
+        .withColumn("score",
+          lit(lambda) * col("sim") - lit(1.0 - lambda) * col("pen"))
+      selected = selected.unionByName(pick(scored, j))
+    }
+    selected.orderBy("query_id", "mmr_rank")
+  }
+
   /** Approximate cosine top-k: compare only vectors in the same
     * random-hyperplane sign bucket (2^nPlanes buckets). Queries whose
     * bucket holds fewer than k neighbors return fewer rows — the standard

@@ -884,6 +884,11 @@ object DocAnalytics {
         "vec_id", "e", minSim = 0.9)),
     "p21_knn_bruteforce" -> ((s, d) =>
       Similarity.knnBruteForce(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
+    // MMR diversity re-rank over p21's exact top-8: the greedy
+    // relevance-vs-redundancy selection, unrolled into m=3 declarative
+    // stages bounded by |queries|·kCand
+    "p160_mmr_rerank" -> ((s, d) =>
+      Similarity.mmrRerank(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     "p22_knn_lsh" -> ((s, d) =>
       Similarity.knnLsh(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     // the OR-construction recall recovery over p22's single table:

@@ -140,6 +140,69 @@ class SimilaritySpec extends SparkSpec {
       (3L, 3L, 1, 2L, false), (4L, 3L, 2, 2L, true))
   }
 
+  "mmrRerank" should "demote a redundant near-duplicate below a diverse candidate" in {
+    // query 0 along e1; candidates: 10 ≈ e1 (top relevance), 11 an EXACT
+    // duplicate of 10, 12 diverse (sim .707, low overlap with 10). At
+    // λ=0.3 the duplicate's full penalty (cos=1) drops it below the
+    // diverse pick; plain top-2 would keep (10, 11).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (10L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (11L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (12L, Array(0.707f, 0.0f, 0.707f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(vecs, "vec_id", "embedding",
+        col("vec_id") === 0L, kCand = 3, m = 3, lambda = 0.3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq((1L, 10L), (2L, 12L), (3L, 11L))
+  }
+
+  it should "match a sequential greedy reference on the fixture corpus" in {
+    def cosRef(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vs = Seq(
+      1L -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      2L -> Array(0.99f, 0.01f, 0.0f, 0.0f),
+      3L -> Array(0.0f, 1.0f, 0.0f, 0.0f),
+      4L -> Array(-1.0f, 0.0f, 0.0f, 0.0f),
+      5L -> Array(0.5f, 0.5f, 0.5f, 0.5f),
+      6L -> Array(0.9f, 0.3f, 0.1f, 0.0f))
+    val byId = vs.toMap
+    val lam = 0.7
+    def refMmr(qid: Long, kCand: Int, m: Int): Seq[(Long, Long)] = {
+      val q = byId(qid)
+      val cands = vs.filterNot(_._1 == qid)
+        .map { case (id, v) => (id, cosRef(q, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(kCand)
+      var selected = Vector.empty[Long]
+      (1 to m).map { rank =>
+        val scored = cands.filterNot(c => selected.contains(c._1)).map {
+          case (id, s) =>
+            val pen = if (selected.isEmpty) 0.0
+              else selected.map(sid => cosRef(byId(id), byId(sid))).max
+            (id, lam * s - (1 - lam) * pen)
+        }
+        val pickId = scored.minBy { case (id, sc) => (-sc, id) }._1
+        selected :+= pickId
+        (rank.toLong, pickId)
+      }
+    }
+    val emb6 = vs.toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(emb6, "vec_id", "embedding",
+        col("vec_id") <= 2L, kCand = 4, m = 3, lambda = lam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = Seq(1L, 2L).flatMap(q =>
+      refMmr(q, 4, 3).map { case (rk, id) => (q, rk, id) })
+    got.toSeq shouldBe want
+  }
+
   "inertiaReport" should "sum fixed-point within-cell SSE exactly (hand-computed)" in {
     val cents = Array((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
                       (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
