@@ -543,3 +543,71 @@ object EvalDirtinessStream {
       VersionedState.readSet(spark, stateDir, None).getOrElse(emptyHits(spark)),
       minHits)
 }
+
+/** Streaming twin of the p158 winnowing match report
+  * ([[graft.text.TextDedup.winnowingPairs]]): incremental MOSS pair
+  * mining over a document stream. State is the (id, fp) posting list —
+  * ~1/w of a gram index by winnowing's design. Each micro-batch
+  * fingerprints its documents (row-local), joins the batch postings
+  * against state ∪ batch with an at-least-one-new-side predicate (a
+  * pair is emitted exactly once, by the batch that completes it — a
+  * document's fingerprints all arrive together, so a pair's shared
+  * count is final the moment its later document lands), applies the
+  * hot-fingerprint df-cap over the data seen so far (the
+  * ContainmentStream convention: the cap is a function of the corpus
+  * known at emission time), and appends its postings as a
+  * [[VersionedState]] delta. Under id-ordered batches and a cap wide
+  * enough not to bite mid-stream, the drained output equals batch
+  * winnowingPairs; pinned by the parity test. */
+object WinnowingStream {
+  import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  import graft.text.TextDedup
+
+  private val postingSchema = StructType(Seq(
+    StructField("id", LongType), StructField("fp", LongType)))
+
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+             outDir: String, stateDir: String, checkpointDir: String,
+             maxFpDf: TextDedup.MaxDf, k: Int = 5, w: Int = 4,
+             minShared: Int = 2,
+             trigger: Trigger = Trigger.AvailableNow(),
+             compactEvery: Int = 8): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // persisted: the pair join consumes both sides and the state
+        // write re-reads the batch postings
+        val fpNew = TextDedup.winnowingFingerprints(batch, idCol, textCol, k, w)
+          .persist()
+        try {
+          val seen = VersionedState.readSet(spark, stateDir, Some(batchId))
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], postingSchema))
+          val allF = seen.withColumn("is_new", lit(false))
+            .unionByName(fpNew.withColumn("is_new", lit(true)))
+          val ex = allF.join(
+            allF.groupBy("fp").agg(count(lit(1)).as("df"))
+              .filter(col("df") <= maxFpDf.value).select("fp"),
+            Seq("fp"))
+          ex.as("x").join(ex.as("y"),
+              col("x.fp") === col("y.fp") && col("x.id") < col("y.id") &&
+                (col("x.is_new") || col("y.is_new")))
+            .groupBy(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+            .agg(count(lit(1)).as("n_shared"))
+            .filter(col("n_shared") >= minShared)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          if (VersionedState.shouldCompact(spark, stateDir, batchId, compactEvery))
+            VersionedState.write(seen.unionByName(fpNew.select("id", "fp")),
+              stateDir, batchId, compact = true)
+          else
+            VersionedState.write(fpNew.select("id", "fp"), stateDir, batchId,
+              compact = false)
+        } finally fpNew.unpersist(false)
+        VersionedState.prune(spark, stateDir, batchId)
+      }
+      .start()
+}

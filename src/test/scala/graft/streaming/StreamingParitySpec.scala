@@ -995,6 +995,26 @@ class StreamingParitySpec extends SparkSpec {
     got shouldBe batch.toSeq
   }
 
+  "WinnowingStream" should "accumulate exactly the batch winnowingPairs output across micro-batches (p158)" in {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val outDir = Files.createTempDirectory("graft-winnow-out").toString
+    val stateDir = Files.createTempDirectory("graft-winnow-state").toString
+    val ckpt = Files.createTempDirectory("graft-winnow-ckpt").toString
+    val q = WinnowingStream.attach(
+      docStream(dumpDocsAsJson()), "doc_id", "text", outDir, stateDir, ckpt,
+      graft.text.TextDedup.MaxDf(16))
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).drop("batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val batch = graft.text.TextDedup.winnowingPairs(
+        docsDf, "doc_id", "text", graft.text.TextDedup.MaxDf(16))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    batch.length should be > 0 // real fingerprint overlap at this scale
+    got.toSeq shouldBe batch.toSeq
+  }
+
   "EvalDirtinessStream" should "drain to exactly the batch evalDirtiness report (p153)" in {
     val all = graft.sources.Tables.documents(spark, sfDir)
     val bench = all.filter(col("doc_id") < 25).persist()
