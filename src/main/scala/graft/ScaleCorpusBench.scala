@@ -118,7 +118,7 @@ object ScaleCorpusBench {
     val corpusOps = Seq("exact_dedup", "minhash_neardup", "ngram_jaccard_df64",
       "ngram_jaccard_df64_prefix", "sequence_packing", "span_dedup",
       "span_scrub", "bigram_novelty", "group_representative",
-      "lm_surprisal", "scoped_dedup")
+      "lm_surprisal", "scoped_dedup", "winnowing_pairs")
     for (n <- docSizes if corpusOps.exists(opOn)) {
       for ((cname, gen) <- Seq(
           "uniform5k" -> synthCorpus(spark, n),
@@ -156,6 +156,11 @@ object ScaleCorpusBench {
         // occurrence exchange; scope = 20-way synthetic source split)
         report("lm_surprisal",
           time(mat(graft.text.TextStats.lmSurprisal(corpus, "doc_id", "text"))))
+        // r14 addition: the p158 winnowing miner at the shipped cap-16 —
+        // the fingerprint index is ~1/w of the gram index, so its curve
+        // should sit well under ngram_jaccard's at every rung
+        report("winnowing_pairs", time(mat(TextDedup.winnowingPairs(
+          corpus, "doc_id", "text", TextDedup.MaxDf(16)))))
         report("scoped_dedup", time(mat(TextDedup.scopedDedupReport(
           corpus.withColumn("source",
             concat(lit("s"), pmod(col("doc_id"), lit(20)).cast("string"))),

@@ -509,10 +509,10 @@ object EvalDirtinessStream {
              checkpointDir: String, k: Int = 5,
              trigger: Trigger = Trigger.AvailableNow(),
              compactEvery: Int = 8): StreamingQuery = {
-    // freeze the probe vocabulary ONCE — re-deriving it per batch would
-    // re-run the benchmark gram fold every trigger
-    val vocab = benchGramFrame.select("g").distinct().persist()
-    vocab.count()
+    // the probe vocabulary — tiny by the benchmark charter; callers who
+    // run many triggers persist benchGramFrame themselves (the
+    // IdfEmbedStream frozen-frame convention)
+    val vocab = benchGramFrame.select("g").distinct()
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
