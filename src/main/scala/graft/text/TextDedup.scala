@@ -1001,6 +1001,21 @@ object TextDedup {
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"winnowing: k and w must be >= 1")
+    Barrier.once(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
+        "th" -> transform(tokens(col("__t")), charHash _))
+      .select(col("id"), explode(array_distinct(
+        graft.functions.WinnowMins(col("th"), k, w))).as("fp"))
+  }
+
+  /** The pure-HOF formulation [[winnowingFingerprints]] fuses — kept as
+    * the executable specification the codegen'd
+    * [[graft.functions.WinnowMins]] is tested against (the
+    * charHashHof/PolyHash convention; the fused node cut fingerprinting
+    * from ~half the p158 wall at the 500k ladder rung). */
+  def winnowingFingerprintsHof(df: DataFrame, idCol: String, textCol: String,
+                               k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowing: k and w must be >= 1")
     val grams = Barrier.once(
       Barrier.once(
         df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),

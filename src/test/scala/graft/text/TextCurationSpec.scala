@@ -437,6 +437,38 @@ class TextCurationSpec extends SparkSpec {
       (false, 10.0, 1.0), (false, 10.0, 0.5), (false, 10.0, 0.1))
   }
 
+  it should "satisfy the water-filling invariants on random mass profiles" in {
+    import spark.implicits._
+    val rnd = new scala.util.Random(155)
+    (1 to 5).foreach { _ =>
+      val c = 3 + rnd.nextInt(5)
+      val masses = (0 until c).map(_ => 1 + rnd.nextInt(400))
+      val docs = masses.zipWithIndex.map { case (mTok, i) =>
+        (i.toLong, ("x " * mTok).trim, f"k$i%02d") }.toDF("doc_id", "text", "lang")
+      val e = 1 + rnd.nextInt(3)
+      val totalCap = masses.map(_.toLong).sum * e
+      val b = (totalCap * (50 + rnd.nextInt(100))) / 100 // 0.5x..1.5x cap mass
+      val rows = TextCuration.unimaxAllocation(docs, "doc_id", "lang", "text",
+          budgetTokens = b, maxEpochs = e.toLong)
+        .collect().map(r => (r.getLong(3), r.getBoolean(4), r.getDouble(5)))
+      val eps = 1e-6
+      // no allocation exceeds its epoch cap
+      rows.foreach { case (cap, _, alloc) => alloc should be <= cap + eps }
+      // the budget is exhausted unless every key capped first
+      val spent = rows.map(_._3).sum
+      if (rows.forall(_._2)) spent shouldBe totalCap.toDouble +- 1e-3
+      else spent shouldBe math.min(b, totalCap).toDouble +- 1e-3
+      // every uncapped key receives the same equal share
+      val shares = rows.filterNot(_._2).map(_._3)
+      if (shares.nonEmpty) shares.max shouldBe shares.min +- eps
+      // no capped key's cap exceeds the uncapped share (else it would
+      // not have been capped)
+      if (shares.nonEmpty)
+        rows.filter(_._2).foreach { case (cap, _, _) =>
+          cap.toDouble should be <= shares.min + eps }
+    }
+  }
+
   "groupAwareSplit" should "keep every duplicate group in one split and leave singletons on their hashSplit row" in {
     import spark.implicits._
     val docs = Seq(

@@ -272,6 +272,20 @@ class TextDedupSpec extends SparkSpec {
     out(2L) shouldBe out(1L)
   }
 
+  it should "match the pure-HOF executable specification (fused WinnowMins)" in {
+    // random lengths 0..20 cover gram-less (<k), partial-window (<w
+    // grams) and normal documents; small vocab forces duplicate minima
+    // so the distinct rule is exercised
+    val rnd = new scala.util.Random(158)
+    val corpus = (0L until 40L).map(id =>
+      (id, (0 until rnd.nextInt(21))
+        .map(_ => s"t${rnd.nextInt(7)}").mkString(" "))).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    rows(TextDedup.winnowingFingerprints(corpus, "doc_id", "text")).toSeq shouldBe
+      rows(TextDedup.winnowingFingerprintsHof(corpus, "doc_id", "text")).toSeq
+  }
+
   it should "emit one partial-window fingerprint for short docs and none for gram-less docs" in {
     val tiny = Seq(
       (10L, "a b c d e f"), // 2 grams < w -> min of both, one fingerprint
