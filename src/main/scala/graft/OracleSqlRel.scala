@@ -114,16 +114,22 @@ object OracleSqlRel {
          |    l_shipdate > o_orderdate + INTERVAL 365 DAY AS late
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |  WHERE o_orderstatus = 'F'
-         |), l1 AS (SELECT * FROM l WHERE late)
-         |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
-         |FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
-         |WHERE EXISTS (SELECT 1 FROM l l2
-         |        WHERE l2.l_orderkey = l1.l_orderkey
-         |          AND l2.l_suppkey <> l1.l_suppkey)
-         |  AND NOT EXISTS (SELECT 1 FROM l1 l3
-         |        WHERE l3.l_orderkey = l1.l_orderkey
-         |          AND l3.l_suppkey <> l1.l_suppkey)
-         |GROUP BY s_name
+         |), l1 AS (SELECT * FROM l WHERE late),
+         |w AS (
+         |  -- group by the KEY (the Spark side's rollup), name joined after,
+         |  -- so twins stay structurally identical even under name ties
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+         |  FROM l1
+         |  WHERE EXISTS (SELECT 1 FROM l l2
+         |          WHERE l2.l_orderkey = l1.l_orderkey
+         |            AND l2.l_suppkey <> l1.l_suppkey)
+         |    AND NOT EXISTS (SELECT 1 FROM l1 l3
+         |          WHERE l3.l_orderkey = l1.l_orderkey
+         |            AND l3.l_suppkey <> l1.l_suppkey)
+         |  GROUP BY l_suppkey
+         |)
+         |SELECT s_name, numwait
+         |FROM w JOIN supplier ON w.l_suppkey = s_suppkey
          |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
 
     // Q22-shaped dormant high-value customers (p157): scalar positive-

@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   * corpus/numRanges rows. This harness times both shapes — `numRanges=1`
   * reproduces the old funnel exactly (one bucket ≡ one partition per
   * cell), `Auto` is the shipped decomposition — on an all-one-cell corpus
-  * with near-free tokenization (single-token docs), so the measured delta
-  * is pure prefix-sum topology, not text work.
+  * with near-free tokenization (constant three-token docs), so the
+  * measured delta is pure prefix-sum topology, not text work.
   *
   * Run: `sbt "runMain graft.ScalePackFunnelBench"` (or pass row counts).
   * One JSON line per (shape, rows); curves land in bench_records/.

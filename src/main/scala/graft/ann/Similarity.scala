@@ -81,10 +81,15 @@ object Similarity {
       s"mmrRerank: lambda must be in [0, 1], got $lambda")
     val v = emb.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).as("ne"))
+    // localCheckpoint: every greedy stage references the candidate frame;
+    // truncating the brute-force lineage here keeps the unrolled plan
+    // O(m) and scans the corpus ONCE (the duplicateGroups round
+    // convention) instead of embedding the search subtree per stage.
     val cands = knnBruteForce(emb, idCol, vecCol, queryPred, kCand)
       .select(col("query_id").cast("long").as("query_id"),
         col("neighbor_id"), col("sim"))
       .join(v, "neighbor_id")
+      .localCheckpoint()
     def pick(scored: DataFrame, rank: Int): DataFrame =
       scored.groupBy("query_id")
         .agg(max(struct(col("score"), (-col("neighbor_id")).as("nid"),
@@ -92,23 +97,29 @@ object Similarity {
         .select(col("query_id"), lit(rank.toLong).as("mmr_rank"),
           col("m.id").as("neighbor_id"), col("m.s").as("sim"),
           col("m.score").as("mmr_score"))
-    var selected = pick(cands.withColumn("score", lit(lambda) * col("sim")), 1)
+    var picked = pick(cands.withColumn("score", lit(lambda) * col("sim")), 1)
+    var out = picked
+    // `rem` carries the RUNNING penalty — max cosine to anything picked
+    // so far. max is exact and order-free, so the stepwise greatest()
+    // fold is bit-identical to the max-over-all-picks the oracle
+    // computes; −∞ seeds it so a single pick's (possibly negative)
+    // cosine passes through unchanged. Each stage references rem and the
+    // latest pick ONCE and re-checkpoints, so the plan stays flat in m.
+    var rem = cands.withColumn("pen", lit(Double.NegativeInfinity))
     for (j <- 2 to m) {
-      val selVec = selected.join(v, "neighbor_id")
-        .select(col("query_id"), col("ne").as("se"))
-      val remaining = cands.join(
-        selected.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_anti")
-      val pens = remaining.join(selVec, Seq("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          cosine(col("ne"), col("se")).as("ps"))
-        .groupBy("query_id", "neighbor_id").agg(max(col("ps")).as("pen"))
-      val scored = remaining.join(pens, Seq("query_id", "neighbor_id"))
-        .withColumn("score",
-          lit(lambda) * col("sim") - lit(1.0 - lambda) * col("pen"))
-      selected = selected.unionByName(pick(scored, j))
+      val pk = picked.select(col("query_id"), col("neighbor_id").as("__pid"))
+        .join(v.select(col("neighbor_id").as("__pid"), col("ne").as("__pe")),
+          "__pid")
+      rem = rem.join(pk, Seq("query_id"))
+        .filter(col("neighbor_id") =!= col("__pid"))
+        .withColumn("pen", greatest(col("pen"), cosine(col("ne"), col("__pe"))))
+        .drop("__pid", "__pe")
+        .localCheckpoint()
+      picked = pick(rem.withColumn("score",
+        lit(lambda) * col("sim") - lit(1.0 - lambda) * col("pen")), j)
+      out = out.unionByName(picked)
     }
-    selected.orderBy("query_id", "mmr_rank")
+    out.orderBy("query_id", "mmr_rank")
   }
 
   /** Approximate cosine top-k: compare only vectors in the same

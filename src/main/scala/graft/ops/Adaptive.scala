@@ -94,6 +94,26 @@ object Adaptive {
     if (requested == Auto) numRanges(rows) else requested
   }
 
+  /** Append the contiguous-id-range bucket column `__b` to `n` (whose
+    * `idCol` must be LONG): one 1-row bounds aggregate — min, max, count,
+    * the only driver action — then the exact integer bucket
+    * `((id − lo)·nR) div span` with `nR = min(span,
+    * resolveRanges(requested, rows))`. The shared prelude of the
+    * distributed prefix-sum operators (sequencePacking /
+    * tokenBudgetSample / semanticPacking), extracted so the bucket
+    * arithmetic cannot drift between them. Empty input degenerates to
+    * one bucket over a unit span. */
+  def withRangeBucket(n: org.apache.spark.sql.DataFrame, idCol: String,
+                      numRanges: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, max, min}
+    val b = n.agg(min(col(idCol)), max(col(idCol)), count(lit(1))).head()
+    val (lo, span) =
+      if (b.isNullAt(0)) (0L, 1L)
+      else (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+    val nR = math.min(span, resolveRanges(numRanges, b.getLong(2)).toLong)
+    n.withColumn("__b", expr(s"(($idCol - $lo) * $nR) div $span"))
+  }
+
   /** Ceiling on the driver-side tables the low-cardinality-key operators
     * ([[Percentiles.exactRankSelect]], [[RangedWindow.trailingCount]])
     * collect — their charter is "keys fit on the driver", and this makes

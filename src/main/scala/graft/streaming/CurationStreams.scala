@@ -558,7 +558,13 @@ object EvalDirtinessStream {
   * known at emission time), and appends its postings as a
   * [[VersionedState]] delta. Under id-ordered batches and a cap wide
   * enough not to bite mid-stream, the drained output equals batch
-  * winnowingPairs; pinned by the parity test. */
+  * winnowingPairs; pinned by the parity test. A fingerprint that
+  * crosses the cap mid-stream after earlier batches counted it is the
+  * one divergence this shape admits — each batch writes exactly those
+  * crossings to `<outDir>/_cap_crossings/batch=<id>` (hidden from pair
+  * readers), so the precondition violation is observable, never
+  * silent; the parity test asserts the audit stays empty on the
+  * ordered corpus. */
 object WinnowingStream {
   import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -589,9 +595,19 @@ object WinnowingStream {
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], postingSchema))
           val allF = seen.withColumn("is_new", lit(false))
             .unionByName(fpNew.withColumn("is_new", lit(true)))
+          val dfs = allF.groupBy("fp").agg(count(lit(1)).as("df"))
+          // precondition audit: a fingerprint crossing the cap NOW that
+          // already sat in earlier state may have inflated pairs emitted
+          // BEFORE the cap bit — batch winnowingPairs would exclude it
+          // everywhere. Surface the violation (an underscore dir, so
+          // readers of the pair output never see it) instead of letting
+          // the stream diverge from batch silently.
+          dfs.filter(col("df") > maxFpDf.value)
+            .join(seen.select("fp").distinct(), Seq("fp"), "left_semi")
+            .write.mode("overwrite")
+            .parquet(s"$outDir/_cap_crossings/batch=$batchId")
           val ex = allF.join(
-            allF.groupBy("fp").agg(count(lit(1)).as("df"))
-              .filter(col("df") <= maxFpDf.value).select("fp"),
+            dfs.filter(col("df") <= maxFpDf.value).select("fp"),
             Seq("fp"))
           ex.as("x").join(ex.as("y"),
               col("x.fp") === col("y.fp") && col("x.id") < col("y.id") &&

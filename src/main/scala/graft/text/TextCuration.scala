@@ -227,13 +227,7 @@ object TextCuration {
     import org.apache.spark.sql.expressions.Window
     val n = df.select(col(idCol).cast("long").as("id"),
       size(tokens(col(textCol))).cast("long").as("n_tokens"))
-    val b = n.agg(min(col("id")), max(col("id")), count(lit(1))).head()
-    val (lo, span) =
-      if (b.isNullAt(0)) (0L, 1L) else (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
-    val nR = math.min(span,
-      graft.ops.Adaptive.resolveRanges(numRanges, b.getLong(2)).toLong)
-    val withBucket = n.withColumn("__b",
-      expr(s"((id - $lo) * $nR) div $span"))
+    val withBucket = graft.ops.Adaptive.withRangeBucket(n, "id", numRanges)
     val spark = df.sparkSession
     import spark.implicits._
     val totals = withBucket.groupBy("__b").agg(sum(col("n_tokens")).as("__s"))
@@ -268,8 +262,11 @@ object TextCuration {
     * bucket offsets via a window whose partitions hold ≤ numRanges rows,
     * and the running sum window partitions by (cell, bucket) — so even a
     * DEGENERATE quantizer that collapses the corpus into one giant cell
-    * cannot funnel a window partition beyond corpus/numRanges rows.
-    * No driver collect anywhere. Output: (doc_id, cell, n_tokens,
+    * cannot funnel a window partition beyond corpus/numRanges rows. The
+    * only driver action is the 1-row id-bounds aggregate (the
+    * [[tokenBudgetSample]] prelude — note it runs eagerly at call time);
+    * unlike [[sequencePacking]] there is no offsets collect, the bucket
+    * offsets stay distributed. Output: (doc_id, cell, n_tokens,
     * cum_cell_tokens, bin). */
   def semanticPacking(df: DataFrame, idCol: String, textCol: String,
                       cells: DataFrame, budgetTokens: Long = 512L,
@@ -280,13 +277,8 @@ object TextCuration {
     val n = df.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("n_tokens"))
     val c = cells.select(col("vec_id").cast("long").as("doc_id"), col("cell"))
-    val b = n.agg(min(col("doc_id")), max(col("doc_id")), count(lit(1))).head()
-    val (lo, span) =
-      if (b.isNullAt(0)) (0L, 1L) else (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
-    val nR = math.min(span,
-      graft.ops.Adaptive.resolveRanges(numRanges, b.getLong(2)).toLong)
-    val bucketed = n.join(c, "doc_id")
-      .withColumn("__b", expr(s"((doc_id - $lo) * $nR) div $span"))
+    val bucketed = graft.ops.Adaptive.withRangeBucket(
+      n.join(c, "doc_id"), "doc_id", numRanges)
     // per-(cell, bucket) totals -> per-cell bucket offsets: the window
     // runs over the TOTALS frame, ≤ numRanges rows per cell partition
     val wOff = Window.partitionBy("cell").orderBy("__b")
@@ -544,12 +536,7 @@ object TextCuration {
     import org.apache.spark.sql.expressions.Window
     val n = rows.select(col(idCol).cast("long").as("id"),
       col(keyCol).as("key"), col(weightCol).cast("long").as("weight"))
-    val b = n.agg(min(col("id")), max(col("id")), count(lit(1))).head()
-    val (lo, span) =
-      if (b.isNullAt(0)) (0L, 1L) else (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
-    val nR = math.min(span,
-      graft.ops.Adaptive.resolveRanges(numRanges, b.getLong(2)).toLong)
-    val withBucket = n.withColumn("__b", expr(s"((id - $lo) * $nR) div $span"))
+    val withBucket = graft.ops.Adaptive.withRangeBucket(n, "id", numRanges)
     val spark = rows.sparkSession
     import spark.implicits._
     val totals = graft.ops.Adaptive.boundedCollect(

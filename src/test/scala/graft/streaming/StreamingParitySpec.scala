@@ -1013,6 +1013,9 @@ class StreamingParitySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     batch.length should be > 0 // real fingerprint overlap at this scale
     got.toSeq shouldBe batch.toSeq
+    // the mid-stream cap-crossing audit stayed empty — the parity above
+    // is unconditional, not luck
+    spark.read.parquet(s"$outDir/_cap_crossings").count() shouldBe 0L
   }
 
   "EvalDirtinessStream" should "drain to exactly the batch evalDirtiness report (p153)" in {
