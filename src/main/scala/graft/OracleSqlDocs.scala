@@ -565,23 +565,107 @@ object OracleSqlDocs {
     * block per step — assembled programmatically from the same λ/(1−λ)
     * Scala doubles the Spark side multiplies by (Double.toString
     * round-trips exactly), so the scores compare bit-for-bit. */
-  private def mmrSql(kCand: Int, m: Int, lam: Double): String = {
+  private def mmrSql(kCand: Int, m: Int, lam: Double): String =
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20),
+       |sims AS (
+       |  SELECT query_id, v.vec_id AS neighbor_id, ${cos("qe", "e")} AS sim
+       |  FROM q JOIN v ON v.vec_id <> query_id
+       |),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, sim, e FROM (
+       |    SELECT s.query_id, s.neighbor_id, s.sim, v.e,
+       |      row_number() OVER (PARTITION BY s.query_id
+       |        ORDER BY s.sim DESC, s.neighbor_id) AS rn
+       |    FROM sims s JOIN v ON v.vec_id = s.neighbor_id) WHERE rn <= $kCand
+       |)""".stripMargin + mmrGreedySql(m, lam)
+
+  /** The IVFADC+R search chain (Jégou §VI) ending in
+    * `rranked(query_id, neighbor_id, sim, rn)` — the p129 oracle body,
+    * replayed from the persisted codebooks at `cbPath`: lowest-id coarse
+    * cells, residual decode, nProbe=2 ADC over the kShort-deep
+    * shortlist, exact-cosine re-rank. Factored so the deployment MMR
+    * config (p161) composes the exact same chain. */
+  private def ivfadcRerankCtes(cbPath: String, kShort: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |cb AS (SELECT m, code, cv FROM read_parquet(
+       |  '$cbPath/*.parquet')),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+       |scored AS (
+       |  SELECT v.vec_id, v.e, c.cid, c.ce, ${cos("v.e", "c.ce")} AS cs
+       |  FROM v CROSS JOIN cents c
+       |),
+       |assigned AS (
+       |  SELECT vec_id, e, cid AS cell, ce FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY cs DESC, cid) AS rn
+       |    FROM scored
+       |  ) WHERE rn = 1
+       |),
+       |rv AS (
+       |  SELECT vec_id, cell, ${fsub("e", "ce")} AS r FROM assigned
+       |),
+       |${pqDecodedCtesOver("rv", "r")},
+       |probes AS (
+       |  SELECT vec_id AS query_id, e AS qe, cid AS cell, ce FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY cs DESC, cid) AS rn
+       |    FROM scored WHERE vec_id < 20
+       |  ) WHERE rn <= 2
+       |),
+       |qres AS (
+       |  SELECT query_id, cell, ${fsub("qe", "ce")} AS qr FROM probes
+       |),
+       |psub AS (
+       |  SELECT q.query_id, co.vec_id AS neighbor_id, co.m,
+       |    ${l2sq(
+             "list_slice(q.qr, ms.m * ms.sd + 1, (ms.m + 1) * ms.sd)",
+             "c.cv")} AS pd
+       |  FROM qres q
+       |  JOIN (SELECT vec_id, cell FROM rv) a USING (cell)
+       |  JOIN codes co ON co.vec_id = a.vec_id
+       |  JOIN (SELECT DISTINCT m, len(cv) AS sd FROM cb) ms ON ms.m = co.m
+       |  JOIN cb c ON c.m = co.m AND c.code = co.code
+       |  WHERE a.vec_id <> q.query_id
+       |),
+       |sims AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(pd ORDER BY m)),
+       |      (a, b) -> a + b) AS dist
+       |  FROM psub GROUP BY query_id, neighbor_id
+       |),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY dist ASC, neighbor_id) AS rn
+       |    FROM sims
+       |  ) WHERE rn <= $kShort
+       |),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id, ${cos("q2.qe2", "v.e")} AS sim
+       |  FROM short s
+       |  JOIN v ON v.vec_id = s.neighbor_id
+       |  JOIN (SELECT vec_id AS query_id, e AS qe2 FROM v WHERE vec_id < 20)
+       |    q2 USING (query_id)
+       |),
+       |rranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM rr
+       |)""".stripMargin
+
+  /** The m-step MMR greedy as generated CTEs — one (anti-join, penalty,
+    * argmax) block per step, continuing a WITH chain that already
+    * defined `cand(query_id, neighbor_id, sim, e)`. Assembled from the
+    * same λ/(1−λ) Scala doubles the Spark side multiplies by
+    * (Double.toString round-trips exactly), so the scores compare
+    * bit-for-bit. Shared by p160 (brute-force candidates) and p161 (the
+    * IVFADC+R re-ranked shortlist). */
+  private def mmrGreedySql(m: Int, lam: Double): String = {
     val lc = s"CAST($lam AS DOUBLE)"
     val mc = s"CAST(${1.0 - lam} AS DOUBLE)"
-    val base =
-      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20),
-         |sims AS (
-         |  SELECT query_id, v.vec_id AS neighbor_id, ${cos("qe", "e")} AS sim
-         |  FROM q JOIN v ON v.vec_id <> query_id
-         |),
-         |cand AS (
-         |  SELECT query_id, neighbor_id, sim, e FROM (
-         |    SELECT s.query_id, s.neighbor_id, s.sim, v.e,
-         |      row_number() OVER (PARTITION BY s.query_id
-         |        ORDER BY s.sim DESC, s.neighbor_id) AS rn
-         |    FROM sims s JOIN v ON v.vec_id = s.neighbor_id) WHERE rn <= $kCand
-         |),
+    val sel1 =
+      s""",
          |sel1 AS (
          |  SELECT query_id, CAST(1 AS BIGINT) AS mmr_rank, neighbor_id, sim,
          |         $lc*sim AS mmr_score, e
@@ -615,7 +699,7 @@ object OracleSqlDocs {
          |)""".stripMargin
     }.mkString
     val all = (1 to m).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
-    base + steps +
+    sel1 + steps +
       s"""
          |SELECT query_id, mmr_rank, neighbor_id, sim, mmr_score
          |FROM ($all) ORDER BY query_id, mmr_rank""".stripMargin
@@ -1773,74 +1857,21 @@ object OracleSqlDocs {
     // by EXACT cosine against the source vectors (the p21 contract) and
     // the top-5 cut re-taken under (sim DESC, neighbor_id).
     "p129_knn_ivfpq_rerank" ->
-      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-         |cb AS (SELECT m, code, cv FROM read_parquet(
-         |  '${graft.ops.DocAnalytics.P129CodebooksPath}/*.parquet')),
-         |cents AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
-         |scored AS (
-         |  SELECT v.vec_id, v.e, c.cid, c.ce, ${cos("v.e", "c.ce")} AS cs
-         |  FROM v CROSS JOIN cents c
-         |),
-         |assigned AS (
-         |  SELECT vec_id, e, cid AS cell, ce FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                                 ORDER BY cs DESC, cid) AS rn
-         |    FROM scored
-         |  ) WHERE rn = 1
-         |),
-         |rv AS (
-         |  SELECT vec_id, cell, ${fsub("e", "ce")} AS r FROM assigned
-         |),
-         |${pqDecodedCtesOver("rv", "r")},
-         |probes AS (
-         |  SELECT vec_id AS query_id, e AS qe, cid AS cell, ce FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                                 ORDER BY cs DESC, cid) AS rn
-         |    FROM scored WHERE vec_id < 20
-         |  ) WHERE rn <= 2
-         |),
-         |qres AS (
-         |  SELECT query_id, cell, ${fsub("qe", "ce")} AS qr FROM probes
-         |),
-         |psub AS (
-         |  SELECT q.query_id, co.vec_id AS neighbor_id, co.m,
-         |    ${l2sq(
-               "list_slice(q.qr, ms.m * ms.sd + 1, (ms.m + 1) * ms.sd)",
-               "c.cv")} AS pd
-         |  FROM qres q
-         |  JOIN (SELECT vec_id, cell FROM rv) a USING (cell)
-         |  JOIN codes co ON co.vec_id = a.vec_id
-         |  JOIN (SELECT DISTINCT m, len(cv) AS sd FROM cb) ms ON ms.m = co.m
-         |  JOIN cb c ON c.m = co.m AND c.code = co.code
-         |  WHERE a.vec_id <> q.query_id
-         |),
-         |sims AS (
-         |  SELECT query_id, neighbor_id,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(pd ORDER BY m)),
-         |      (a, b) -> a + b) AS dist
-         |  FROM psub GROUP BY query_id, neighbor_id
-         |),
-         |short AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |                                 ORDER BY dist ASC, neighbor_id) AS rn
-         |    FROM sims
-         |  ) WHERE rn <= 30
-         |),
-         |rr AS (
-         |  SELECT s.query_id, s.neighbor_id, ${cos("q2.qe2", "v.e")} AS sim
-         |  FROM short s
-         |  JOIN v ON v.vec_id = s.neighbor_id
-         |  JOIN (SELECT vec_id AS query_id, e AS qe2 FROM v WHERE vec_id < 20)
-         |    q2 USING (query_id)
-         |),
-         |rranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |                               ORDER BY sim DESC, neighbor_id) AS rn
-         |  FROM rr
-         |)
+      (ivfadcRerankCtes(graft.ops.DocAnalytics.P129CodebooksPath, 30) +
+      s"""
          |SELECT query_id, CAST(rn AS BIGINT) AS knn_rank, neighbor_id, sim
-         |FROM rranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin,
+         |FROM rranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin),
+
+    // MMR over the DEPLOYMENT search path (p161): the p129 IVFADC+R
+    // chain re-ranked to a top-8 candidate pool, then the shared greedy.
+    "p161_mmr_deployed" ->
+      (ivfadcRerankCtes(graft.ops.DocAnalytics.P161CodebooksPath, 30) +
+      s""",
+         |cand AS (
+         |  SELECT r.query_id, r.neighbor_id, r.sim, v.e
+         |  FROM rranked r JOIN v ON v.vec_id = r.neighbor_id
+         |  WHERE r.rn <= 8
+         |)""".stripMargin + mmrGreedySql(3, 0.7)),
 
     // what re-ranking buys, as p110's rollup: the SAME decoded-ADC chain
     // at nProbe=8 widened to a 30-deep shortlist, exact-cosine re-ranked,

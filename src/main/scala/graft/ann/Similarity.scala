@@ -77,19 +77,29 @@ object Similarity {
                 queryPred: Column, kCand: Int = 8, m: Int = 3,
                 lambda: Double = 0.7): DataFrame = {
     require(m >= 1 && m <= kCand, s"mmrRerank: need 1 <= m <= kCand")
-    require(lambda >= 0.0 && lambda <= 1.0,
-      s"mmrRerank: lambda must be in [0, 1], got $lambda")
     val v = emb.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).as("ne"))
+    mmrGreedy(
+      knnBruteForce(emb, idCol, vecCol, queryPred, kCand)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("neighbor_id"), col("sim"))
+        .join(v, "neighbor_id"),
+      m, lambda)
+  }
+
+  /** The greedy MMR selection over an arbitrary candidate frame
+    * (query_id, neighbor_id, sim, ne) — [[mmrRerank]]'s engine, shared
+    * with the deployment config that feeds it the IVFADC+R re-ranked
+    * shortlist (p161) so the two cannot drift. */
+  def mmrGreedy(candFrame: DataFrame, m: Int, lambda: Double): DataFrame = {
+    require(m >= 1, s"mmrGreedy: m must be >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrGreedy: lambda must be in [0, 1], got $lambda")
     // localCheckpoint: every greedy stage references the candidate frame;
-    // truncating the brute-force lineage here keeps the unrolled plan
+    // truncating the upstream search lineage keeps the unrolled plan
     // O(m) and scans the corpus ONCE (the duplicateGroups round
     // convention) instead of embedding the search subtree per stage.
-    val cands = knnBruteForce(emb, idCol, vecCol, queryPred, kCand)
-      .select(col("query_id").cast("long").as("query_id"),
-        col("neighbor_id"), col("sim"))
-      .join(v, "neighbor_id")
-      .localCheckpoint()
+    val cands = candFrame.localCheckpoint()
     def pick(scored: DataFrame, rank: Int): DataFrame =
       scored.groupBy("query_id")
         .agg(max(struct(col("score"), (-col("neighbor_id")).as("nid"),
@@ -107,9 +117,13 @@ object Similarity {
     // latest pick ONCE and re-checkpoints, so the plan stays flat in m.
     var rem = cands.withColumn("pen", lit(Double.NegativeInfinity))
     for (j <- 2 to m) {
-      val pk = picked.select(col("query_id"), col("neighbor_id").as("__pid"))
-        .join(v.select(col("neighbor_id").as("__pid"), col("ne").as("__pe")),
-          "__pid")
+      // the pick's vector comes from the candidate frame itself (a pick
+      // is always one of its query's candidates)
+      val pk = picked.select(col("query_id"), col("neighbor_id"))
+        .join(cands.select(col("query_id"), col("neighbor_id"), col("ne")),
+          Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), col("neighbor_id").as("__pid"),
+          col("ne").as("__pe"))
       rem = rem.join(pk, Seq("query_id"))
         .filter(col("neighbor_id") =!= col("__pid"))
         .withColumn("pen", greatest(col("pen"), cosine(col("ne"), col("__pe"))))

@@ -148,6 +148,9 @@ object DocAnalytics {
   /** p159's trained centroids (quantizer inertia audit). */
   def P159CentroidsPath: String = s"$oracleArtifactDir/p159_centroids"
 
+  /** p161's residual codebooks (MMR over the deployment search). */
+  def P161CodebooksPath: String = s"$oracleArtifactDir/p161_codebooks"
+
   def oracleArtifactPaths: Seq[String] =
     Seq(P50CentroidsPath, P103CentroidsPath, P105CodebooksPath,
       P106CodebooksPath, P109CodebooksPath, P110CodebooksPath,
@@ -158,7 +161,7 @@ object DocAnalytics {
       P129CodebooksPath, P130CodebooksPath, P140MergesPath,
       P144MergesPath, P145MergesPath, P146MergesPath, P147CentroidsPath,
       P151OldCentroidsPath, P151NewCentroidsPath, P152CentroidsPath,
-      P154CentroidsPath, P159CentroidsPath)
+      P154CentroidsPath, P159CentroidsPath, P161CodebooksPath)
 
   /** p50 phase 1: bounded-Lloyd quantizer training (a multi-pass training
     * pipeline, not query latency — the bench times it separately). */
@@ -428,6 +431,26 @@ object DocAnalytics {
       onPhase("train")
       graft.ann.ProductQuantizer.knnIvfPqRerank(e, "vec_id", "embedding",
         col("vec_id") < QueryMaxId, cents, cb, kShort = 30)
+    }),
+    // MMR over the DEPLOYMENT path (p161): the p129 IVFADC+R search
+    // widened to a top-8 re-ranked pool, then the SAME greedy p160 runs
+    // on brute-force candidates — compressed index -> shortlist ->
+    // exact re-rank -> diversity, the full RAG retrieval stack
+    "p161_mmr_deployed" -> ("search", (s, d, onPhase) => {
+      val e = emb(s, d)
+      val cents = Similarity.lowestIdCentroids(e, "vec_id", "embedding", 8)
+      val cb = graft.ann.ProductQuantizer.trainResidualCodebooks(
+        e, "vec_id", "embedding", cents, m = 16)
+      persistCodebooks(s, cb, P161CodebooksPath)
+      onPhase("train")
+      val v = e.select(col("vec_id").cast("long").as("neighbor_id"),
+        col("embedding").as("ne"))
+      Similarity.mmrGreedy(
+        graft.ann.ProductQuantizer.knnIvfPqRerank(e, "vec_id", "embedding",
+            col("vec_id") < QueryMaxId, cents, cb, k = 8, kShort = 30)
+          .select(col("query_id"), col("neighbor_id"), col("sim"))
+          .join(v, "neighbor_id"),
+        m = 3, lambda = 0.7)
     }),
     // what re-ranking buys: p110's recall rollup with the SAME decoded-
     // ADC contract and nProbe=8, but the shortlist widened to 30 and
@@ -949,6 +972,8 @@ object DocAnalytics {
     // IVFADC+R: LUT-ADC shortlist + exact re-rank, and its recall rollup
     "p129_knn_ivfpq_rerank" -> ((s, d) =>
       phasedQueries("p129_knn_ivfpq_rerank")._2(s, d, _ => ())),
+    "p161_mmr_deployed" -> ((s, d) =>
+      phasedQueries("p161_mmr_deployed")._2(s, d, _ => ())),
     "p130_rerank_recall" -> ((s, d) =>
       phasedQueries("p130_rerank_recall")._2(s, d, _ => ())),
     // BPE tokenizer (train + persist merges, row-local apply) — phased
