@@ -449,3 +449,60 @@ object InertiaStream {
     graft.ann.Similarity.inertiaFrom(
       VersionedState.readSet(spark, stateDir, None).getOrElse(emptyState(spark)))
 }
+
+/** Streaming twin of the mixture-planning reports — p120 temperature
+  * weights ([[graft.text.TextCuration.mixtureWeights]]) and p155 UniMax
+  * allocation ([[graft.text.TextCuration.unimaxAllocation]]): both
+  * reduce the corpus to the SAME per-key integer mass partials
+  * (key, n_docs, n_tokens), mergeable by construction, so ONE stream
+  * accumulates ≤C rows of state serving both reports — the
+  * InertiaStream shape, compacted every batch, replay-safe via the
+  * predecessor read. [[weightsReport]] / [[unimaxReport]] run the batch
+  * operators' own report halves over the drained partials (shared code,
+  * no drift), so each drained report equals its batch twin over all
+  * rows seen; pinned by the parity test. */
+object KeyMassStream {
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+  import graft.text.TextCuration
+
+  private def stateSchema = StructType(Seq(
+    StructField("key", StringType), StructField("n_docs", LongType),
+    StructField("n_tokens", LongType)))
+
+  private def emptyState(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+
+  def attach(docs: DataFrame, keyCol: String, textCol: String,
+             stateDir: String, checkpointDir: String,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val seen = VersionedState.readSet(spark, stateDir, Some(batchId))
+          .getOrElse(emptyState(spark))
+        val merged = seen
+          .unionByName(TextCuration.keyMassPartials(batch, keyCol, textCol))
+          .groupBy("key")
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"))
+        VersionedState.write(merged, stateDir, batchId, compact = true)
+        VersionedState.prune(spark, stateDir, batchId)
+      }
+      .start()
+
+  def weightsReport(spark: org.apache.spark.sql.SparkSession,
+                    stateDir: String): DataFrame =
+    TextCuration.mixtureWeightsFrom(
+      VersionedState.readSet(spark, stateDir, None).getOrElse(emptyState(spark)))
+
+  def unimaxReport(spark: org.apache.spark.sql.SparkSession,
+                   stateDir: String, budgetTokens: Long,
+                   maxEpochs: Long = 2L): DataFrame =
+    TextCuration.unimaxAllocationFrom(
+      VersionedState.readSet(spark, stateDir, None).getOrElse(emptyState(spark)),
+      budgetTokens, maxEpochs)
+}

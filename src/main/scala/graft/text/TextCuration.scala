@@ -449,13 +449,26 @@ object TextCuration {
     * post-aggregation one-partition pattern the scorers use). Output:
     * (key, n_docs, n_tokens, sqrt_tokens, weight_share) by key. */
   def mixtureWeights(df: DataFrame, idCol: String, keyCol: String,
-                     textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perKey = df
-      .select(col(keyCol).as("key"),
+                     textCol: String): DataFrame =
+    mixtureWeightsFrom(keyMassPartials(df, keyCol, textCol))
+
+  /** The per-key INTEGER mass partials both mixture reports reduce to —
+    * (key, n_docs, n_tokens). Mergeable by construction, which is what
+    * the streaming twin accumulates as its ≤C-row state. */
+  def keyMassPartials(df: DataFrame, keyCol: String,
+                      textCol: String): DataFrame =
+    df.select(col(keyCol).as("key"),
         size(tokens(col(textCol))).cast("long").as("n_tok"))
       .groupBy("key")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+
+  /** The report half of [[mixtureWeights]] over (possibly pre-merged)
+    * per-key partials — shared with the streaming twin so batch and
+    * stream cannot drift on the share arithmetic. */
+  def mixtureWeightsFrom(partials: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perKey = partials.groupBy("key")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
     // the denominator must be an ORDER-DEFINED fold (double addition is
     // non-associative): collect the key-ascending shares into one array
     // over the C-row aggregate and fold left-to-right, the HLL-estimate
@@ -496,15 +509,19 @@ object TextCuration {
     * cap_tokens, capped, alloc_tokens, n_epochs) by key. */
   def unimaxAllocation(df: DataFrame, idCol: String, keyCol: String,
                        textCol: String, budgetTokens: Long,
-                       maxEpochs: Long = 2L): DataFrame = {
+                       maxEpochs: Long = 2L): DataFrame =
+    unimaxAllocationFrom(keyMassPartials(df, keyCol, textCol),
+      budgetTokens, maxEpochs)
+
+  /** The report half of [[unimaxAllocation]] over (possibly pre-merged)
+    * per-key partials — shared with the streaming twin. */
+  def unimaxAllocationFrom(partials: DataFrame, budgetTokens: Long,
+                           maxEpochs: Long = 2L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetTokens >= 0, s"unimaxAllocation: budgetTokens must be >= 0")
     require(maxEpochs >= 1, s"unimaxAllocation: maxEpochs must be >= 1")
-    val perKey = df
-      .select(col(keyCol).as("key"),
-        size(tokens(col(textCol))).cast("long").as("n_tok"))
-      .groupBy("key")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val perKey = partials.groupBy("key")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .withColumn("cap_tokens", col("n_tokens") * maxEpochs)
     val asc = Window.orderBy(col("cap_tokens"), col("key"))
     val all = Window.partitionBy()

@@ -995,6 +995,55 @@ class StreamingParitySpec extends SparkSpec {
     got shouldBe batch.toSeq
   }
 
+  "KeyMassStream" should "drain to exactly the batch mixture-weights AND UniMax reports over one shared state (p120/p155)" in {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val stateDir = Files.createTempDirectory("graft-mass-state").toString
+    val ckpt = Files.createTempDirectory("graft-mass-ckpt").toString
+    val q = KeyMassStream.attach(
+      docStreamWithLang(dumpDocsAsJsonWithLang()), "lang", "text",
+      stateDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val gotW = KeyMassStream.weightsReport(spark, stateDir)
+      .collect().map(_.toSeq)
+    val batchW = graft.text.TextCuration.mixtureWeights(
+        docsDf, "doc_id", "lang", "text").collect().map(_.toSeq)
+    gotW.toSeq shouldBe batchW.toSeq
+    val total = batchW.map(_(2).asInstanceOf[Long]).sum
+    val gotU = KeyMassStream.unimaxReport(spark, stateDir,
+        budgetTokens = total * 3 / 2).collect().map(_.toSeq)
+    val batchU = graft.text.TextCuration.unimaxAllocation(
+        docsDf, "doc_id", "lang", "text", budgetTokens = total * 3 / 2)
+      .collect().map(_.toSeq)
+    gotU.toSeq shouldBe batchU.toSeq
+    // state stays <= C rows of integer partials
+    val lastState = new java.io.File(stateDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).max
+    spark.read.parquet(s"$stateDir/$lastState").count() should be <= batchW.length.toLong
+  }
+
+  private def dumpDocsAsJsonWithLang(): String = {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-docs-lang-json")
+    val lines = docsDf.orderBy("doc_id")
+      .select(to_json(struct(col("doc_id"), col("text"), col("lang"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(math.max(1, lines.length / 5)).zipWithIndex.foreach { case (ls, i) =>
+      val f = dir.resolve(f"docs-$i%03d.json")
+      Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    dir.toString
+  }
+
+  private def docStreamWithLang(dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)
+  }
+
   "WinnowingStream" should "accumulate exactly the batch winnowingPairs output across micro-batches (p158)" in {
     val docsDf = graft.sources.Tables.documents(spark, sfDir)
     val outDir = Files.createTempDirectory("graft-winnow-out").toString
