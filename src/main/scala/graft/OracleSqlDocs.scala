@@ -1870,8 +1870,9 @@ object OracleSqlDocs {
          |cand AS (
          |  SELECT r.query_id, r.neighbor_id, r.sim, v.e
          |  FROM rranked r JOIN v ON v.vec_id = r.neighbor_id
-         |  WHERE r.rn <= 8
-         |)""".stripMargin + mmrGreedySql(3, 0.7)),
+         |  WHERE r.rn <= ${graft.ann.Similarity.MmrKCand}
+         |)""".stripMargin + mmrGreedySql(graft.ann.Similarity.MmrM,
+        graft.ann.Similarity.MmrLambda)),
 
     // what re-ranking buys, as p110's rollup: the SAME decoded-ADC chain
     // at nProbe=8 widened to a 30-deep shortlist, exact-cosine re-ranked,
@@ -2355,7 +2356,8 @@ object OracleSqlDocs {
          |       CAST(len(gh) AS BIGINT) AS n_grams
          |FROM h ORDER BY id""".stripMargin,
 
-    "p160_mmr_rerank" -> mmrSql(kCand = 8, m = 3, lam = 0.7),
+    "p160_mmr_rerank" -> mmrSql(kCand = graft.ann.Similarity.MmrKCand,
+      m = graft.ann.Similarity.MmrM, lam = graft.ann.Similarity.MmrLambda),
 
     "p21_knn_bruteforce" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),

@@ -73,24 +73,44 @@ object Similarity {
     * verified search. All doubles are single products/subtractions of
     * bit-equal cosines, so the oracle replays the greedy exactly.
     * Output: (query_id, mmr_rank, neighbor_id, sim, mmr_score). */
+  /** The p160/p161 MMR configuration, shared with the DuckDB twins
+    * (the oracle builders read these same values), so tuning one side
+    * cannot silently diverge the other. */
+  val MmrKCand = 8
+  val MmrM = 3
+  val MmrLambda = 0.7
+
   def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
-                queryPred: Column, kCand: Int = 8, m: Int = 3,
-                lambda: Double = 0.7): DataFrame = {
+                queryPred: Column, kCand: Int = MmrKCand, m: Int = MmrM,
+                lambda: Double = MmrLambda): DataFrame = {
     require(m >= 1 && m <= kCand, s"mmrRerank: need 1 <= m <= kCand")
-    val v = emb.select(col(idCol).cast("long").as("neighbor_id"),
-      col(vecCol).as("ne"))
-    mmrGreedy(
-      knnBruteForce(emb, idCol, vecCol, queryPred, kCand)
-        .select(col("query_id").cast("long").as("query_id"),
-          col("neighbor_id"), col("sim"))
-        .join(v, "neighbor_id"),
-      m, lambda)
+    mmrOverSearch(knnBruteForce(emb, idCol, vecCol, queryPred, kCand),
+      emb, idCol, vecCol, m, lambda)
   }
+
+  /** [[mmrGreedy]] over any search result shaped (query_id, neighbor_id,
+    * sim, …): attaches candidate vectors by neighbor id — the one piece
+    * of glue between a search and the greedy, kept in one place so the
+    * p160 (brute-force) and p161 (IVFADC+R) configs cannot drift on the
+    * candidate-frame contract. */
+  def mmrOverSearch(search: DataFrame, emb: DataFrame, idCol: String,
+                    vecCol: String, m: Int = MmrM,
+                    lambda: Double = MmrLambda): DataFrame =
+    mmrGreedy(
+      search.select(col("query_id").cast("long").as("query_id"),
+          col("neighbor_id"), col("sim"))
+        .join(emb.select(col(idCol).cast("long").as("neighbor_id"),
+          col(vecCol).as("ne")), "neighbor_id"),
+      m, lambda)
 
   /** The greedy MMR selection over an arbitrary candidate frame
     * (query_id, neighbor_id, sim, ne) — [[mmrRerank]]'s engine, shared
     * with the deployment config that feeds it the IVFADC+R re-ranked
-    * shortlist (p161) so the two cannot drift. */
+    * shortlist (p161) so the two cannot drift. A query whose candidate
+    * pool holds fewer than `m` rows returns fewer ranks (later stages
+    * have nothing left to pick — the same truncation a small pool causes
+    * in [[mmrRerank]]); callers needing exactly m rows per query must
+    * size the upstream search accordingly. */
   def mmrGreedy(candFrame: DataFrame, m: Int, lambda: Double): DataFrame = {
     require(m >= 1, s"mmrGreedy: m must be >= 1")
     require(lambda >= 0.0 && lambda <= 1.0,

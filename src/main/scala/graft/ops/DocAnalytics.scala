@@ -443,14 +443,11 @@ object DocAnalytics {
         e, "vec_id", "embedding", cents, m = 16)
       persistCodebooks(s, cb, P161CodebooksPath)
       onPhase("train")
-      val v = e.select(col("vec_id").cast("long").as("neighbor_id"),
-        col("embedding").as("ne"))
-      Similarity.mmrGreedy(
+      Similarity.mmrOverSearch(
         graft.ann.ProductQuantizer.knnIvfPqRerank(e, "vec_id", "embedding",
-            col("vec_id") < QueryMaxId, cents, cb, k = 8, kShort = 30)
-          .select(col("query_id"), col("neighbor_id"), col("sim"))
-          .join(v, "neighbor_id"),
-        m = 3, lambda = 0.7)
+          col("vec_id") < QueryMaxId, cents, cb,
+          k = Similarity.MmrKCand, kShort = 30),
+        e, "vec_id", "embedding")
     }),
     // what re-ranking buys: p110's recall rollup with the SAME decoded-
     // ADC contract and nProbe=8, but the shortlist widened to 30 and

@@ -471,11 +471,13 @@ class StreamingParitySpec extends SparkSpec {
     * maxFilesPerTrigger=1 file stream replays the documents table
     * id-ordered across ≥5 micro-batches — the cross-batch ordering
     * contract of the span-dedup twin. */
-  private def dumpDocsAsJson(): String = {
+  private def dumpDocsAsJson(withLang: Boolean = false): String = {
     val docsDf = graft.sources.Tables.documents(spark, sfDir)
     val dir = Files.createTempDirectory("graft-docs-json")
+    val cols = if (withLang) Seq(col("doc_id"), col("text"), col("lang"))
+               else Seq(col("doc_id"), col("text"))
     val lines = docsDf.orderBy("doc_id")
-      .select(to_json(struct(col("doc_id"), col("text"))).as("l"))
+      .select(to_json(struct(cols: _*)).as("l"))
       .collect().map(_.getString(0))
     lines.grouped(math.max(1, lines.length / 5)).zipWithIndex.foreach { case (ls, i) =>
       val f = dir.resolve(f"docs-$i%03d.json")
@@ -485,10 +487,12 @@ class StreamingParitySpec extends SparkSpec {
     dir.toString
   }
 
-  private def docStream(dir: String): DataFrame = {
+  private def docStream(dir: String, withLang: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType)))
+    val base = Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))
+    val schema = StructType(
+      if (withLang) base :+ StructField("lang", StringType) else base)
     spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)
   }
 
@@ -1000,8 +1004,8 @@ class StreamingParitySpec extends SparkSpec {
     val stateDir = Files.createTempDirectory("graft-mass-state").toString
     val ckpt = Files.createTempDirectory("graft-mass-ckpt").toString
     val q = KeyMassStream.attach(
-      docStreamWithLang(dumpDocsAsJsonWithLang()), "lang", "text",
-      stateDir, ckpt)
+      docStream(dumpDocsAsJson(withLang = true), withLang = true),
+      "lang", "text", stateDir, ckpt)
     q.awaitTermination(180000)
     assert(!q.isActive, "stream did not terminate")
     val gotW = KeyMassStream.weightsReport(spark, stateDir)
@@ -1020,28 +1024,6 @@ class StreamingParitySpec extends SparkSpec {
     val lastState = new java.io.File(stateDir).listFiles()
       .filter(_.isDirectory).map(_.getName).max
     spark.read.parquet(s"$stateDir/$lastState").count() should be <= batchW.length.toLong
-  }
-
-  private def dumpDocsAsJsonWithLang(): String = {
-    val docsDf = graft.sources.Tables.documents(spark, sfDir)
-    val dir = Files.createTempDirectory("graft-docs-lang-json")
-    val lines = docsDf.orderBy("doc_id")
-      .select(to_json(struct(col("doc_id"), col("text"), col("lang"))).as("l"))
-      .collect().map(_.getString(0))
-    lines.grouped(math.max(1, lines.length / 5)).zipWithIndex.foreach { case (ls, i) =>
-      val f = dir.resolve(f"docs-$i%03d.json")
-      Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
-      f.toFile.setLastModified(1700000000000L + i * 60000L)
-    }
-    dir.toString
-  }
-
-  private def docStreamWithLang(dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType)))
-    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)
   }
 
   "WinnowingStream" should "accumulate exactly the batch winnowingPairs output across micro-batches (p158)" in {
