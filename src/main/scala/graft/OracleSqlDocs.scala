@@ -2291,6 +2291,35 @@ object OracleSqlDocs {
          |    AS quality_score
          |FROM toks ORDER BY id""".stripMargin,
 
+    // language-stratified quality gate (p162): the p18 quality fold, a
+    // per-LANGUAGE lower discrete quantile threshold (the p139 rank
+    // rule), keep iff score >= threshold.
+    "p162_lang_quality_gate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, lang, ${norm("text")} AS norm,
+         |         string_split(${norm("text")}, ' ') AS t
+         |  FROM documents
+         |), q AS (
+         |  SELECT id, lang,
+         |    least(CAST(1.0 AS DOUBLE), CAST(len(t) AS DOUBLE) / CAST(200.0 AS DOUBLE))
+         |      * (CAST(1.0 AS DOUBLE)
+         |         - CAST(len(list_filter(t, x -> x IN $stopList)) AS DOUBLE) / len(t))
+         |      AS quality_score
+         |  FROM toks
+         |), byl AS (
+         |  SELECT lang, list_sort(list(quality_score)) AS vs
+         |  FROM q WHERE quality_score IS NOT NULL GROUP BY lang
+         |), thr AS (
+         |  SELECT lang,
+         |    vs[CAST(greatest(1, ceil(CAST(${graft.text.TextStats.QualityGateQ}
+         |      AS DOUBLE) * len(vs))) AS INT)] AS lang_threshold
+         |  FROM byl
+         |)
+         |SELECT q.id AS doc_id, q.lang, q.quality_score, thr.lang_threshold,
+         |       q.quality_score >= thr.lang_threshold AS keep
+         |FROM q LEFT JOIN thr ON q.lang = thr.lang
+         |ORDER BY doc_id""".stripMargin,
+
     "p19_lang_id" ->
       s"""WITH toks AS (
          |  SELECT doc_id AS id, string_split(${norm("text")}, ' ') AS t FROM documents

@@ -1028,6 +1028,11 @@ object DocAnalytics {
     // rounded so the shares verify bit-exactly, unlike pow/log configs
     "p120_mixture_weights" -> ((s, d) =>
       TextCuration.mixtureWeights(docs(s, d), "doc_id", "lang", "text")),
+    // language-stratified quality gate: keep the top half of each
+    // LANGUAGE's quality distribution — the per-language threshold that
+    // keeps a global cut from over-filtering low-scoring languages
+    "p162_lang_quality_gate" -> ((s, d) =>
+      graft.text.TextStats.langQualityGate(docs(s, d), "doc_id", "text", "lang")),
     // UniMax epoch-capped budget allocation (p120's allocation half):
     // budget = 1.5× corpus mass at a 2-epoch cap — chosen so the cap
     // BITES with variance at both scales (the four smaller languages cap,

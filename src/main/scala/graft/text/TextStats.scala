@@ -469,6 +469,10 @@ object TextStats {
     * ceil(q·n) on identical bits. */
   val TertileQs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3)
 
+  /** The p162 gate quantile — shared with the DuckDB twin (the oracle
+    * interpolates this same double), so the two cannot drift. */
+  val QualityGateQ: Double = 0.5
+
   /** (id, bg) conditional-bigram occurrence rows: consecutive
     * bucket-hash pairs packed as b1·[[LmBuckets]] + b2. The context
     * bucket is recoverable as bg div B — one column carries both
@@ -603,6 +607,42 @@ object TextStats {
           .when(col("bits_per_bigram") <= col("__t1"), lit("head"))
           .when(col("bits_per_bigram") <= col("__t2"), lit("middle"))
           .otherwise(lit("tail")).as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-stratified quality gate (the CCNet/FineWeb-style filter
+    * stage: one GLOBAL quality threshold over-filters languages whose
+    * score distribution sits lower, so the cut is per-LANGUAGE): each
+    * document's [[stats]] quality score against its language's exact
+    * `q`-quantile, keep iff score ≥ threshold. The threshold is the
+    * lower discrete quantile (an actual corpus value, rank
+    * max(1, ⌈q·n⌉)), so ties keep slightly more than the nominal share —
+    * the [[graft.ops.Percentiles.exactRankSelect]] contract.
+    *
+    * Scale shape: scoring is row-local; thresholds ride the BUCKETED
+    * rank select (never a per-language global sort — the p139 shape on
+    * the quality axis) and broadcast back as ≤C rows. Null-quality
+    * documents (null text) are excluded from threshold estimation and
+    * carry a null verdict. Output: (doc_id, lang, quality_score,
+    * lang_threshold, keep) by doc_id. */
+  def langQualityGate(df: DataFrame, idCol: String, textCol: String,
+                      langCol: String, dropQ: Double = QualityGateQ): DataFrame = {
+    require(dropQ > 0 && dropQ <= 1,
+      s"langQualityGate: dropQ must be in (0, 1], got $dropQ")
+    val scored = stats(df, idCol, textCol)
+      .select(col("id").cast("long").as("doc_id"), col("quality_score"))
+    val langs = df.select(col(idCol).cast("long").as("doc_id"),
+      col(langCol).as("lang"))
+    val base = scored.join(langs, Seq("doc_id"))
+    val thr = graft.ops.Percentiles.exactRankSelect(
+        base.filter(col("quality_score").isNotNull)
+          .select(col("lang"), col("quality_score")),
+        "lang", "quality_score", Seq(dropQ))
+      .select(col("lang"), col("quality_score").as("lang_threshold"))
+    base.join(broadcast(thr), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        col("lang_threshold"),
+        (col("quality_score") >= col("lang_threshold")).as("keep"))
       .orderBy("doc_id")
   }
 

@@ -122,4 +122,30 @@ class TextStatsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       TextStats.vocabGrowth(df, "doc_id", "text", nCheckpoints = 0)
   }
+
+  "langQualityGate" should "cut each language at its OWN median, where a global cut starves the low language" in {
+    // lang hi: stopword-free docs, scores 0.2/0.3/0.4/0.5; lang lo:
+    // stopword-heavy, scores 0.02/0.04/0.06/0.08 — every lo score sits
+    // below every hi score. All scores distinct within a language.
+    val docs = (0L until 8L).map { i =>
+      val hi = i < 4
+      val body =
+        if (hi) ("word " * (40 + 20 * i.toInt)).trim
+        else ("the of the of " + ("word " * (4 * (i.toInt - 3)))).trim
+      (i, body, if (hi) "hi" else "lo")
+    }.toDF("doc_id", "text", "lang")
+    val out = TextStats.langQualityGate(docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    // per-language thresholds genuinely differ
+    val thrByLang = out.groupBy(_._2).map { case (l, rs) => l -> rs.head._4 }
+    thrByLang("hi") should be > thrByLang("lo")
+    // the lower-median rule keeps scores >= the 2nd-lowest of each
+    // lang's 4 distinct values: 3 kept per language, the lowest dropped
+    out.filter(_._5).map(_._1).sorted shouldBe Seq(1L, 2L, 3L, 5L, 6L, 7L)
+    // the same rank rule applied GLOBALLY would keep at most one lo doc
+    val sortedAll = out.map(_._3).sorted
+    val globalThr = sortedAll(math.max(1, math.ceil(0.5 * 8).toInt) - 1)
+    out.filter(_._2 == "lo").count(_._3 >= globalThr) should be <= 1
+  }
 }
