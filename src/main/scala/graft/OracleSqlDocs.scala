@@ -3114,6 +3114,40 @@ object OracleSqlDocs {
          |     - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_error
          |FROM den""".stripMargin),
 
+    // per-language HLL (p163): p66's chain with every stage keyed by
+    // lang — registers, fold, exact harness and the bias constant all
+    // identical, grouped.
+    "p163_hll_by_lang" -> (shingleCtes +
+      s""",
+         |grams AS (
+         |  SELECT d.lang AS key, unnest(s.sh) AS g
+         |  FROM shn s JOIN documents d ON d.doc_id = s.id
+         |),
+         |gv AS (SELECT key, g, (g * 48271) % 998244353 % 4194304 AS v FROM grams),
+         |regs AS (
+         |  SELECT key, g % 256 AS register,
+         |         max(CASE WHEN v = 0 THEN 23
+         |                  ELSE 23 - length(bin(v)) END) AS m_j
+         |  FROM gv GROUP BY 1, 2
+         |),
+         |folded AS (
+         |  SELECT key, list(m_j ORDER BY register) AS ms, count(*) AS n_present
+         |  FROM regs GROUP BY key
+         |),
+         |ex AS (SELECT key, count(DISTINCT g) AS n_exact FROM grams GROUP BY key),
+         |den AS (
+         |  SELECT f.key, n_present, n_exact,
+         |    list_reduce(list_prepend(CAST(256 AS DOUBLE) - CAST(n_present AS DOUBLE),
+         |      list_transform(ms, x -> CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << x))),
+         |      (a, b) -> a + b) AS denom
+         |  FROM folded f JOIN ex ON ex.key = f.key
+         |)
+         |SELECT key, CAST(256 AS BIGINT) AS m, n_present, n_exact,
+         |  ${dblLit(graft.text.Sketches.HllAlphaM2)} / denom AS estimate,
+         |  (${dblLit(graft.text.Sketches.HllAlphaM2)} / denom
+         |     - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_error
+         |FROM den ORDER BY key""".stripMargin),
+
     // Count-Min token-frequency estimates for the exact top-10 tokens —
     // integer-only, so overestimates (hash collisions) compare exactly;
     // the four hash rows are printed from the same CmsParams constants.

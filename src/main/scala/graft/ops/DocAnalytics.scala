@@ -1256,6 +1256,10 @@ object DocAnalytics {
     // harness; the sketch path is the fixed-size partial-aggregable state)
     "p66_hll_cardinality" -> ((s, d) =>
       graft.text.Sketches.hllShingleCardinality(docs(s, d), "doc_id", "text")),
+    // the GROUPED form: one mergeable register table per language — the
+    // cube-able sketch pattern (per-key cardinalities from one pass)
+    "p163_hll_by_lang" -> ((s, d) =>
+      graft.text.Sketches.hllGroupedCardinality(docs(s, d), "doc_id", "text", "lang")),
     "p67_cms_frequency" -> ((s, d) =>
       graft.text.Sketches.cmsTokenFrequency(docs(s, d), "doc_id", "text")),
     // the sketch family's third leg: KMV bottom-k quantile sketch over

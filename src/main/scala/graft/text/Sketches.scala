@@ -54,13 +54,15 @@ object Sketches {
     * estimate ~+8.6%): scramble g multiplicatively into the 998244353
     * range and keep the LOW 22 bits — the reduction modulus is tiny
     * relative to the range, so per-residue bias is ≤ 1/238 ≈ 0.4%. */
-  private def registerUpdates(grams: DataFrame): DataFrame = {
+  private def registerUpdates(grams: DataFrame,
+                              carry: Seq[String] = Nil): DataFrame = {
     val v = (col("g") * lit(48271L)) % lit(998244353L) % lit(1L << HllRankBits)
     // rank = leading zeros of the 22-bit value + 1 = 23 - bitlength(v);
     // bin() gives the minimal binary string on both engines.
     val rank = when(v === 0L, lit(HllRankBits + 1))
       .otherwise(lit(HllRankBits + 1) - length(bin(v))).cast("long")
-    grams.select((col("g") % HllRegisters).as("register"), rank.as("rank"))
+    grams.select(carry.map(col) ++ Seq(
+      (col("g") % HllRegisters).as("register"), rank.as("rank")): _*)
   }
 
   /** (register, rank) update rows for the HLL sketch — the shared shaping
@@ -111,6 +113,44 @@ object Sketches {
       (lit(HllAlphaM2) / denom).as("estimate"),
       ((lit(HllAlphaM2) / denom - col("n_exact").cast("double"))
         / col("n_exact").cast("double")).as("rel_error"))
+  }
+
+  /** Per-KEY HyperLogLog distinct-shingle estimates — the GROUPED form
+    * of [[hllShingleCardinality]], the cube-able sketch pattern: one
+    * register table PER GROUP (keys × 256 rows of mergeable `max`
+    * state), so per-language / per-source cardinalities come from one
+    * corpus pass, merge across partitions map-side like any partial
+    * aggregate, and re-merge under coarser rollups without rescanning
+    * (the reason warehouses store grouped HLL registers, not counts).
+    * Same rank rule, same fold, same bias constant as the global sketch;
+    * the per-key exact distinct stays the verification harness and the
+    * collect-free path is the register aggregate alone. Output:
+    * (key, m, n_present, n_exact, estimate, rel_error) by key. */
+  def hllGroupedCardinality(df: DataFrame, idCol: String, textCol: String,
+                            keyCol: String, shingleK: Int = 3): DataFrame = {
+    val keys = df.select(col(idCol).as("id"), col(keyCol).as("key"))
+    val grams = TextDedup.shingleFrame(df, idCol, textCol, shingleK)
+      .join(keys, "id")
+      .select(col("key"), explode(col("sh")).as("g"))
+    val regs = registerUpdates(grams, carry = Seq("key"))
+      .groupBy("key", "register").agg(max(col("rank")).as("m_j"))
+    val exact = grams.groupBy("key").agg(countDistinct(col("g")).as("n_exact"))
+    val folded = regs.groupBy("key").agg(
+      sort_array(collect_list(struct(col("register"), col("m_j")))).as("arr"),
+      count(lit(1)).as("n_present"))
+    val denom = expr(
+      "aggregate(transform(arr, e -> CAST(1 AS DOUBLE) / " +
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(e.m_j AS INT)) AS DOUBLE)), " +
+        "CAST(256 AS DOUBLE) - CAST(n_present AS DOUBLE), (acc, x) -> acc + x)")
+    folded.join(exact, "key").select(
+      col("key"),
+      lit(HllRegisters.toLong).as("m"),
+      col("n_present"),
+      col("n_exact"),
+      (lit(HllAlphaM2) / denom).as("estimate"),
+      ((lit(HllAlphaM2) / denom - col("n_exact").cast("double"))
+        / col("n_exact").cast("double")).as("rel_error"))
+      .orderBy("key")
   }
 
   /** Count-Min sketch hash-row parameters (seed, multiplier, modulus) —

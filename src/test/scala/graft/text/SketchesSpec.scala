@@ -8,6 +8,21 @@ class SketchesSpec extends SparkSpec {
 
   private def docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
 
+  "hllGroupedCardinality" should "equal the GLOBAL sketch computed per key subset" in {
+    import org.apache.spark.sql.functions.col
+    val grouped = Sketches.hllGroupedCardinality(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    grouped.keySet.size should be > 1 // a real multi-key report
+    grouped.keySet.foreach { lang =>
+      val g = Sketches.hllShingleCardinality(
+        docs.filter(col("lang") === lang), "doc_id", "text").head()
+      grouped(lang) shouldBe
+        ((g.getAs[Long]("n_present"), g.getAs[Long]("n_exact"),
+          g.getAs[Double]("estimate")))
+    }
+  }
+
   "hllShingleCardinality" should "estimate within the theoretical error band" in {
     val r = Sketches.hllShingleCardinality(docs, "doc_id", "text").head()
     val exact = r.getAs[Long]("n_exact")
