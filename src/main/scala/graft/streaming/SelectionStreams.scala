@@ -506,3 +506,30 @@ object KeyMassStream {
       VersionedState.readSet(spark, stateDir, None).getOrElse(emptyState(spark)),
       budgetTokens, maxEpochs)
 }
+
+/** Streaming twin of the p162 language-stratified quality gate's SCORE
+  * half ([[graft.text.TextStats.langQualityGateWith]]): gate a document
+  * stream against FROZEN per-language thresholds — the deployment split
+  * (estimate thresholds on the reference corpus once offline via
+  * [[graft.text.TextStats.langQualityThresholds]], gate the ingest
+  * stream forever). Row-local given the ≤C-row broadcast table, so each
+  * micro-batch runs the exact batch scorer via `foreachBatch` into one
+  * overwritten batch=<id> partition (the [[QualityScoreStream]] shape);
+  * parity with the batch gate under the same thresholds is row-exact by
+  * construction and pinned by the replay test. */
+object LangGateStream {
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+             langCol: String, thresholds: DataFrame,
+             outDir: String, checkpointDir: String,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.TextStats
+          .langQualityGateWith(batch, idCol, textCol, langCol, thresholds)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+}

@@ -626,25 +626,44 @@ object TextStats {
     * carry a null verdict. Output: (doc_id, lang, quality_score,
     * lang_threshold, keep) by doc_id. */
   def langQualityGate(df: DataFrame, idCol: String, textCol: String,
-                      langCol: String, dropQ: Double = QualityGateQ): DataFrame = {
+                      langCol: String, dropQ: Double = QualityGateQ): DataFrame =
+    langQualityGateWith(df, idCol, textCol, langCol,
+      langQualityThresholds(df, idCol, textCol, langCol, dropQ))
+
+  /** The gate's threshold-estimation half — the offline TRAIN step a
+    * deployment runs on the reference corpus and ships to ingest workers
+    * (≤C rows). Null-quality documents are excluded from estimation. */
+  def langQualityThresholds(df: DataFrame, idCol: String, textCol: String,
+                            langCol: String,
+                            dropQ: Double = QualityGateQ): DataFrame = {
     require(dropQ > 0 && dropQ <= 1,
       s"langQualityGate: dropQ must be in (0, 1], got $dropQ")
-    val scored = stats(df, idCol, textCol)
-      .select(col("id").cast("long").as("doc_id"), col("quality_score"))
-    val langs = df.select(col(idCol).cast("long").as("doc_id"),
-      col(langCol).as("lang"))
-    val base = scored.join(langs, Seq("doc_id"))
-    val thr = graft.ops.Percentiles.exactRankSelect(
-        base.filter(col("quality_score").isNotNull)
+    graft.ops.Percentiles.exactRankSelect(
+        gateScored(df, idCol, textCol, langCol)
+          .filter(col("quality_score").isNotNull)
           .select(col("lang"), col("quality_score")),
         "lang", "quality_score", Seq(dropQ))
       .select(col("lang"), col("quality_score").as("lang_threshold"))
-    base.join(broadcast(thr), Seq("lang"), "left")
+  }
+
+  /** The gate's SCORE half against FROZEN thresholds — row-local given
+    * the ≤C-row broadcast table, shared with the streaming twin so batch
+    * and stream cannot drift on the verdict rule. */
+  def langQualityGateWith(df: DataFrame, idCol: String, textCol: String,
+                          langCol: String, thresholds: DataFrame): DataFrame =
+    gateScored(df, idCol, textCol, langCol)
+      .join(broadcast(thresholds), Seq("lang"), "left")
       .select(col("doc_id"), col("lang"), col("quality_score"),
         col("lang_threshold"),
         (col("quality_score") >= col("lang_threshold")).as("keep"))
       .orderBy("doc_id")
-  }
+
+  private def gateScored(df: DataFrame, idCol: String, textCol: String,
+                         langCol: String): DataFrame =
+    stats(df, idCol, textCol)
+      .select(col("id").cast("long").as("doc_id"), col("quality_score"))
+      .join(df.select(col(idCol).cast("long").as("doc_id"),
+        col(langCol).as("lang")), Seq("doc_id"))
 
   /** PMI collocation mining — the phrase-vocabulary step of a tokenizer
     * / phrase-table pipeline (Mikolov et al. 2013 §4 use exactly this

@@ -999,6 +999,27 @@ class StreamingParitySpec extends SparkSpec {
     got shouldBe batch.toSeq
   }
 
+  "LangGateStream" should "gate a doc stream against frozen thresholds exactly like the batch gate (p162)" in {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val thr = graft.text.TextStats
+      .langQualityThresholds(docsDf, "doc_id", "text", "lang").persist()
+    val outDir = Files.createTempDirectory("graft-gate-out").toString
+    val ckpt = Files.createTempDirectory("graft-gate-ckpt").toString
+    val q = LangGateStream.attach(
+      docStream(dumpDocsAsJson(withLang = true), withLang = true),
+      "doc_id", "text", "lang", thr, outDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).drop("batch").collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = graft.text.TextStats
+      .langQualityGate(docsDf, "doc_id", "text", "lang")
+      .collect().map(_.toSeq)
+    thr.unpersist(false)
+    batch.count(!_(4).asInstanceOf[Boolean]) should be > 0 // the gate bites
+    got.toSeq shouldBe batch.toSeq
+  }
+
   "KeyMassStream" should "drain to exactly the batch mixture-weights AND UniMax reports over one shared state (p120/p155)" in {
     val docsDf = graft.sources.Tables.documents(spark, sfDir)
     val stateDir = Files.createTempDirectory("graft-mass-state").toString

@@ -272,6 +272,37 @@ class TextDedupSpec extends SparkSpec {
     out(2L) shouldBe out(1L)
   }
 
+  it should "honor the published guarantee on random planted runs (property)" in {
+    // Schleimer §4: any two documents sharing a token run of length
+    // >= w + k - 1 (= 8 at the defaults) share at least one fingerprint.
+    // 20 random trials: distinct per-doc vocabularies with one shared
+    // run of random length 8..20 planted at random offsets — the pair
+    // must always share a fingerprint; with the run REMOVED (disjoint
+    // vocabularies), never.
+    val rnd = new scala.util.Random(1581)
+    (1 to 20).foreach { trial =>
+      val runLen = 8 + rnd.nextInt(13)
+      val run = (0 until runLen).map(_ => s"s${rnd.nextInt(50)}")
+      def doc(prefix: String, withRun: Boolean): String = {
+        val pad1 = (0 until rnd.nextInt(15)).map(_ => s"$prefix${rnd.nextInt(40)}")
+        val pad2 = (0 until rnd.nextInt(15)).map(_ => s"$prefix${rnd.nextInt(40)}")
+        ((pad1 ++ (if (withRun) run else Nil)) ++ pad2).mkString(" ")
+      }
+      val docs = Seq(
+        (0L, doc("a", withRun = true)), (1L, doc("b", withRun = true)),
+        (2L, doc("c", withRun = false)), (3L, doc("d", withRun = false))
+      ).toDF("doc_id", "text")
+      val fps = TextDedup.winnowingFingerprints(docs, "doc_id", "text")
+        .collect().groupBy(_.getLong(0))
+        .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+        .withDefaultValue(Set.empty[Long])
+      withClue(s"trial $trial (runLen $runLen): ") {
+        (fps(0L) intersect fps(1L)) should not be empty
+        (fps(2L) intersect fps(3L)) shouldBe empty
+      }
+    }
+  }
+
   it should "match the pure-HOF executable specification (fused WinnowMins)" in {
     // random lengths 0..20 cover gram-less (<k), partial-window (<w
     // grams) and normal documents; small vocab forces duplicate minima
