@@ -157,6 +157,22 @@ class SimilaritySpec extends SparkSpec {
     out.toSeq shouldBe Seq((1L, 10L), (2L, 12L), (3L, 11L))
   }
 
+  it should "truncate gracefully when a query's pool is smaller than m" in {
+    // 3 candidates for query 0, m = 3 via mmrRerank's guard path but a
+    // SMALLER pool through mmrGreedy directly: ranks stop when the pool
+    // drains, no error, no phantom rows
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (10L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (11L, Array(0.8f, 0.2f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(vecs, "vec_id", "embedding",
+        col("vec_id") === 0L, kCand = 3, m = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    out.length shouldBe 2 // only two candidates exist
+    out.map(_._1).toSeq shouldBe Seq(1L, 2L)
+  }
+
   it should "match a sequential greedy reference on the fixture corpus" in {
     def cosRef(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0

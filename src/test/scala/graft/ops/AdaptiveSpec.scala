@@ -119,4 +119,24 @@ class AdaptiveWiringSpec extends SparkSpec {
       .collect().map(_.toSeq)
     auto shouldBe explicitRes
   }
+
+  "withRangeBucket" should "bucket contiguously, cover [0, nR), and survive the degenerate frames" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // sparse non-zero-based ids: buckets must be monotone in id and
+    // bounded by the requested count
+    val df = Seq(1000L, 1007L, 1040L, 1999L, 2500L, 3999L).toDF("id")
+    val b = Adaptive.withRangeBucket(df, "id", numRanges = 4)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    b.map(_._2).distinct.foreach { x => x should (be >= 0L and be < 4L) }
+    b.map(_._2).toSeq shouldBe b.map(_._2).sorted.toSeq // monotone in id
+    b.head._2 shouldBe 0L
+    b.last._2 shouldBe 3L
+    // empty frame: no rows, no crash
+    Adaptive.withRangeBucket(df.filter(col("id") < 0), "id", 4)
+      .count() shouldBe 0L
+    // single row: span 1 clamps nR to 1, bucket 0
+    Adaptive.withRangeBucket(Seq(42L).toDF("id"), "id", 4)
+      .collect().map(_.getLong(1)).toSeq shouldBe Seq(0L)
+  }
 }
