@@ -473,6 +473,72 @@ object OracleSqlDocs {
        |)""".stripMargin
   }
 
+  /** Corpus CTEs of the pHash queries, ending in `gen256(asset_id,
+    * raster)` — the 256-byte (16×16) rasters of
+    * [[graft.multimodal.Media.ditherCorpus]]: every base asset, the +16
+    * histogram variants (id ≡ 0 mod 4), and the clamped ±32 checkerboard
+    * dithers (id ≡ 2 mod 4). */
+  private def phashGenCtes: String = {
+    val form = "(vec_id*31 + 7*i*i + (vec_id % 13)*i) % 256"
+    val amp = graft.multimodal.Media.DitherAmp
+    s"""WITH base AS (
+       |  SELECT vec_id AS asset_id,
+       |    [$form for i in range(0, 256)] AS raster
+       |  FROM embeddings
+       |), pert AS (
+       |  SELECT vec_id + ${graft.multimodal.Media.VariantOffset} AS asset_id,
+       |    [CASE WHEN i % 64 = 1 THEN ($form + 16) % 256 ELSE $form END
+       |     for i in range(0, 256)] AS raster
+       |  FROM embeddings WHERE vec_id % 4 = 0
+       |), dith AS (
+       |  SELECT vec_id + ${graft.multimodal.Media.DitherOffset} AS asset_id,
+       |    [CASE WHEN i < 64 THEN least(255, greatest(0, $form
+       |        + CASE WHEN i % 2 = 0 THEN $amp ELSE -$amp END))
+       |      ELSE $form END for i in range(0, 256)] AS raster
+       |  FROM embeddings WHERE vec_id % 4 = 2
+       |), gen256 AS (SELECT * FROM base UNION ALL SELECT * FROM pert
+       |              UNION ALL SELECT * FROM dith)""".stripMargin
+  }
+
+  /** The fixed-point DCT pipeline over `gen256`, ending at
+    * `ph(asset_id, p0..p3)` — [[graft.multimodal.Media.phashes]] clause
+    * for clause: the 8×16 integer basis literal is generated from the
+    * SAME `DctBasis` array the Spark expression carries, the 2-D
+    * transform is one 49M-row integer aggregate, DC is dropped, and bit
+    * u·8+v−1 is the cross-multiplied above-AC-mean test `f·63 > Σf`. */
+  private def phashCtes: String = {
+    val t = graft.multimodal.Media.DctBasis
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val words = (0 until 4).map(w =>
+      s"CAST(sum(CASE WHEN bi // 16 = $w AND f*63 > tot " +
+        s"THEN (1 << CAST(bi % 16 AS INT)) ELSE 0 END) AS INT) AS p$w")
+      .mkString(",\n    ")
+    s"""$phashGenCtes,
+       |tb AS (SELECT $t AS t),
+       |px AS (
+       |  SELECT asset_id,
+       |    CAST(generate_subscripts(raster, 1) - 1 AS BIGINT) AS i,
+       |    CAST(unnest(raster) AS BIGINT) AS r
+       |  FROM gen256
+       |),
+       |co AS (
+       |  SELECT asset_id, u, v,
+       |    CAST(sum(r * t[u+1][(i % 16)+1] * t[v+1][(i // 16)+1]) AS BIGINT) AS f
+       |  FROM px CROSS JOIN tb
+       |  CROSS JOIN range(0, 8) uu(u) CROSS JOIN range(0, 8) vv(v)
+       |  GROUP BY asset_id, u, v
+       |),
+       |ac AS (SELECT asset_id, u*8 + v - 1 AS bi, f FROM co
+       |       WHERE NOT (u = 0 AND v = 0)),
+       |tot AS (SELECT asset_id, CAST(sum(f) AS BIGINT) AS tot FROM ac
+       |        GROUP BY asset_id),
+       |ph AS (
+       |  SELECT ac.asset_id,
+       |    $words
+       |  FROM ac JOIN tot USING (asset_id) GROUP BY ac.asset_id
+       |)""".stripMargin
+  }
+
   /** Final verified pair-list select over the [[perceptualCtes]] chain. */
   private def perceptualPairSelect: String =
     s"""
@@ -805,6 +871,41 @@ object OracleSqlDocs {
 
   private val embPairCtes: String =
     "WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),\n" + embPairTail
+
+  /** p164's Auto-planes banded-miner tail (`v(vec_id, e)` must be in
+    * scope): the per-table plane count `p` is derived IN SQL from
+    * count(*) over `v` — `least(20, greatest(4, length(bin(n−1)) − 6))`,
+    * the integer-exact twin of [[graft.ops.Adaptive.lshPlanes]]
+    * (floor 4, cap 20; AdaptiveSpec pins the three forms together) —
+    * and table t buckets over planes [t·p, t·p+p) indexed dynamically
+    * into a `tables`×20-plane literal (the plane-cap supply). Same
+    * hot-bucket cap / candidate / exact-cosine tail as [[embPairTail]]. */
+  private def embPairTailAuto(tables: Int, maxBucket: Int): String = {
+    val pls = (0 until tables * 20).map(planeLit).mkString("[", ",\n    ", "]")
+    s"""np AS (SELECT least(CAST(20 AS BIGINT), greatest(CAST(4 AS BIGINT),
+       |  CAST(length(bin(count(*) - 1)) AS BIGINT) - 6)) AS p FROM v),
+       |pl AS (SELECT $pls AS pls),
+       |bk0 AS (
+       |  SELECT vec_id, e, tbl,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      [CASE WHEN ${dot("e", "pls[tbl*p + j + 1]")} > CAST(0 AS DOUBLE)
+       |            THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+       |            ELSE CAST(0 AS BIGINT) END
+       |       for j in range(0, p)]), (a, b) -> a + b) AS bucket
+       |  FROM v CROSS JOIN np CROSS JOIN pl CROSS JOIN range(0, $tables) t(tbl)
+       |),
+       |bksize AS (SELECT tbl, bucket FROM bk0 GROUP BY tbl, bucket
+       |           HAVING count(*) <= $maxBucket),
+       |bk AS (SELECT bk0.* FROM bk0 JOIN bksize USING (tbl, bucket)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |),
+       |sims AS (
+       |  SELECT va AS vec_a, vb AS vec_b, ${cos("x.e", "y.e")} AS sim
+       |  FROM cand JOIN v x ON va = x.vec_id JOIN v y ON vb = y.vec_id
+       |)""".stripMargin
+  }
 
   /** Hashed-BoW text-embedding construction ending at `v(vec_id, e)` —
     * the twin of [[graft.text.TextStats.hashedEmbedding]] (dim 64):
@@ -1156,6 +1257,15 @@ object OracleSqlDocs {
     // embedding-cosine near-dup over TEXT: constructed vectors + the
     // banded-miner tail at cosine >= 0.9
     "p122_text_embed_neardup" -> (hashedEmbCte + ",\n" + embPairTail +
+      s"""
+         |SELECT vec_a, vec_b, sim FROM sims
+         |WHERE sim >= CAST(0.9 AS DOUBLE) ORDER BY vec_a, vec_b""".stripMargin),
+
+    // p122's Auto-planes cap-biting config: the plane count itself is
+    // derived IN SQL from count(*) — the integer-exact lshPlanes twin —
+    // and the biting cap 100 drops hot sign-buckets at both gate scales
+    "p164_text_embed_neardup_auto" -> (hashedEmbCte + ",\n" +
+      embPairTailAuto(tables = 4, maxBucket = 100) +
       s"""
          |SELECT vec_a, vec_b, sim FROM sims
          |WHERE sim >= CAST(0.9 AS DOUBLE) ORDER BY vec_a, vec_b""".stripMargin),
@@ -3650,6 +3760,52 @@ object OracleSqlDocs {
          |  UNION ALL
          |  SELECT 'uncapped', n FROM vall
          |) ORDER BY config""".stripMargin),
+
+    // DCT pHash table (p167) over the dither corpus: the full
+    // fixed-point transform replayed from the closed-form rasters
+    "p167_phash_table" -> (phashCtes +
+      "\nSELECT asset_id, p0, p1, p2, p3 FROM ph ORDER BY asset_id"),
+
+    // pHash recovery report (p168): planted dither pairs with aHash
+    // Hamming > 6 (the aHash miner provably drops them) and pHash
+    // Hamming <= 6 (within the banded miner's pigeonhole bound)
+    "p168_phash_recovery" -> (phashCtes + {
+      def aband(j: Int): String =
+        "CAST(" + (0 until 16).map { k =>
+          s"(CASE WHEN raster[${16 * j + k + 1}] * 64 > s THEN ${1 << k} ELSE 0 END)"
+        }.mkString(" + ") + s" AS INT) AS a$j"
+      def hamW(w: String, x: String, y: String): String =
+        "CAST(" + (0 until 4).map(j =>
+          s"bit_count(xor($x.$w$j, $y.$w$j))").mkString(" + ") + " AS BIGINT)"
+      s""",
+         |g65 AS (
+         |  SELECT asset_id, raster[1:65] AS raster FROM gen256
+         |  WHERE asset_id < ${graft.multimodal.Media.VariantOffset}
+         |     OR asset_id >= ${graft.multimodal.Media.DitherOffset}
+         |),
+         |hs65 AS (
+         |  SELECT asset_id, raster,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), raster[1:64]),
+         |      (a, b) -> a + b) AS s
+         |  FROM g65
+         |),
+         |ha AS (
+         |  SELECT asset_id,
+         |    ${(0 until 4).map(aband).mkString(",\n    ")}
+         |  FROM hs65
+         |),
+         |rep AS (
+         |  SELECT ax.asset_id,
+         |    ${hamW("a", "ax", "ay")} AS hamming_a,
+         |    ${hamW("p", "px", "py")} AS hamming_p
+         |  FROM ha ax
+         |  JOIN ha ay ON ay.asset_id = ax.asset_id + ${graft.multimodal.Media.DitherOffset}
+         |  JOIN ph px ON px.asset_id = ax.asset_id
+         |  JOIN ph py ON py.asset_id = ay.asset_id
+         |)
+         |SELECT asset_id, hamming_a, hamming_p FROM rep
+         |WHERE hamming_p <= 6 AND hamming_a > 6 ORDER BY asset_id""".stripMargin
+    }),
 
     "p30_media_stats" ->
       s"""WITH gen AS (

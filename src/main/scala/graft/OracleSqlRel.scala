@@ -154,5 +154,48 @@ object OracleSqlRel {
          |)
          |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
          |  CAST(sum(bal_cents) AS DOUBLE) / CAST(100 AS DOUBLE) AS total_acctbal
-         |FROM d GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+         |FROM d GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // Q2-shaped min-cost supplier (p165): the correlated min-subquery
+    // VERBATIM — DuckDB decorrelates it into the same per-part min over
+    // the region-filtered lattice the Spark side states explicitly.
+    "p165_min_cost_supplier" ->
+      s"""WITH ps AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CAST(min(round(l_extendedprice*100)) AS BIGINT) AS cost_cents
+         |  FROM lineitem GROUP BY 1, 2
+         |), eur AS (
+         |  SELECT s_suppkey, s_name, s_acctbal, n_name
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE'
+         |)
+         |SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_name,
+         |  CAST(ps.cost_cents AS DOUBLE) / CAST(100 AS DOUBLE) AS supply_cost
+         |FROM part p JOIN ps ON ps.l_partkey = p.p_partkey
+         |JOIN eur s ON ps.l_suppkey = s.s_suppkey
+         |WHERE p.p_type = 'PROMO' AND p.p_size <= 15
+         |  AND ps.cost_cents = (
+         |    SELECT min(ps2.cost_cents) FROM ps ps2
+         |    JOIN eur s2 ON ps2.l_suppkey = s2.s_suppkey
+         |    WHERE ps2.l_partkey = p.p_partkey)
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    // Q20-shaped promo-volume suppliers (p166): the nested EXISTS-in-IN
+    // over two facts VERBATIM — a correlated scalar inside the HAVING of
+    // an IN-subquery that itself contains an IN.
+    "p166_promo_volume_suppliers" ->
+      s"""SELECT s_name, n_name
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |WHERE s_suppkey IN (
+         |  SELECT l_suppkey
+         |  FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
+         |  WHERE o_orderstatus = 'F'
+         |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+         |  GROUP BY l_suppkey, l_partkey
+         |  HAVING 8 * CAST(sum(l_quantity) AS BIGINT) > (
+         |    SELECT CAST(sum(l2.l_quantity) AS BIGINT) FROM lineitem l2
+         |    WHERE l2.l_partkey = l.l_partkey)
+         |)
+         |ORDER BY s_name""".stripMargin)
 }

@@ -37,6 +37,14 @@ case class BpeTokenCount(child: Expression, merges: Array[(String, String)])
   override def prettyName: String = "bpe_token_count"
   override def nullable: Boolean = true
 
+  // analysis-time type validation (the Catalyst convention): a non-string
+  // child must fail with a clear message, not a runtime ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string child, got ${child.dataType.catalogString}")
+
   override def equals(other: Any): Boolean = other match {
     case BpeTokenCount(c, m) =>
       c == child && m.length == merges.length &&

@@ -41,6 +41,16 @@ case class RepetitionStats(left: Expression, right: Expression)
   override def prettyName: String = "repetition_stats"
   override def nullable: Boolean = true
 
+  // analysis-time type validation (the Catalyst convention): a non-string
+  // child must fail with a clear message, not a runtime ClassCastException
+  // or a janino compile error deep in codegen
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string) inputs, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
   override protected def nullSafeEval(raw: Any, norm: Any): Any =
     computer.compute(raw.asInstanceOf[UTF8String],
       norm.asInstanceOf[UTF8String])

@@ -282,6 +282,181 @@ object Media {
     }).toDF("asset_id", "a0", "a1", "a2", "a3", "d0", "d1", "d2", "d3")
   }
 
+  /** Id offset for the planted high-frequency-dither variants of
+    * [[ditherCorpus]]. */
+  val DitherOffset = 3000000L
+
+  /** Dither amplitude: ±32 flips a solid majority of the planted pairs
+    * past the aHash miner's Hamming-6 gate (measured: 84 of 125 planted
+    * pairs at sf0.01 are pHash-only recoveries) while the pHash distance
+    * stays low (median 2). */
+  val DitherAmp = 32
+
+  /** A planted high-frequency DITHER variant: the leading 64 bytes (the
+    * aHash window) nudged by an alternating ±[[DitherAmp]], CLAMPED to
+    * [0, 255] (a mod-256 wrap would inject broadband energy and defeat
+    * the construction). The checkerboard is a horizontal-Nyquist
+    * pattern: its energy sits at the top of the spectrum, far outside
+    * the 8×8 low-frequency block [[phashes]] keeps — the JPEG-noise
+    * archetype pHash is published to survive — while every dithered
+    * pixel moves by up to ±32, flipping the above-mean aHash bits of
+    * pixels near the mean. */
+  private[multimodal] def mkDither(id: Long): MediaAsset = {
+    val base = mkPerceptual(id)
+    val bytes = base.content.zipWithIndex.map { case (b, i) =>
+      if (i < 64) {
+        val d = if (i % 2 == 0) DitherAmp else -DitherAmp
+        math.min(255, math.max(0, (b & 0xFF) + d)).toByte
+      } else b
+    }
+    base.copy(asset_id = id + DitherOffset, content = bytes)
+  }
+
+  /** [[perceptualCorpus]] plus a planted DITHER variant for every id ≡ 2
+    * (mod 4) — disjoint from the histogram-variant population (id ≡ 0
+    * mod 4), so each planted family isolates one transform. The p167/
+    * p168 fixture: aHash misses most dither pairs (Hamming > 6), pHash
+    * recovers them. */
+  def ditherCorpus(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    val ids = Tables.embeddings(spark, dir).select(col("vec_id")).as[Long]
+    perceptualCorpus(spark, dir)
+      .union(ids.filter(_ % 4 == 2).mapPartitions(_.map(mkDither)))
+  }
+
+  /** Fixed-point 16-point DCT-II basis, rows u = 0..7: T(u)(x) =
+    * round(cos(π(2x+1)u/32) · 1024). INTEGER by construction, so the
+    * 2-D transform below is exact long arithmetic on both engines (a
+    * float DCT could not be oracle-compared bit-for-bit — the published
+    * pHash recipe's only non-integer step, replaced by the same
+    * fixed-point quantization both sides bake in at build time; the
+    * oracle twin's literal table is generated from THIS array). */
+  private[graft] val DctBasis: Array[Array[Long]] =
+    Array.tabulate(8, 16)((u, x) =>
+      math.round(math.cos(math.Pi * (2 * x + 1) * u / 32.0) * 1024.0))
+
+  /** pHash (DCT perceptual hash, Zauner 2010) over the asset's leading
+    * 16×16 byte raster: 2-D fixed-point DCT ([[DctBasis]]), keep the 8×8
+    * low-frequency block, drop DC, bit b = (coefficient · 63 > Σ AC) —
+    * the cross-multiplied integer form of "above the AC mean", no
+    * division. 63 bits packed into 4 × 16-bit words (p0..p3, bit index
+    * u·8+v−1 in u-major order). The published recipe rasterizes
+    * 32×32 → 8×8; the smallest synthetic asset is 256 bytes, so the
+    * raster here is 16×16 — the decode/resize seam that would produce a
+    * real 32×32 grayscale is the stubbed [[MediaDecoder]], per the
+    * multimodal charter. Row-local integer work in the per-partition
+    * batch shape, exactly like [[perceptualHashes]].
+    *
+    * Robustness vs aHash/dHash: brightness shifts die in the dropped DC
+    * and the mean threshold; high-frequency dither (JPEG noise, the
+    * [[mkDither]] fixture) lands outside the kept block — while aHash,
+    * thresholding raw pixels, flips a bit for every dithered pixel near
+    * the mean (p168 pins the recovery delta). */
+  def phashes(assets: Dataset[MediaAsset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val f = new Array[Long](64) // u*8+v
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var acc = 0L
+          var i = 0
+          while (i < 256) {
+            acc += (a.content(i) & 0xFF).toLong *
+              DctBasis(u)(i % 16) * DctBasis(v)(i / 16)
+            i += 1
+          }
+          f(u * 8 + v) = acc
+          v += 1
+        }
+        u += 1
+      }
+      var tot = 0L
+      var k = 1
+      while (k < 64) { tot += f(k); k += 1 }
+      val words = new Array[Int](4)
+      k = 1
+      while (k < 64) {
+        val bi = k - 1
+        if (f(k) * 63L > tot) words(bi / 16) |= 1 << (bi % 16)
+        k += 1
+      }
+      (a.asset_id, words(0), words(1), words(2), words(3))
+    }).toDF("asset_id", "p0", "p1", "p2", "p3")
+  }
+
+  /** pHash near-duplicate pairs — [[perceptualNearDup]]'s plan shape
+    * over the DCT hash: EIGHT 8-bit blocking bands from p0..p3 (63
+    * significant bits, so a pair within Hamming 7 still shares ≥ 1 band
+    * — the same pigeonhole bound), hot buckets above `maxBucket` skipped
+    * before the self-join, full 63-bit Hamming verify on the surviving
+    * deduped candidates. Output: (asset_a, asset_b, hamming_p) for
+    * hamming_p ≤ `maxHamming`, ordered. */
+  def phashNearDup(assets: Dataset[MediaAsset],
+                   maxHamming: Int = 6,
+                   maxBucket: Int = graft.text.TextDedup.DefaultMaxBucket)
+      : DataFrame = {
+    val h = phashes(assets)
+    val banded = h.select(col("asset_id"), explode(array(
+      (0 until 8).map { j =>
+        val word = col(s"p${j / 2}")
+        val bv = if (j % 2 == 0) word.bitwiseAND(lit(255))
+                 else shiftright(word, 8)
+        struct(lit(j).as("bi"), bv.as("bv"))
+      }: _*)).as("b"))
+      .select(col("asset_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val eligible = banded.groupBy("bi", "bv")
+      .agg(count(lit(1)).as("__m")).filter(col("__m") <= maxBucket)
+      .select("bi", "bv")
+    val capped = banded.join(eligible, Seq("bi", "bv"))
+    val pairs = capped.as("x").join(capped.as("y"), Seq("bi", "bv"))
+      .filter(col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"))
+      .distinct()
+    def ham: Column =
+      (0 until 4).map(j => bit_count(col(s"p${j}_x").bitwiseXOR(col(s"p${j}_y"))))
+        .reduce(_ + _).cast("long")
+    val hx = h.columns.foldLeft(h)((d, c) =>
+      if (c == "asset_id") d else d.withColumnRenamed(c, c + "_x"))
+    val hy = h.columns.foldLeft(h)((d, c) =>
+      if (c == "asset_id") d else d.withColumnRenamed(c, c + "_y"))
+    pairs
+      .join(hx.withColumnRenamed("asset_id", "asset_a"), Seq("asset_a"))
+      .join(hy.withColumnRenamed("asset_id", "asset_b"), Seq("asset_b"))
+      .select(col("asset_a"), col("asset_b"), ham.as("hamming_p"))
+      .filter(col("hamming_p") <= maxHamming)
+      .orderBy("asset_a", "asset_b")
+  }
+
+  /** The p168 recovery report: planted dither pairs (base, base +
+    * [[DitherOffset]]) that the aHash miner MISSES (aHash Hamming > 6 —
+    * [[perceptualNearDup]] filters `hamming_a <= 6`, so such a pair
+    * provably cannot appear in its output) and pHash RECOVERS (pHash
+    * Hamming ≤ 6 — within [[phashNearDup]]'s pigeonhole bound, so the
+    * banded miner finds it wherever no shared band is capped;
+    * PhashSpec cross-checks both claims against the actual miners).
+    * Output: (asset_id, hamming_a, hamming_p) per recovered pair. */
+  def phashRecovery(assets: Dataset[MediaAsset], maxHamming: Int = 6)
+      : DataFrame = {
+    val a = perceptualHashes(assets)
+    val p = phashes(assets)
+    val h = a.join(p, "asset_id")
+    val base = h.columns.foldLeft(h)((d, c) =>
+      if (c == "asset_id") d else d.withColumnRenamed(c, c + "_x"))
+    val dith = h.columns.foldLeft(h)((d, c) =>
+      if (c == "asset_id") d else d.withColumnRenamed(c, c + "_y"))
+      .withColumn("asset_id", col("asset_id") - lit(DitherOffset))
+    def ham(w: String): Column =
+      (0 until 4).map(j => bit_count(col(s"$w${j}_x").bitwiseXOR(col(s"$w${j}_y"))))
+        .reduce(_ + _).cast("long")
+    base.join(dith, "asset_id")
+      .select(col("asset_id"), ham("a").as("hamming_a"), ham("p").as("hamming_p"))
+      .filter(col("hamming_p") <= maxHamming && col("hamming_a") > maxHamming)
+      .orderBy("asset_id")
+  }
+
   /** Perceptual near-duplicate pairs: candidates share at least one of
     * EIGHT 8-bit aHash bands — sized to the threshold: a pair differing
     * in ≤ 7 of 64 bits cannot differ in all 8 bands (pigeonhole), so for

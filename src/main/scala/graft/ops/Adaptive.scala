@@ -68,8 +68,15 @@ object Adaptive {
     * [[ivfCells]] — the recall trade is pinned by p58's oracle row. */
   def lshPlanes(rows: Long, floor: Int = 8, cap: Int = 20): Int = {
     require(floor >= 1 && cap >= floor, "need 1 <= floor <= cap")
-    val want = math.ceil(
-      math.log(math.max(1.0, rows.toDouble / LshBucketRows)) / math.log(2.0)).toLong
+    // want = ⌈log2(rows / 64)⌉ computed in INTEGER arithmetic as
+    // bitlength(rows−1) − 6 (⌈log2 x⌉ = bitlength(x−1) for integer x ≥ 2,
+    // and the shift by 64 = 2^6 commutes): bit-identical on any engine,
+    // so the oracle twin `length(bin(n − 1)) − 6` replays the derivation
+    // exactly (a float log could straddle ceil at exact powers of two;
+    // AdaptiveSpec pins agreement with the fp form across a sweep).
+    val want =
+      if (rows <= 1L) 0L
+      else (64L - java.lang.Long.numberOfLeadingZeros(rows - 1L)) - 6L
     math.min(cap.toLong, math.max(floor.toLong, want)).toInt
   }
 

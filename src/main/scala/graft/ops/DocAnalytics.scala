@@ -882,14 +882,17 @@ object DocAnalytics {
     // uncomposed entry): LSH-banded pair mining over the hashed-BoW
     // vectors at cosine ≥ 0.9 — exact dup families land at 1.0, near-dup
     // families in the high-cosine ball
-    // NOTE the lazy query form re-derives the embedding construction in
-    // each of the miner's consumers (6 corpus scans — a repartition
-    // boundary was tried and measured cost-neutral here, so it was not
-    // kept); a 100 TB deployment materializes the embedding frame once
-    // at ingest (the pqIndex convention) and mines over the stored table
+    // localCheckpoint: the miner references its input frame from six
+    // consumers (banding, the cap audit, both self-join sides, both
+    // pair-rejoin sides), so the lazy form re-derived the embedding
+    // construction per consumer — truncating the lineage here computes
+    // the embedding ONCE and every consumer scans the checkpointed
+    // blocks (the mmrGreedy convention; bench_records/r15_embed_ckpt.md
+    // records the wall delta). A 100 TB deployment goes further and
+    // persists the embedding frame at ingest (the pqIndex convention).
     "p122_text_embed_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(
-        TextStats.hashedEmbedding(docs(s, d), "doc_id", "text"),
+        TextStats.hashedEmbedding(docs(s, d), "doc_id", "text").localCheckpoint(),
         "vec_id", "e", minSim = 0.9)),
     // the idf-weighted configs of p121/p122: log2-quantized integer idf
     // down-weights stop-token mass (bench_records/r14_idf_embed.md
@@ -898,10 +901,27 @@ object DocAnalytics {
       Similarity.knnBruteForce(
         TextStats.hashedEmbeddingIdf(docs(s, d), "doc_id", "text"),
         "vec_id", "e", col("vec_id") < QueryMaxId)),
+    // same localCheckpoint as p122 — the idf build is strictly heavier
+    // (df join + weighting), so the once-not-six win is larger here
     "p127_text_embed_neardup_idf" -> ((s, d) =>
       Similarity.nearDupPairs(
-        TextStats.hashedEmbeddingIdf(docs(s, d), "doc_id", "text"),
+        TextStats.hashedEmbeddingIdf(docs(s, d), "doc_id", "text").localCheckpoint(),
         "vec_id", "e", minSim = 0.9)),
+    // the Auto-planes configuration of p122 (the ≥1M-vector mode): the
+    // per-table plane count derives from the corpus size
+    // (Adaptive.lshPlanes floor 4 — sf0.01's 500 docs sit at the floor,
+    // sf0.1's 5000 derive 7, so the config genuinely diverges from the
+    // fixed-4 twin at the larger gate scale), under a deliberately
+    // BITING hot-bucket cap (100 — drops 7 resp. 25 hot sign-buckets at
+    // the two gates, the p91/p123 convention), so both the derivation
+    // and the skip semantics it must coexist with are oracle-pinned.
+    // The oracle replays the derivation itself: p = least(20,
+    // greatest(4, length(bin(n−1)) − 6)), the integer-exact ⌈log2(n/64)⌉.
+    "p164_text_embed_neardup_auto" -> ((s, d) =>
+      Similarity.nearDupPairs(
+        TextStats.hashedEmbedding(docs(s, d), "doc_id", "text").localCheckpoint(),
+        "vec_id", "e", minSim = 0.9,
+        planesPerTable = graft.ops.Adaptive.Auto, maxBucket = 100)),
     "p21_knn_bruteforce" -> ((s, d) =>
       Similarity.knnBruteForce(emb(s, d), "vec_id", "embedding", col("vec_id") < QueryMaxId)),
     // MMR diversity re-rank over p21's exact top-8: the greedy
@@ -1338,5 +1358,15 @@ object DocAnalytics {
     "p124_perceptual_cap_bite" -> ((s, d) =>
       graft.multimodal.Media.perceptualCapBite(
         graft.multimodal.Media.degenerateCorpus(s, d), maxHamming = 6,
-        maxBucket = 100)))
+        maxBucket = 100)),
+    // DCT pHash (Zauner's published recipe, fixed-point basis) over the
+    // dither-augmented corpus — the hash table itself, bit-for-bit
+    "p167_phash_table" -> ((s, d) =>
+      graft.multimodal.Media.phashes(
+        graft.multimodal.Media.ditherCorpus(s, d)).orderBy("asset_id")),
+    // the robustness fixture: planted checkerboard-dither pairs the
+    // aHash miner provably misses (Hamming > 6) and pHash recovers
+    "p168_phash_recovery" -> ((s, d) =>
+      graft.multimodal.Media.phashRecovery(
+        graft.multimodal.Media.ditherCorpus(s, d))))
 }

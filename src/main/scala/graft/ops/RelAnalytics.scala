@@ -258,6 +258,88 @@ object RelAnalytics {
       .orderBy("c_nationkey")
   }
 
+  /** p165 — Q2-shaped: the min-cost supplier per part against a
+    * dimension lattice. The schema ships no partsupp, so the supply
+    * lattice is DERIVED from the fact: per (part, supplier), the
+    * minimum total line price ever quoted (exact integer cents) — one
+    * partkey-partitioned aggregate over lineitem. The classic correlated
+    * min-subquery ("cost = the minimum cost any EUROPE supplier quotes
+    * for this part") runs in its decorrelated form: a per-part min over
+    * the region-filtered lattice, joined back on (partkey, cost) — both
+    * aggregates and the join-back shuffle ONCE on l_partkey and stay
+    * co-partitioned. nation⋈region is an explicit broadcast (world
+    * geography, bounded by construction); the part filter pushes to the
+    * parquet scan and prunes the lattice through a semi-ish inner join
+    * BEFORE the min aggregate (restricting to filtered parts first
+    * cannot change a per-part min). Ordered s_acctbal DESC with full
+    * tiebreak, top 100 — the Q2 output convention. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val euroNations = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select("n_nationkey", "n_name")
+    val eur = Tables.supplier(spark, dir)
+      .join(broadcast(euroNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val wantedParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO" && col("p_size") <= 15)
+      .select("p_partkey", "p_name")
+    val ps = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice")).as("c"))
+      .groupBy("l_partkey", "l_suppkey").agg(min(col("c")).as("cost_cents"))
+      .join(wantedParts, col("l_partkey") === col("p_partkey"))
+      .join(eur, col("l_suppkey") === col("s_suppkey"))
+    val minPer = ps.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("cost_cents")).as("min_cost"))
+    ps.join(minPer,
+        col("l_partkey") === col("mk") && col("cost_cents") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        (col("cost_cents").cast("double") / lit(100.0)).as("supply_cost"))
+      .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** p166 — Q20-shaped: the nested EXISTS-in-IN over TWO fact tables.
+    * Suppliers who, for some promo-type part, shipped MORE under
+    * finished orders than an EIGHTH of that part's total shipped
+    * quantity — Q20's "availqty > a fixed share of demand" gate with the
+    * derived lattice standing in for partsupp (the generator spreads
+    * each part over many suppliers, so Q20's literal one-half share is
+    * unreachable; 1/8 bites at both gate scales — 4 resp. 11 suppliers —
+    * without changing the plan shape). Stated as Catalyst's own
+    * decorrelation: the promo-part filter is a broadcast semi join onto
+    * the fact, the finished-order gate a semi join on l_orderkey
+    * (fact-to-fact, shuffled once), the per-(supplier, part) and
+    * per-part sums co-partition on l_partkey, and the threshold compare
+    * is integer (8·sq > total — quantities are integral). The supplier
+    * dimension joins LAST, against the deduped eligible-key set. */
+  def promoVolumeSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"))
+    val total = l.groupBy("l_partkey").agg(sum(col("qty")).as("total_qty"))
+    val promoParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val fin = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val sp = l
+      .join(fin, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(promoParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey", "l_partkey").agg(sum(col("qty")).as("sq"))
+    val elig = sp.join(total, "l_partkey")
+      .filter(lit(8L) * col("sq") > col("total_qty"))
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(elig, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"))
+      .orderBy("s_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p68_pricing_summary" -> (pricingSummary _),
     "p69_top_orders" -> (topOrders _),
@@ -266,5 +348,7 @@ object RelAnalytics {
     "p74_small_qty_revenue" -> (smallQuantityRevenue _),
     "p75_entry_exit_reconciliation" -> (entryExitReconciliation _),
     "p156_sole_late_suppliers" -> (soleLateSuppliers _),
-    "p157_dormant_high_value" -> (dormantHighValue _))
+    "p157_dormant_high_value" -> (dormantHighValue _),
+    "p165_min_cost_supplier" -> (minCostSupplier _),
+    "p166_promo_volume_suppliers" -> (promoVolumeSuppliers _))
 }

@@ -533,3 +533,46 @@ object LangGateStream {
       }
       .start()
 }
+
+/** Streaming twin of the p161 retrieval stack (MMR over IVFADC+R):
+  * QUERIES arrive as a stream and are scored against a FROZEN index —
+  * frozen coarse quantizer, frozen residual codebooks, frozen codes
+  * index, all trained/built once offline (the deployment split every
+  * ANN service runs; the batch twin trains the same artifacts in its
+  * "train" phase). Each micro-batch replays the exact batch path:
+  * LUT-ADC over the codes index widened to a kShort shortlist, exact
+  * re-rank against the source vectors, then the unrolled MMR greedy —
+  * all STATELESS given the artifacts, so each batch writes one
+  * overwritten batch=<id> partition (the [[DsirScoreStream]]
+  * convention: replay rewrites, never duplicates). Per-query
+  * independence (search and MMR never look across queries) makes
+  * drained parity with the batch path row-exact under ANY query
+  * batching — pinned by StreamingParitySpec. */
+object MmrSearchStream {
+  def attach(queries: DataFrame, emb: DataFrame, idCol: String,
+             vecCol: String, cents: Array[(Long, Array[Float])],
+             cb: graft.ann.ProductQuantizer.Codebooks,
+             outDir: String, checkpointDir: String,
+             kShort: Int = 30, nProbe: Int = 2,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // the frozen codes index: encoded ONCE at attach and its lineage
+    // truncated, so no micro-batch re-derives the corpus encode
+    val index = graft.ann.ProductQuantizer
+      .residualCodesIndex(emb, idCol, vecCol, cents, cb).localCheckpoint()
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qs = batch.select(col("query_id").cast("long").as("query_id"),
+          col("qe"))
+        val searched = graft.ann.ProductQuantizer.rerankExact(
+          graft.ann.ProductQuantizer.searchResidualIndexLut(
+            index, qs, cents, cb, kShort, nProbe),
+          emb, idCol, vecCol, qs, k = graft.ann.Similarity.MmrKCand)
+        graft.ann.Similarity.mmrOverSearch(searched, emb, idCol, vecCol)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+  }
+}

@@ -121,25 +121,25 @@ object BpeTokenizer {
   def trainMerges(df: DataFrame, textCol: String,
                   nMerges: Int = DefaultMerges): Seq[Merge] = {
     val vocab = vocabulary(df, textCol).persist()
-    val n = vocab.count()
-    // delimiter-contract check, where it is cheap (the vocab frame, not
-    // the corpus): a reserved character in a word would mis-frame the
-    // delimited representation both engines replay
-    val bad = vocab.filter(col("word").contains(D1) || col("word").contains(D2))
-      .select("word").limit(1).collect()
-    require(bad.isEmpty,
-      "BPE contract violation: corpus contains reserved delimiter " +
-        "characters (U+0001/U+0002) in a word — these cannot appear in " +
-        "tokenizer input (see BpeTokenizer's representation doc)")
-    val out =
+    // finally-released: both trainers materialize their Seq[Merge] before
+    // returning, and the contract require() below must not strand cached
+    // blocks on a long-lived driver when it throws
+    try {
+      val n = vocab.count()
+      // delimiter-contract check, where it is cheap (the vocab frame, not
+      // the corpus): a reserved character in a word would mis-frame the
+      // delimited representation both engines replay
+      val bad = vocab.filter(col("word").contains(D1) || col("word").contains(D2))
+        .select("word").limit(1).collect()
+      require(bad.isEmpty,
+        "BPE contract violation: corpus contains reserved delimiter " +
+          "characters (U+0001/U+0002) in a word — these cannot appear in " +
+          "tokenizer input (see BpeTokenizer's representation doc)")
       if (n <= MaxDriverVocab) {
         val rows = vocab.select("word", "freq").collect()
-        val local = trainMergesLocal(
-          rows.map(r => (r.getString(0), r.getLong(1))), nMerges)
-        vocab.unpersist(false)
-        local
+        trainMergesLocal(rows.map(r => (r.getString(0), r.getLong(1))), nMerges)
       } else trainMergesDistributed(vocab, nMerges)
-    out
+    } finally vocab.unpersist(false)
   }
 
   /** UTF8-binary string comparison (code-point order) — the tie-break

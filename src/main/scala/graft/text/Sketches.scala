@@ -85,6 +85,20 @@ object Sketches {
     hllRegisterUpdates(df, idCol, textCol, shingleK)
       .groupBy("register").agg(max(col("rank")).as("m_j"))
 
+  /** Shared HLL denominator over a folded `(arr, n_present)` row:
+    * (m − present) · 2⁻⁰ + Σ 2^(−M_j), register-ascending — the seed
+    * carries the absent registers, then one L-R fold. SQL form because
+    * the Scala shiftleft only takes a literal shift; 2^(−M) by integer
+    * shift + division is exact, matching the oracle bit-for-bit. One
+    * definition (with [[HllRegisters]] interpolated, never a literal)
+    * used by BOTH the global and grouped sketches so a register-count
+    * change cannot skew one of them silently. */
+  private def hllDenom: Column = expr(
+    "aggregate(transform(arr, e -> CAST(1 AS DOUBLE) / " +
+      "CAST(shiftleft(CAST(1 AS BIGINT), CAST(e.m_j AS INT)) AS DOUBLE)), " +
+      s"CAST($HllRegisters AS DOUBLE) - CAST(n_present AS DOUBLE), " +
+      "(acc, x) -> acc + x)")
+
   def hllShingleCardinality(df: DataFrame, idCol: String, textCol: String,
                             shingleK: Int = 3): DataFrame = {
     // ONE grams frame feeds both the register aggregate and the exact
@@ -98,14 +112,7 @@ object Sketches {
     val folded = regs.agg(
       sort_array(collect_list(struct(col("register"), col("m_j")))).as("arr"),
       count(lit(1)).as("n_present"))
-    // denominator = (m - present) · 2⁻⁰ + Σ 2^(−M_j), register-ascending:
-    // the seed carries the absent registers, then one L-R fold. SQL form
-    // because the Scala shiftleft only takes a literal shift; 2^(−M) by
-    // integer shift + division is exact, matching the oracle bit-for-bit.
-    val denom = expr(
-      "aggregate(transform(arr, e -> CAST(1 AS DOUBLE) / " +
-        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(e.m_j AS INT)) AS DOUBLE)), " +
-        "CAST(256 AS DOUBLE) - CAST(n_present AS DOUBLE), (acc, x) -> acc + x)")
+    val denom = hllDenom
     folded.crossJoin(exact).select(
       lit(HllRegisters.toLong).as("m"),
       col("n_present"),
@@ -138,10 +145,7 @@ object Sketches {
     val folded = regs.groupBy("key").agg(
       sort_array(collect_list(struct(col("register"), col("m_j")))).as("arr"),
       count(lit(1)).as("n_present"))
-    val denom = expr(
-      "aggregate(transform(arr, e -> CAST(1 AS DOUBLE) / " +
-        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(e.m_j AS INT)) AS DOUBLE)), " +
-        "CAST(256 AS DOUBLE) - CAST(n_present AS DOUBLE), (acc, x) -> acc + x)")
+    val denom = hllDenom
     folded.join(exact, "key").select(
       col("key"),
       lit(HllRegisters.toLong).as("m"),

@@ -82,9 +82,18 @@ object TextCuration {
     val g = groups.select(col("doc_id").cast("long").as("id"),
       col("group_id").cast("long").as("__g"))
     val withG = hf.join(g, Seq("id"), "left")
-      .select(col("id"), coalesce(col("__g"), col("id")).as("group_id"))
-    val reps = hf.select(col("id").as("group_id"), col("__b").as("bucket"))
-    withG.join(reps, Seq("group_id"))
+      .select(col("id"), col("__b"), coalesce(col("__g"), col("id")).as("group_id"))
+    // the group's bucket = the min-id member PRESENT in df. When groups
+    // derive from this frame (the duplicateGroups contract: group_id =
+    // min member id) this IS the representative's bucket; when groups
+    // came from a superset corpus and the representative is absent, the
+    // next-lowest present member decides — deterministic, every member
+    // still moves together, nothing is silently dropped (an inner join
+    // on rep-id used to drop such groups wholesale).
+    val reps = withG.groupBy("group_id")
+      .agg(min(struct(col("id"), col("__b"))).as("r"))
+      .select(col("group_id"), col("r.__b").as("bucket"))
+    withG.drop("__b").join(reps, Seq("group_id"))
       .select(col("id").as("doc_id"), col("group_id"), col("bucket"),
         when(col("bucket") < trainPerMille, "train")
           .when(col("bucket") < trainPerMille + valPerMille, "val")

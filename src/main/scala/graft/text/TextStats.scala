@@ -809,14 +809,17 @@ object TextStats {
     require(b.getLong(2) > 0, "vocabGrowth requires a non-empty corpus")
     val lo = b.getLong(0); val wd = b.getLong(1) - lo + 1
     val n = nCheckpoints.toLong
-    def bucketOf(idc: Column): Column =
-      expr(s"((${idc.toString} - $lo + 1) * $n + ${wd - 1}) div $wd")
+    // takes the column NAME (both call sites are bare top-level columns):
+    // splicing a Column's toString into expr() breaks the moment a
+    // qualified or derived Column is passed
+    def bucketOf(idName: String): Column =
+      expr(s"(($idName - $lo + 1) * $n + ${wd - 1}) div $wd")
     val perDoc = base
-      .select(bucketOf(col("doc_id")).as("bk"), size(col("t")).cast("long").as("n_toks"))
+      .select(bucketOf("doc_id").as("bk"), size(col("t")).cast("long").as("n_toks"))
       .groupBy("bk").agg(count(lit(1)).as("nd"), sum("n_toks").as("nt"))
     val perType = base.select(col("doc_id"), explode(col("t")).as("w"))
       .groupBy("w").agg(min("doc_id").as("fid"))
-      .select(bucketOf(col("fid")).as("bk"))
+      .select(bucketOf("fid").as("bk"))
       .groupBy("bk").agg(count(lit(1)).as("ny"))
     val spine = spark.range(1, n + 1).toDF("checkpoint")
       .select(col("checkpoint").cast("int").as("checkpoint"),

@@ -128,6 +128,42 @@ class MediaSpec extends SparkSpec {
     bite("uncapped") - bite("capped") should be >= (250L * 249 / 2)
   }
 
+  "phashes" should "match a direct integer-DCT recomputation" in {
+    val h = Media.phashes(Media.perceptualCorpus(spark, sfDir))
+      .filter($"asset_id" === 3L).collect().head
+    val c = Media.mkPerceptual(3L).content
+    val f = Array.tabulate(8, 8)((u, v) =>
+      (0 until 256).map(i => (c(i) & 0xFF).toLong *
+        Media.DctBasis(u)(i % 16) * Media.DctBasis(v)(i / 16)).sum)
+    val ac = (for (u <- 0 until 8; v <- 0 until 8 if (u, v) != ((0, 0)))
+      yield f(u)(v))
+    val tot = ac.sum
+    val words = new Array[Int](4)
+    ac.zipWithIndex.foreach { case (x, bi) =>
+      if (x * 63L > tot) words(bi / 16) |= 1 << (bi % 16)
+    }
+    (0 until 4).foreach(j => h.getAs[Int](s"p$j") shouldBe words(j))
+  }
+
+  "phashRecovery" should "agree with the actual miners on the planted dither pairs" in {
+    val corpus = Media.ditherCorpus(spark, sfDir)
+    val recovered = Media.phashRecovery(corpus).collect()
+      .map(r => (r.getAs[Long]("asset_id"),
+        r.getAs[Long]("asset_id") + Media.DitherOffset)).toSet
+    recovered should not be empty
+    // the aHash miner (hamming_a <= 6 gate) finds NONE of the recovered
+    // pairs — they are exactly the pairs it misses
+    val aPairs = Media.perceptualNearDup(corpus).collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"))).toSet
+    recovered.intersect(aPairs) shouldBe empty
+    // the pHash banded miner finds EVERY recovered pair (pigeonhole:
+    // Hamming <= 6 over 8 bands guarantees a shared band; no band
+    // bucket tops the default cap at this scale)
+    val pPairs = Media.phashNearDup(corpus).collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"))).toSet
+    recovered.diff(pPairs) shouldBe empty
+  }
+
   "perceptualHashes" should "pack band bits in ascending bit order" in {
     // asset whose raster is known: verify band packing against a direct
     // recomputation in the test

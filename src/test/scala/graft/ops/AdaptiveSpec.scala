@@ -96,6 +96,30 @@ class AdaptiveWiringSpec extends SparkSpec {
     Adaptive.lshPlanes(1000000000L) shouldBe 20 // capped
   }
 
+  it should "agree with the float-log form everywhere (the oracle-twin pin)" in {
+    // the integer bitlength(n−1) − 6 derivation is exactly
+    // ⌈log2(n/64)⌉; p164's DuckDB twin replays `length(bin(n−1)) − 6`,
+    // so this sweep (dense small range + exact powers of two, where a
+    // float log could straddle ceil) pins the three forms together
+    def fp(n: Long): Long = math.ceil(
+      math.log(math.max(1.0, n.toDouble / 64.0)) / math.log(2.0)).toLong
+    def clamp(w: Long, floor: Int, cap: Int): Int =
+      math.min(cap.toLong, math.max(floor.toLong, w)).toInt
+    val ns = (1L to 70000L) ++ (1 to 40).map(k => 1L << k).flatMap(p =>
+      Seq(p - 1, p, p + 1)) ++ Seq(500L, 5000L, 1000000L)
+    for (n <- ns; (floor, cap) <- Seq((8, 20), (4, 20))) {
+      Adaptive.lshPlanes(n, floor, cap) shouldBe clamp(fp(n), floor, cap)
+      val bl = if (n <= 1L) 0L
+        else (64L - java.lang.Long.numberOfLeadingZeros(n - 1L)) - 6L
+      Adaptive.lshPlanes(n, floor, cap) shouldBe clamp(bl, floor, cap)
+    }
+    // the gate corpora: sf0.01's 500 docs sit at p164's floor 4, sf0.1's
+    // 5000 derive 7 — the Auto config genuinely diverges from fixed-4
+    // at the larger gate scale
+    Adaptive.lshPlanes(500L, floor = 4) shouldBe 4
+    Adaptive.lshPlanes(5000L, floor = 4) shouldBe 7
+  }
+
   "lshMultiTables" should "keep the historical 4 at the plane floor and grow with plane count" in {
     Adaptive.lshMultiTables(8) shouldBe 4   // the (8 planes, 4 tables) floor pair
     Adaptive.lshMultiTables(12) shouldBe 6

@@ -92,6 +92,34 @@ class PlanLockSpec extends SparkSpec {
       include("GreaterThanOrEqual(o_orderdate")
   }
 
+  "minCostSupplier (p165)" should "broadcast the geography dimension and never theta-join the lattice" in {
+    val nodes = executedNodes(RelAnalytics.minCostSupplier(spark, sfDir))
+    // the correlated min decorrelates into equi joins on (partkey) and
+    // (partkey, cost) — a theta/nested-loop here would be the quadratic
+    // lattice blow-up the decorrelated statement exists to avoid
+    nodes.count {
+      case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    } shouldBe 0
+    // nation⋈region rides the explicit broadcast
+    nodes.count { case _: BroadcastHashJoinExec => true; case _ => false } should be >= 1
+  }
+
+  "promoVolumeSuppliers (p166)" should "plan the nested IN/EXISTS as equi semi joins, never a theta join" in {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val nodes = executedNodes(RelAnalytics.promoVolumeSuppliers(spark, sfDir))
+    nodes.count {
+      case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    } shouldBe 0
+    // three stated semi joins: the finished-order gate, the promo-part
+    // filter, and the supplier eligibility probe
+    nodes.collect {
+      case j: SortMergeJoinExec => j.joinType
+      case j: BroadcastHashJoinExec => j.joinType
+    }.count(_ == LeftSemi) should be >= 3
+  }
+
   "contamination (p42)" should "broadcast the benchmark gram vocabulary" in {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val nodes = executedNodes(graft.text.TextCuration.contamination(

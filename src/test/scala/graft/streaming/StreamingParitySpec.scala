@@ -803,6 +803,52 @@ class StreamingParitySpec extends SparkSpec {
     streamed.toSeq shouldBe batch.toSeq
   }
 
+  "MmrSearchStream" should "score a query stream against the frozen IVFADC+R index exactly like batch p161" in {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val embDf = graft.sources.Tables.embeddings(spark, sfDir)
+    // the frozen artifacts, trained once offline — the p161 train phase
+    val cents = graft.ann.Similarity
+      .lowestIdCentroids(embDf, "vec_id", "embedding", 8)
+    val cb = graft.ann.ProductQuantizer.trainResidualCodebooks(
+      embDf, "vec_id", "embedding", cents, m = 16)
+    // 20 query vectors arrive over 4 micro-batches
+    val dir = Files.createTempDirectory("graft-mmr-json")
+    val lines = embDf.filter(col("vec_id") < 20).orderBy("vec_id")
+      .select(to_json(struct(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("qe"))).as("l"))
+      .collect().map(_.getString(0))
+    lines.grouped(5).zipWithIndex.foreach { case (ls, i) =>
+      val f = dir.resolve(f"q-$i%03d.json")
+      Files.write(f, String.join("\n", ls.toSeq: _*).getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = StructType(Seq(StructField("query_id", LongType),
+      StructField("qe", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val outDir = Files.createTempDirectory("graft-mmr-out").toString
+    val ckpt = Files.createTempDirectory("graft-mmr-ckpt").toString
+    val q = MmrSearchStream.attach(stream, embDf, "vec_id", "embedding",
+      cents, cb, outDir, ckpt)
+    q.awaitTermination(180000)
+    assert(!q.isActive, "stream did not terminate")
+    val got = spark.read.parquet(outDir).drop("batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    val batch = graft.ann.Similarity.mmrOverSearch(
+        graft.ann.ProductQuantizer.knnIvfPqRerank(embDf, "vec_id",
+          "embedding", col("vec_id") < 20, cents, cb,
+          k = graft.ann.Similarity.MmrKCand, kShort = 30),
+        embDf, "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    batch.length should be > 0
+    got.toSeq shouldBe batch.toSeq
+  }
+
   "SemDedupStream" should "accumulate exactly the batch semanticDedup keep list across id-ordered micro-batches (p103)" in {
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
     val embDf = graft.sources.Tables.embeddings(spark, sfDir)
