@@ -197,5 +197,56 @@ object OracleSqlRel {
          |    SELECT CAST(sum(l2.l_quantity) AS BIGINT) FROM lineitem l2
          |    WHERE l2.l_partkey = l.l_partkey)
          |)
-         |ORDER BY s_name""".stripMargin)
+         |ORDER BY s_name""".stripMargin,
+
+    // Q18-shaped large-volume orders (p169): the IN-with-HAVING over the
+    // fact VERBATIM — DuckDB decorrelates it into the same per-order
+    // rollup + join-back the Spark side states.
+    "p169_big_quantity_orders" ->
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+         |  CAST(CAST(round(o_totalprice*100) AS BIGINT) AS DOUBLE)
+         |    / CAST(100 AS DOUBLE) AS o_totalprice,
+         |  sum_qty
+         |FROM orders
+         |JOIN (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+         |      FROM lineitem GROUP BY 1
+         |      HAVING CAST(sum(l_quantity) AS BIGINT) > 300) b
+         |  ON o_orderkey = b.l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // Q16-shaped supplier-relationship count (p170): NOT IN against the
+    // flagged suppliers, distinct-supplier count per (p_type, p_size).
+    "p170_supplier_relationship_count" ->
+      s"""SELECT p_type, p_size,
+         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE p_size <= 25
+         |  AND l_suppkey NOT IN
+         |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_type, p_size""".stripMargin,
+
+    // Q11-shaped important parts (p171): one nation's per-part value vs
+    // the scale-free 3×-mean gate — the compare stays exact integer
+    // (value·n > 3·total) on both engines.
+    "p171_important_parts" ->
+      s"""WITH v AS (
+         |  SELECT l_partkey,
+         |    CAST(sum(round(l_extendedprice*100)) AS BIGINT) AS value_cents
+         |  FROM lineitem
+         |  WHERE l_suppkey IN
+         |        (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+         |  GROUP BY 1
+         |), t AS (
+         |  SELECT CAST(sum(value_cents) AS BIGINT) AS tot,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM v
+         |)
+         |SELECT l_partkey,
+         |  CAST(value_cents AS DOUBLE) / CAST(100 AS DOUBLE) AS part_value
+         |FROM v CROSS JOIN t
+         |WHERE value_cents * n > 3 * tot
+         |ORDER BY part_value DESC, l_partkey""".stripMargin)
 }

@@ -50,9 +50,22 @@ object StreamStateBench {
         p.durationMs.getOrDefault("triggerExecution", -1L).longValue())
       .filter(_._1 >= 0).sortBy(_._1)
 
+  /** Total bytes under a version directory — the state-size axis of the
+    * 10M-key soak (round-14 verdict item 6). */
+  private def dirBytes(spark: org.apache.spark.sql.SparkSession,
+                       p: org.apache.hadoop.fs.Path): Long = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val batches = args.headOption.map(_.toInt).getOrElse(12)
     val docsPerBatch = args.lift(1).map(_.toInt).getOrElse(2000)
+    // 3rd arg: span-section compaction cadence. Default keeps the r9
+    // measurement shape (suppressed — every version is a pure novelty
+    // delta); the 10M-key soak passes the production 8 so the record
+    // shows real compaction cadence + pruning, not just deltas.
+    val compactEvery = args.lift(2).map(_.toInt).getOrElse(-1)
     val spark = DevBench.session()
     // keep EVERY batch's progress so the per-batch compute curve covers
     // long soaks, not just the last 100 triggers
@@ -88,12 +101,20 @@ object StreamStateBench {
     // a pure novelty delta, so the state dir IS the measurement
     val t0 = System.nanoTime()
     val q = SpanDedupStream.attach(stream, "doc_id", "text", outDir,
-      stateDir, ckpt, compactEvery = batches + 1)
+      stateDir, ckpt,
+      compactEvery = if (compactEvery > 0) compactEvery else batches + 1)
     awaitOrAbort(q, "SpanDedupStream bench query")
     val wall = (System.nanoTime() - t0) / 1e9
 
+    // per-batch COMPUTE: at soak scale the question is whether batch
+    // latency stays flat while the cumulative key count grows to 10M+
+    batchDurations(q).foreach { case (id, ms) =>
+      println(s"""{"op":"span_dedup_stream_compute","batch":$id,"trigger_ms":$ms}""")
+    }
     // read the surviving versions: per batch, rows written (the delta)
-    // vs the cumulative table a full rewrite would have written
+    // vs the cumulative table a full rewrite would have written. Under
+    // production compaction older versions are PRUNED, so cumulative is
+    // only exact in the suppressed-compaction (r9 measurement) mode.
     val vs = VersionedState.versions(spark, stateDir).sortBy(_.id)
     var cumulative = 0L
     vs.foreach { v =>
@@ -102,10 +123,15 @@ object StreamStateBench {
       val kind = if (v.compact) "compact" else "delta"
       println(s"""{"op":"span_dedup_stream_state","batch":${v.id},""" +
         s""""kind":"$kind","rows_written":$rows,""" +
+        s""""state_bytes":${dirBytes(spark, v.path)},""" +
         s""""full_rewrite_rows":$cumulative}""")
     }
+    // cumulative distinct seen-key count — the soak's x-axis
+    val seenKeys = SpanDedupStream.latestState(spark, stateDir)
+      .map(_.count()).getOrElse(0L)
     println(s"""{"op":"span_dedup_stream","batches":$batches,""" +
-      s""""docs_per_batch":$docsPerBatch,"wall_sec":${f"$wall%.2f"}}""")
+      s""""docs_per_batch":$docsPerBatch,"seen_keys":$seenKeys,""" +
+      s""""wall_sec":${f"$wall%.2f"}}""")
 
     // the second twin: DedupGroupStream over an edge stream with flat
     // novelty ([[ScaleCorpusBench.synthEdges]] sliced into id-ordered

@@ -340,6 +340,82 @@ object RelAnalytics {
       .orderBy("s_name")
   }
 
+  /** p169 — Q18-shaped large-volume orders: the IN-with-HAVING over the
+    * fact table ("orders whose line quantities sum past 300"), stated as
+    * its decorrelation — the per-order quantity rollup IS the gate
+    * (filter after one orderkey-partitioned aggregate), and the
+    * surviving keys (post-HAVING, tiny) drive size-based joins back to
+    * orders and customer; AQE broadcasts the gate side at every scale
+    * because HAVING > 300 keeps ~0.3% of orders. The quantity sum is
+    * integral, totalprice converts through exact cents. Top 100 by
+    * totalprice — the Q18 output convention. */
+  def bigQuantityOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_orderkey").agg(sum(col("qty")).as("sum_qty"))
+      .filter(col("sum_qty") > 300L)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"),
+        (cents(col("o_totalprice")).cast("double") / lit(100.0))
+          .as("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** p170 — Q16-shaped supplier-relationship count: distinct suppliers
+    * per (p_type, p_size) over the derived supply lattice, EXCLUDING
+    * flagged suppliers (negative account balance — the schema's stand-in
+    * for Q16's complaint filter) via NOT IN. Decorrelation: the flagged
+    * set is a broadcast LEFT ANTI onto the deduped lattice (bounded — a
+    * fraction of the supplier dimension), the lattice dedup and the part
+    * join co-partition on l_partkey, and the count-distinct rides the
+    * (p_type, p_size) rollup. */
+  def supplierRelationshipCount(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val lattice = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+    lattice
+      .join(Tables.part(spark, dir).filter(col("p_size") <= 25)
+          .select("p_partkey", "p_type", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_type"), col("p_size"))
+  }
+
+  /** p171 — Q11-shaped important parts: the value carried per part by
+    * ONE nation's suppliers, kept when it exceeds a GLOBAL threshold —
+    * the group-by-with-scalar-HAVING decorrelation (Q11's fraction is
+    * scale-dependent, so the gate here is scale-free: part value > 3×
+    * the mean part value, an EXACT integer compare value·n > 3·total —
+    * no division touches the gate). The nation's supplier keys prune the
+    * fact through a semi join before the partkey rollup; the global
+    * total is a 1-row broadcast over the rollup itself (the p157 scalar
+    * pattern), so the fact scans once. */
+  def importantParts(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") === 3).select("s_suppkey")
+    val value = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice")).as("v"))
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey").agg(sum(col("v")).as("value_cents"))
+    val total = value.agg(sum(col("value_cents")).as("tot"),
+      count(lit(1)).as("n"))
+    value.crossJoin(broadcast(total))
+      .filter(col("value_cents") * col("n") > lit(3L) * col("tot"))
+      .select(col("l_partkey"),
+        (col("value_cents").cast("double") / lit(100.0)).as("part_value"))
+      .orderBy(desc("part_value"), col("l_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p68_pricing_summary" -> (pricingSummary _),
     "p69_top_orders" -> (topOrders _),
@@ -350,5 +426,8 @@ object RelAnalytics {
     "p156_sole_late_suppliers" -> (soleLateSuppliers _),
     "p157_dormant_high_value" -> (dormantHighValue _),
     "p165_min_cost_supplier" -> (minCostSupplier _),
-    "p166_promo_volume_suppliers" -> (promoVolumeSuppliers _))
+    "p166_promo_volume_suppliers" -> (promoVolumeSuppliers _),
+    "p169_big_quantity_orders" -> (bigQuantityOrders _),
+    "p170_supplier_relationship_count" -> (supplierRelationshipCount _),
+    "p171_important_parts" -> (importantParts _))
 }

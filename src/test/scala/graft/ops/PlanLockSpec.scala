@@ -120,6 +120,50 @@ class PlanLockSpec extends SparkSpec {
     }.count(_ == LeftSemi) should be >= 3
   }
 
+  "bigQuantityOrders (p169)" should "plan the HAVING gate as equi joins, never a theta join" in {
+    val nodes = executedNodes(RelAnalytics.bigQuantityOrders(spark, sfDir))
+    nodes.count {
+      case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    } shouldBe 0
+    nodes.count {
+      case _: SortMergeJoinExec | _: BroadcastHashJoinExec => true
+      case _ => false
+    } should be >= 2
+  }
+
+  "supplierRelationshipCount (p170)" should "anti-join the flagged suppliers via broadcast, never a theta join" in {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    // sf0.01, not the usual sf0.001: the smallest testdata has NO
+    // negative-balance supplier, so AQE empty-relation propagation
+    // eliminates the anti join outright and there is no node to pin
+    val nodes = executedNodes(
+      RelAnalytics.supplierRelationshipCount(spark, "/root/testdata/sf0.01"))
+    nodes.count {
+      case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    } shouldBe 0
+    nodes.collect {
+      case j: BroadcastHashJoinExec => j.joinType
+    }.count(_ == LeftAnti) should be >= 1
+  }
+
+  "importantParts (p171)" should "semi-join the nation's suppliers and broadcast the 1-row scalar gate" in {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val nodes = executedNodes(RelAnalytics.importantParts(spark, sfDir))
+    // the scalar total is the only nested-loop-family node allowed: a
+    // 1-row explicit broadcast (the p157 scalar-subquery pattern)
+    nodes.count { case _: CartesianProductExec => true; case _ => false } shouldBe 0
+    nodes.count {
+      case _: BroadcastNestedLoopJoinExec => true
+      case _ => false
+    } should be <= 1
+    nodes.collect {
+      case j: SortMergeJoinExec => j.joinType
+      case j: BroadcastHashJoinExec => j.joinType
+    }.count(_ == LeftSemi) should be >= 1
+  }
+
   "contamination (p42)" should "broadcast the benchmark gram vocabulary" in {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val nodes = executedNodes(graft.text.TextCuration.contamination(
