@@ -82,7 +82,8 @@ object NearDupScaleBench {
         .select((col("id") - 9).as("vec_a"), col("id").as("vec_b"))
       val nPlanted = planted.count()
 
-      val autoPpt = graft.ops.Adaptive.lshPlanes(n, floor = 4, cap = 20)
+      val autoPpt = graft.ops.Adaptive.lshPlanes(n, floor = 4, cap = 20,
+        bucketRows = graft.ops.Adaptive.MinerBucketRows)
       for ((mode, ppt) <- Seq("fixed4" -> 4, "auto" -> autoPpt)) {
         val (buckets, maxM, overCap, stranded) = occupancy(emb, 4, ppt, cap)
         println(s"""{"op":"neardup_occupancy","vecs":$n,"mode":"$mode",""" +

@@ -874,16 +874,18 @@ object OracleSqlDocs {
 
   /** p164's Auto-planes banded-miner tail (`v(vec_id, e)` must be in
     * scope): the per-table plane count `p` is derived IN SQL from
-    * count(*) over `v` — `least(20, greatest(4, length(bin(n−1)) − 6))`,
-    * the integer-exact twin of [[graft.ops.Adaptive.lshPlanes]]
-    * (floor 4, cap 20; AdaptiveSpec pins the three forms together) —
-    * and table t buckets over planes [t·p, t·p+p) indexed dynamically
-    * into a `tables`×20-plane literal (the plane-cap supply). Same
-    * hot-bucket cap / candidate / exact-cosine tail as [[embPairTail]]. */
+    * count(*) over `v` — `least(20, greatest(4, length(bin(n−1)) − 4))`,
+    * the integer-exact twin of [[graft.ops.Adaptive.lshPlanes]] at the
+    * MINER occupancy target ([[graft.ops.Adaptive.MinerBucketRows]] = 16
+    * = 2⁴ expected rows/bucket; floor 4, cap 20; AdaptiveSpec pins the
+    * forms together) — and table t buckets over planes [t·p, t·p+p)
+    * indexed dynamically into a `tables`×20-plane literal (the plane-cap
+    * supply). Same hot-bucket cap / candidate / exact-cosine tail as
+    * [[embPairTail]]. */
   private def embPairTailAuto(tables: Int, maxBucket: Int): String = {
     val pls = (0 until tables * 20).map(planeLit).mkString("[", ",\n    ", "]")
     s"""np AS (SELECT least(CAST(20 AS BIGINT), greatest(CAST(4 AS BIGINT),
-       |  CAST(length(bin(count(*) - 1)) AS BIGINT) - 6)) AS p FROM v),
+       |  CAST(length(bin(count(*) - 1)) AS BIGINT) - 4)) AS p FROM v),
        |pl AS (SELECT $pls AS pls),
        |bk0 AS (
        |  SELECT vec_id, e, tbl,

@@ -500,15 +500,21 @@ object Similarity {
     * `tables` independent plane sets — the OR-construction that recovers
     * recall at moderate similarity). Output: (vec_a, vec_b, sim).
     *
-    * Scale shape: the banded frame carries (id, tbl, bucket) ONLY — three
-    * fixed-width columns — so the ×`tables` explode and both self-join
-    * sides shuffle ids, never the vectors (an earlier design rode the full
-    * embedding through both, ~8× the corpus through the exchange). The two
-    * join sides reuse one (tbl, bucket) exchange, so the `tables` ×
-    * `planesPerTable` plane dot-folds run once per vector. Vectors rejoin
-    * only for the surviving deduped pairs, and the codegen'd cosine runs
-    * once per pair; AQE broadcasts the (small) pair side, so locally the
-    * embeddings never shuffle at all. Nothing is persisted. */
+    * Scale shape (round 15): the vector RIDES the banded frame and the
+    * codegen'd cosine evaluates AT PROBE TIME, inside the (tbl, bucket)
+    * self-join, with the `sim >= minSim` filter immediately after — so a
+    * bucket's m² candidate pairs are generated, scored, and discarded
+    * in-stream, and only true near-duplicates ever reach an exchange
+    * (the [[graft.text.TextDedup.simhashNearDup]] hamming-at-probe
+    * pattern). The superseded design shuffled (id, tbl, bucket) only and
+    * re-joined vectors after a global candidate `distinct()` — narrower
+    * banding exchange (ids vs ×`tables` vectors, ~8× at dim 64), but the
+    * distinct materializes Σ m² candidate rows: measured at 1M vectors /
+    * 14 planes that is ~10⁹ rows and an 80 GB spill-to-death, vs the
+    * vector-carrying exchange's ~2 GB. Probe-time scoring costs ≤`tables`
+    * cosines per surviving pair (deduped after, result-identical since
+    * cosine is deterministic per pair). The two join sides reuse one
+    * exchange. Nothing is persisted. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    minSim: Double = 0.4, tables: Int = 4,
                    planesPerTable: Int = 4, dim: Int = 64,
@@ -518,8 +524,11 @@ object Similarity {
     // returns different candidate pairs), so — like knnIvf's nCells and
     // per the Adaptive doctrine — the occupancy derivation is OPT-IN
     // (pass Adaptive.Auto), not the default: a first attempt at making
-    // Auto the default diverged from the 4-plane oracle twin at sf0.1
-    // (2000 vectors derive 5 planes). With a fixed 4-plane (16-bucket)
+    // Auto the default diverged from the 4-plane oracle twin at sf0.1.
+    // Auto targets the MINER occupancy (Adaptive.MinerBucketRows = 16
+    // expected rows/bucket, not the kNN search target 64): an all-pairs
+    // pass pays Σ m² per bucket, and the 64-row target measured ~1B
+    // candidates at 1M vectors. With a fixed 4-plane (16-bucket)
     // table every bucket is hot by construction at ≥1M vectors — at that
     // scale pass Auto (and accept the recall shift) or raise tables.
     // The bucket cap is the banded-miner hot-bucket bound (see
@@ -528,28 +537,30 @@ object Similarity {
     // keeps recall where one table's bucket is skipped.
     val ppt =
       if (planesPerTable == graft.ops.Adaptive.Auto)
-        graft.ops.Adaptive.lshPlanes(emb.count(), floor = 4, cap = 20)
+        graft.ops.Adaptive.lshPlanes(emb.count(), floor = 4, cap = 20,
+          bucketRows = graft.ops.Adaptive.MinerBucketRows)
       else planesPerTable
-    val v = emb.select(col(idCol).as("id"), col(vecCol).as("e"))
-    val banded0 = emb.select(col(idCol).as("id"),
+    val banded0 = emb.select(col(idCol).as("id"), col(vecCol).as("e"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
           signBucket(col(vecCol), t * ppt, ppt, dim).as("bucket"))): _*))
         .as("bb"))
-      .select(col("id"), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+      .select(col("id"), col("e"),
+        col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
     val eligible = banded0.groupBy("tbl", "bucket")
       .agg(count(lit(1)).as("__m")).filter(col("__m") <= maxBucket)
       .select("tbl", "bucket")
     val banded = banded0.join(eligible, Seq("tbl", "bucket"))
-    val pairs = banded.as("a").join(banded.as("b"), Seq("tbl", "bucket"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
-      .distinct()
-    pairs
-      .join(v.select(col("id").as("vec_a"), col("e").as("ea")), Seq("vec_a"))
-      .join(v.select(col("id").as("vec_b"), col("e").as("eb")), Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("sim"))
+    val a = banded.select(col("tbl"), col("bucket"),
+      col("id").as("vec_a"), col("e").as("ea"))
+    val b = banded.select(col("tbl"), col("bucket"),
+      col("id").as("vec_b"), col("e").as("eb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine(col("ea"), col("eb")))
       .filter(col("sim") >= minSim)
+      .dropDuplicates("vec_a", "vec_b")
+      .select("vec_a", "vec_b", "sim")
       .orderBy("vec_a", "vec_b")
   }
 

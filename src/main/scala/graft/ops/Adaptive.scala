@@ -66,19 +66,37 @@ object Adaptive {
     * per-row hashing work (and past 2^20 buckets even 100M vectors sit
     * at ~100 per bucket). Result-affecting past the floor, like
     * [[ivfCells]] — the recall trade is pinned by p58's oracle row. */
-  def lshPlanes(rows: Long, floor: Int = 8, cap: Int = 20): Int = {
+  def lshPlanes(rows: Long, floor: Int = 8, cap: Int = 20,
+                bucketRows: Int = LshBucketRows.toInt): Int = {
     require(floor >= 1 && cap >= floor, "need 1 <= floor <= cap")
-    // want = ⌈log2(rows / 64)⌉ computed in INTEGER arithmetic as
-    // bitlength(rows−1) − 6 (⌈log2 x⌉ = bitlength(x−1) for integer x ≥ 2,
-    // and the shift by 64 = 2^6 commutes): bit-identical on any engine,
-    // so the oracle twin `length(bin(n − 1)) − 6` replays the derivation
-    // exactly (a float log could straddle ceil at exact powers of two;
-    // AdaptiveSpec pins agreement with the fp form across a sweep).
+    // power of two so the ⌈log2⌉ shift below stays integer-exact — the
+    // oracle twins replay the derivation as `length(bin(n−1)) − log2(b)`
+    require(bucketRows >= 1 && Integer.bitCount(bucketRows) == 1,
+      "bucketRows must be a power of two")
+    // want = ⌈log2(rows / bucketRows)⌉ computed in INTEGER arithmetic as
+    // bitlength(rows−1) − log2(bucketRows) (⌈log2 x⌉ = bitlength(x−1)
+    // for integer x ≥ 2, and dividing by a power of two commutes with
+    // the ceil): bit-identical on any engine, so the oracle twin
+    // `length(bin(n − 1)) − 6` (resp. − 4 for the miner target) replays
+    // the derivation exactly (a float log could straddle ceil at exact
+    // powers of two; AdaptiveSpec pins agreement with the fp form).
+    val shift = java.lang.Integer.numberOfTrailingZeros(bucketRows).toLong
     val want =
       if (rows <= 1L) 0L
-      else (64L - java.lang.Long.numberOfLeadingZeros(rows - 1L)) - 6L
+      else (64L - java.lang.Long.numberOfLeadingZeros(rows - 1L)) - shift
     math.min(cap.toLong, math.max(floor.toLong, want)).toInt
   }
+
+  /** Occupancy target for the all-pairs MINERS ([[graft.ann.Similarity
+    * .nearDupPairs]]), deliberately 4× tighter than the kNN search
+    * target [[LshBucketRows]]: a miner pays Σ m² over every bucket —
+    * per-corpus-row candidate work ∝ bucket occupancy — so the 64-row
+    * search target that keeps a PER-QUERY probe cheap makes the
+    * all-pairs pass generate ~n·64·tables candidates (measured: ~1B at
+    * 1M vectors, an 80 GB spill). 16 keeps the candidate volume at
+    * ~n·16·tables while the extra 2 planes cost two more dot-folds per
+    * row; recall is held by the OR-construction across tables. */
+  val MinerBucketRows: Int = 16
 
   /** Table count for the multi-table sign-LSH OR-construction, derived
     * from the per-table plane count: finer tables (more planes) split

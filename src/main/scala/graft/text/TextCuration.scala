@@ -150,10 +150,32 @@ object TextCuration {
       df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
       "norm" -> normText(col("__t")))
     val t = Barrier.once(toks, Seq("id", "norm"), "t" -> split(col("norm"), " "))
+    // top_cnt = max multiplicity of any token, computed as the max RUN
+    // LENGTH of the sorted token array (equal by definition: sorting
+    // groups equal tokens contiguously) — one O(n) fold instead of the
+    // previous transform(distinct, d -> count matches) shape, whose
+    // O(n·distinct) INTERPRETED lambda invocations (~14k/doc at 100
+    // tokens; HOFs don't enter whole-stage codegen) made the quality
+    // gate the p78 funnel rehearsal's straggler stage (2 × 50 s tasks
+    // at 1M docs, r15_funnel.md) and would be quadratic in doc length
+    // at real web-document sizes. Empty array stays NULL (the
+    // array_max-over-empty semantics the oracle twins replay).
+    val topCnt = {
+      val folded = aggregate(
+        sort_array(col("t")),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + lit(1L)).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      when(size(col("t")) === 0, lit(null).cast("long")).otherwise(folded)
+    }
     val counters = Barrier.once(t, Seq("id"),
       "n_tokens" -> size(col("t")).cast("long"),
-      "top_cnt" -> array_max(transform(array_distinct(col("t")),
-        d => size(filter(col("t"), x => x === d)))).cast("long"),
+      "top_cnt" -> topCnt.cast("long"),
       "n_bigrams" -> greatest(lit(0), size(col("t")) - 1).cast("long"),
       "n_uniq_bigrams" -> size(array_distinct(wordShingles(col("t"), 2))).cast("long"),
       "n_sym" -> (length(col("norm")) -

@@ -40,30 +40,36 @@ class PlanShapeSpec extends SparkSpec {
   private def exchanges(plan: SparkPlan): Seq[Exchange] =
     allNodes(plan).collect { case e: Exchange => e }
 
-  "nearDupPairs" should "never put the vector column through the banding exchange" in {
+  "nearDupPairs" should "score candidates at probe time — no unscored pair exchange" in {
     val df = Similarity.nearDupPairs(embeddings, "vec_id", "embedding")
     df.collect() // materialize so AQE settles the final plan
     val exs = exchanges(df.queryExecution.executedPlan)
     exs should not be empty
-    // the only exchanges allowed to carry array<float> are the pair-rejoin
-    // sides, which AQE broadcasts on the SMALL (pairs) side — so in the
-    // final plan no exchange output may contain a float-array column at all
-    // on the banding/self-join/distinct path. Assert globally: any exchange
-    // carrying a float array must be a broadcast of vectors for the rejoin,
-    // never a shuffle.
-    // match any float/double array regardless of containsNull (a schema
-    // read with containsNull=false, or a cast to double, must still trip
-    // this lock), and identify shuffles structurally, not by class name
-    val isVectorType: org.apache.spark.sql.types.DataType => Boolean = {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _ => false
+    // the round-15 shape (the simhash hamming-at-probe pattern): the
+    // banding exchange MAY carry the vector — ~2 GB at 1M × dim 64, the
+    // cheap side of the trade — but candidate PAIRS must never shuffle
+    // unscored: the superseded candidate-distinct design materialized
+    // Σ m² pair rows through an exchange (~1e9 rows / 80 GB spill at 1M
+    // vectors, the round-15 rung failure). Every shuffle whose output
+    // carries both pair ids must therefore already carry the cosine
+    // score — scoring happened inside the self-join, before any pair
+    // row left the probe task.
+    val pairShuffles = exs.filter { e =>
+      e.isInstanceOf[ShuffleExchangeLike] && {
+        val names = e.child.output.map(_.name)
+        names.contains("vec_a") && names.contains("vec_b")
+      }
     }
-    val vectorShuffles = exs.filter { e =>
-      e.isInstanceOf[ShuffleExchangeLike] &&
-        e.child.output.exists(a => isVectorType(a.dataType))
-    }
-    withClue(s"vector-carrying shuffles:\n${vectorShuffles.mkString("\n")}\n") {
-      vectorShuffles shouldBe empty
+    // the dedup (and sort) exchanges exist and are post-scoring: their
+    // output must carry a non-key payload — `sim` itself, or the dedup
+    // aggregate's partial_first(sim) buffer — while the superseded
+    // candidate-distinct exchange shuffled BARE (vec_a, vec_b) keys
+    pairShuffles should not be empty
+    pairShuffles.foreach { e =>
+      withClue(s"unscored pair exchange:\n$e\n") {
+        e.child.output.map(_.name)
+          .filterNot(Set("vec_a", "vec_b", "tbl", "bucket")) should not be empty
+      }
     }
   }
 

@@ -113,11 +113,41 @@ class AdaptiveWiringSpec extends SparkSpec {
         else (64L - java.lang.Long.numberOfLeadingZeros(n - 1L)) - 6L
       Adaptive.lshPlanes(n, floor, cap) shouldBe clamp(bl, floor, cap)
     }
-    // the gate corpora: sf0.01's 500 docs sit at p164's floor 4, sf0.1's
-    // 5000 derive 7 — the Auto config genuinely diverges from fixed-4
-    // at the larger gate scale
+    // the gate corpora at the SEARCH target (bucketRows 64): sf0.01's
+    // 500 docs sit at floor 4, sf0.1's 5000 derive 7
     Adaptive.lshPlanes(500L, floor = 4) shouldBe 4
     Adaptive.lshPlanes(5000L, floor = 4) shouldBe 7
+  }
+
+  it should "derive the miner target (bucketRows 16) as bitlength(n−1) − 4, the p164 twin" in {
+    // the miner form is ⌈log2(n/16)⌉ — two planes MORE than the search
+    // form everywhere above both floors (16 = 64/2², and the shift
+    // commutes with the ceil), and p164's DuckDB twin replays
+    // `length(bin(n−1)) − 4` — pin the fp form, the bitlength form,
+    // and the +2 relationship together
+    def fp16(n: Long): Long = math.ceil(
+      math.log(math.max(1.0, n.toDouble / 16.0)) / math.log(2.0)).toLong
+    def clamp(w: Long, floor: Int, cap: Int): Int =
+      math.min(cap.toLong, math.max(floor.toLong, w)).toInt
+    val ns = (1L to 70000L) ++ (1 to 40).map(k => 1L << k).flatMap(p =>
+      Seq(p - 1, p, p + 1)) ++ Seq(500L, 5000L, 1000000L)
+    for (n <- ns) {
+      Adaptive.lshPlanes(n, floor = 4, cap = 20,
+        bucketRows = Adaptive.MinerBucketRows) shouldBe clamp(fp16(n), 4, 20)
+      val bl = if (n <= 1L) 0L
+        else (64L - java.lang.Long.numberOfLeadingZeros(n - 1L)) - 4L
+      Adaptive.lshPlanes(n, floor = 4, cap = 20,
+        bucketRows = Adaptive.MinerBucketRows) shouldBe clamp(bl, 4, 20)
+    }
+    // the gate corpora at the MINER target: 500 docs derive 5, 5000
+    // derive 9 — the Auto config diverges from fixed-4 at BOTH scales
+    Adaptive.lshPlanes(500L, floor = 4,
+      bucketRows = Adaptive.MinerBucketRows) shouldBe 5
+    Adaptive.lshPlanes(5000L, floor = 4,
+      bucketRows = Adaptive.MinerBucketRows) shouldBe 9
+    // non-power-of-two targets are a loud error, not a silent wrong shift
+    an[IllegalArgumentException] should be thrownBy
+      Adaptive.lshPlanes(5000L, bucketRows = 48)
   }
 
   "lshMultiTables" should "keep the historical 4 at the plane floor and grow with plane count" in {

@@ -77,6 +77,28 @@ class TextCurationSpec extends SparkSpec {
     m(3L).getAs[Double]("dup_bigram_frac") shouldBe 0.0
   }
 
+  it should "compute top_token_ratio by sorted run length identically to the distinct-count form" in {
+    // the r15 linearization (max run in sort_array == max multiplicity):
+    // pin equality against the superseded O(n·distinct) form on random
+    // heavy-repeat docs, plus the empty-doc NULL edge both forms share
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map { i =>
+      val n = 1 + rnd.nextInt(60)
+      val vocab = 1 + rnd.nextInt(8) // tiny vocab -> heavy ties and runs
+      (i, (1 to n).map(_ => s"w${rnd.nextInt(vocab)}").mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val got = TextCuration.repetitionStats(df, "doc_id", "text")
+      .select(col("id"), col("top_token_ratio")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (i, text) =>
+      val toks = text.split(" ").toSeq
+      val expect = toks.groupBy(identity).values.map(_.size).max.toDouble / toks.size
+      got(i) shouldBe expect +- 1e-12
+    }
+  }
+
   "tokenChunks" should "cover every token and overlap consecutive chunks" in {
     val doc = (1 to 80).map(i => s"w$i").mkString(" ")
     val rows = TextCuration.tokenChunks(Seq((1L, doc)).toDF("doc_id", "text"),
