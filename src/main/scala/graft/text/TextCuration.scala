@@ -146,41 +146,21 @@ object TextCuration {
                       maxTopTokenRatio: Double = 0.2,
                       maxDupBigramFrac: Double = 0.3,
                       maxSymbolRatio: Double = 0.2): DataFrame = {
-    val toks = Barrier.once(
+    // the six counters are ONE codegen node over the normalized text
+    // ([[graft.functions.CurationStats]]) — the declarative struct it
+    // replaces mixed HOF folds (CodegenFallback) with a regexp_replace
+    // and fell out of whole-stage codegen into fully interpreted eval:
+    // at the 10M-doc funnel rehearsal the gate was 1,304 s (71% of the
+    // funnel wall) with 27/32 executor threads inside java.util.regex
+    // (r15_funnel.md). The declarative twin survives as
+    // [[repetitionCounters]], spec-pinned equal on random corpora.
+    val counters = Barrier.once(
       df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
-      "norm" -> normText(col("__t")))
-    val t = Barrier.once(toks, Seq("id", "norm"), "t" -> split(col("norm"), " "))
-    // top_cnt = max multiplicity of any token, computed as the max RUN
-    // LENGTH of the sorted token array (equal by definition: sorting
-    // groups equal tokens contiguously) — one O(n) fold instead of the
-    // previous transform(distinct, d -> count matches) shape, whose
-    // O(n·distinct) INTERPRETED lambda invocations (~14k/doc at 100
-    // tokens; HOFs don't enter whole-stage codegen) made the quality
-    // gate the p78 funnel rehearsal's straggler stage (2 × 50 s tasks
-    // at 1M docs, r15_funnel.md) and would be quadratic in doc length
-    // at real web-document sizes. Empty array stays NULL (the
-    // array_max-over-empty semantics the oracle twins replay).
-    val topCnt = {
-      val folded = aggregate(
-        sort_array(col("t")),
-        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-        (acc, x) => {
-          val run = when(x === acc.getField("prev"),
-            acc.getField("run") + lit(1L)).otherwise(lit(1L))
-          struct(x.as("prev"), run.as("run"),
-            greatest(acc.getField("best"), run).as("best"))
-        },
-        acc => acc.getField("best"))
-      when(size(col("t")) === 0, lit(null).cast("long")).otherwise(folded)
-    }
-    val counters = Barrier.once(t, Seq("id"),
-      "n_tokens" -> size(col("t")).cast("long"),
-      "top_cnt" -> topCnt.cast("long"),
-      "n_bigrams" -> greatest(lit(0), size(col("t")) - 1).cast("long"),
-      "n_uniq_bigrams" -> size(array_distinct(wordShingles(col("t"), 2))).cast("long"),
-      "n_sym" -> (length(col("norm")) -
-        length(regexp_replace(col("norm"), "[^a-z0-9 ]", ""))).cast("long"),
-      "n_chars" -> length(col("norm")).cast("long"))
+      "cs" -> graft.functions.CurationStats(normText(col("__t"))))
+      .select(col("id"), col("cs.n_tokens").as("n_tokens"),
+        col("cs.top_cnt").as("top_cnt"), col("cs.n_bigrams").as("n_bigrams"),
+        col("cs.n_uniq_bigrams").as("n_uniq_bigrams"),
+        col("cs.n_sym").as("n_sym"), col("cs.n_chars").as("n_chars"))
     val topRatio = col("top_cnt").cast("double") / col("n_tokens")
     val dupFrac = when(col("n_bigrams") > 0L,
       (col("n_bigrams") - col("n_uniq_bigrams")).cast("double") / col("n_bigrams"))
@@ -194,6 +174,44 @@ object TextCuration {
       (topRatio <= maxTopTokenRatio && dupFrac <= maxDupBigramFrac &&
         symRatio <= maxSymbolRatio).as("keep"))
       .orderBy("id")
+  }
+
+  /** Declarative twin of [[graft.functions.CurationStats]] — the struct
+    * of per-doc counters stated in Spark SQL functions only, kept for
+    * the expression-equivalence pin (TextCurationSpec) per the house
+    * custom-expression convention. top_cnt = max RUN LENGTH of the
+    * sorted token array (≡ max multiplicity; one O(n) fold, not the
+    * O(n·distinct) transform-filter shape this twin itself replaced in
+    * r15). NOT on any query path: the fold and shingle HOFs are
+    * CodegenFallback and drag the containing projection into
+    * interpreted eval. */
+  private[graft] def repetitionCounters(df: DataFrame, idCol: String,
+                                        textCol: String): DataFrame = {
+    val toks = Barrier.once(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")), Seq("id"),
+      "norm" -> normText(col("__t")))
+    val t = Barrier.once(toks, Seq("id", "norm"), "t" -> split(col("norm"), " "))
+    val topCnt = {
+      val folded = aggregate(
+        sort_array(col("t")),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + lit(1L)).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      when(size(col("t")) === 0, lit(null).cast("long")).otherwise(folded)
+    }
+    Barrier.once(t, Seq("id"),
+      "n_tokens" -> size(col("t")).cast("long"),
+      "top_cnt" -> topCnt.cast("long"),
+      "n_bigrams" -> greatest(lit(0), size(col("t")) - 1).cast("long"),
+      "n_uniq_bigrams" -> size(array_distinct(wordShingles(col("t"), 2))).cast("long"),
+      "n_sym" -> (length(col("norm")) -
+        length(regexp_replace(col("norm"), "[^a-z0-9 ]", ""))).cast("long"),
+      "n_chars" -> length(col("norm")).cast("long"))
   }
 
   /** Context-window chunking: split each document's token stream into

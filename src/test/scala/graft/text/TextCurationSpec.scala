@@ -77,6 +77,39 @@ class TextCurationSpec extends SparkSpec {
     m(3L).getAs[Double]("dup_bigram_frac") shouldBe 0.0
   }
 
+  it should "match the declarative counter twin on adversarial corpora (the CurationStats pin)" in {
+    // the codegen expression vs the declarative twin, per the house
+    // custom-expression convention: random docs with heavy ties plus the
+    // edge shapes (empty text, whitespace runs, unicode symbols, digits)
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    val edge = Seq(
+      (9001L, ""), (9002L, "   "), (9003L, "a"), (9004L, "a a a a"),
+      (9005L, "héllo wörld ¡sym! 123 123"), (9006L, "x\t\ty\n\nz"),
+      (9007L, "!!! ??? ###"), (9008L, "𝄞 music 𝄞 music"))
+    val rows = edge ++ (1L to 150L).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      val vocab = 1 + rnd.nextInt(6)
+      (i, (1 to n).map(_ => s"w${rnd.nextInt(vocab)}!").mkString("  "))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val cols = Seq("n_tokens", "top_cnt", "n_bigrams", "n_uniq_bigrams",
+      "n_sym", "n_chars")
+    val viaExpr = df.select(col("doc_id").as("id"),
+        graft.functions.CurationStats(
+          graft.functions.TextPrims.normText(col("text"))).as("cs"))
+      .select(col("id") +: cols.map(c => col(s"cs.$c").as(c)): _*)
+      .collect().map(r => r.getLong(0) -> cols.map(r.getAs[Long])).toMap
+    val viaTwin = TextCuration.repetitionCounters(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> cols.map(r.getAs[Long])).toMap
+    viaTwin.keySet shouldBe viaExpr.keySet
+    viaTwin.foreach { case (id, twin) =>
+      withClue(s"doc $id: expr=${viaExpr(id)} twin=$twin\n") {
+        viaExpr(id) shouldBe twin
+      }
+    }
+  }
+
   it should "compute top_token_ratio by sorted run length identically to the distinct-count form" in {
     // the r15 linearization (max run in sort_array == max multiplicity):
     // pin equality against the superseded O(n·distinct) form on random
