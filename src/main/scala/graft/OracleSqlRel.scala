@@ -248,5 +248,40 @@ object OracleSqlRel {
          |  CAST(value_cents AS DOUBLE) / CAST(100 AS DOUBLE) AS part_value
          |FROM v CROSS JOIN t
          |WHERE value_cents * n > 3 * tot
-         |ORDER BY part_value DESC, l_partkey""".stripMargin)
+         |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    // Q4-shaped order-priority check (p172): correlated EXISTS with the
+    // 90-day lateness proxy VERBATIM.
+    "p172_order_priority_check" ->
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         |FROM orders o
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-04-01'
+         |  AND EXISTS (SELECT 1 FROM lineitem l
+         |        WHERE l.l_orderkey = o.o_orderkey
+         |          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Q12-shaped priority split (p173): fact-to-fact join + two-way
+    // conditional count per returnflag.
+    "p173_priority_ship_split" ->
+      s"""SELECT l_returnflag,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Q19-shaped disjunctive revenue (p174): the OR of brand × quantity
+    // conjunctions across the join, revenue in exact integer units.
+    "p174_disjunctive_revenue" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum($rev) AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue
+         |FROM lineitem l JOIN part p ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)""".stripMargin)
 }

@@ -416,6 +416,72 @@ object RelAnalytics {
       .orderBy(desc("part_value"), col("l_partkey"))
   }
 
+  /** p172 — Q4-shaped order-priority check: orders placed in one quarter
+    * with AT LEAST ONE late line (shipped > 90 days after the order date
+    * — the schema's commit-date proxy, the p156 convention), counted per
+    * priority. The correlated EXISTS references BOTH tables, so its
+    * decorrelation is a LEFT SEMI on l_orderkey with the lateness
+    * predicate riding the join as a residual condition; the quarter
+    * filter pushes to the orders scan and prunes the probe side before
+    * the join. */
+  def orderPriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** p173 — Q12-shaped priority split per line class: for one ship
+    * year, per returnflag (the schema's shipmode stand-in), how many
+    * lines belong to critical- vs normal-priority orders — the
+    * fact-to-fact orderkey join feeding a two-way conditional count.
+    * The date filter pushes to the lineitem scan; both conditional sums
+    * ride one map-side partial aggregation. */
+  def priorityShipSplit(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** p174 — Q19-shaped disjunctive revenue: an OR of brand × quantity-
+    * range conjunctions across the lineitem⋈part join. The plan point:
+    * Catalyst splits the disjunction into per-side implied filters
+    * (quantity ∈ [1,30] pushes to the lineitem scan, the brand IN-list
+    * to the part scan) while the full OR evaluates as the join's
+    * residual — one equi join, no union-of-three-plans blow-up. Revenue
+    * sums exact integer units. */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+      discUnits(col("l_extendedprice"), col("l_discount")).as("rev_units"))
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("qty").between(1L, 11L)) ||
+        (col("p_brand") === "Brand#23" && col("qty").between(10L, 20L)) ||
+        (col("p_brand") === "Brand#34" && col("qty").between(20L, 30L)))
+      .agg(count(lit(1)).as("n_lines"),
+        asDollars4(sum(col("rev_units"))).as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p68_pricing_summary" -> (pricingSummary _),
     "p69_top_orders" -> (topOrders _),
@@ -429,5 +495,8 @@ object RelAnalytics {
     "p166_promo_volume_suppliers" -> (promoVolumeSuppliers _),
     "p169_big_quantity_orders" -> (bigQuantityOrders _),
     "p170_supplier_relationship_count" -> (supplierRelationshipCount _),
-    "p171_important_parts" -> (importantParts _))
+    "p171_important_parts" -> (importantParts _),
+    "p172_order_priority_check" -> (orderPriorityCheck _),
+    "p173_priority_ship_split" -> (priorityShipSplit _),
+    "p174_disjunctive_revenue" -> (disjunctiveRevenue _))
 }

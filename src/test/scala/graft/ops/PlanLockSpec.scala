@@ -164,6 +164,43 @@ class PlanLockSpec extends SparkSpec {
     }.count(_ == LeftSemi) should be >= 1
   }
 
+  "orderPriorityCheck (p172)" should "plan the correlated EXISTS as an equi semi join with a residual, never a theta join" in {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val df = RelAnalytics.orderPriorityCheck(spark, sfDir)
+    val nodes = executedNodes(df)
+    nodes.count {
+      case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    } shouldBe 0
+    nodes.collect {
+      case j: SortMergeJoinExec => j.joinType
+      case j: BroadcastHashJoinExec => j.joinType
+    }.count(_ == LeftSemi) should be >= 1
+    // the quarter filter reaches the orders parquet scan
+    df.queryExecution.executedPlan.toString should
+      include("GreaterThanOrEqual(o_orderdate")
+  }
+
+  "disjunctiveRevenue (p174)" should "push the implied per-side filters and keep ONE equi join" in {
+    val df = RelAnalytics.disjunctiveRevenue(spark, sfDir)
+    val nodes = executedNodes(df)
+    nodes.count {
+      case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    } shouldBe 0
+    nodes.count {
+      case _: SortMergeJoinExec | _: BroadcastHashJoinExec => true
+      case _ => false
+    } shouldBe 1
+    // Catalyst's implied-disjunction split: the brand disjunction reaches
+    // the part scan as a pushed filter (Or(EqualTo(p_brand, ...)) — small
+    // lists stay ORs below the IN-conversion threshold), and the quantity
+    // range union reaches the lineitem filter
+    val planStr = df.queryExecution.executedPlan.toString
+    planStr should include("EqualTo(p_brand,Brand#12)")
+    planStr should include regex "Filter .*l_quantity"
+  }
+
   "contamination (p42)" should "broadcast the benchmark gram vocabulary" in {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val nodes = executedNodes(graft.text.TextCuration.contamination(
