@@ -84,21 +84,30 @@ object NearDupScaleBench {
 
       val autoPpt = graft.ops.Adaptive.lshPlanes(n, floor = 4, cap = 20,
         bucketRows = graft.ops.Adaptive.MinerBucketRows)
-      for ((mode, ppt) <- Seq("fixed4" -> 4, "auto" -> autoPpt)) {
-        val (buckets, maxM, overCap, stranded) = occupancy(emb, 4, ppt, cap)
+      // auto8: the recall-recovery lever for the hot-bucket stranding the
+      // auto rung shows (r15_neardup_1m.md) — the lshMultiTables pairing
+      // (8 tables at 16 planes) doubles the OR-construction so a pair
+      // stranded in one table's hot bucket gets 7 more chances; banding
+      // cost doubles, candidate volume stays ~n·16·tables
+      for ((mode, ppt, tables) <- Seq(("fixed4", 4, 4), ("auto", autoPpt, 4),
+                                      ("auto8", autoPpt, 8))) {
+        val (buckets, maxM, overCap, stranded) = occupancy(emb, tables, ppt, cap)
         println(s"""{"op":"neardup_occupancy","vecs":$n,"mode":"$mode",""" +
-          s""""planes":$ppt,"buckets_hit":$buckets,"max_bucket":$maxM,""" +
-          s""""over_cap":$overCap,"rows_stranded":$stranded,"cap":$cap}""")
+          s""""planes":$ppt,"tables":$tables,"buckets_hit":$buckets,""" +
+          s""""max_bucket":$maxM,"over_cap":$overCap,""" +
+          s""""rows_stranded":$stranded,"cap":$cap}""")
         var pairs: DataFrame = null
         val t = time {
           pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
-            planesPerTable = if (mode == "auto") graft.ops.Adaptive.Auto else 4)
+            tables = tables,
+            planesPerTable =
+              if (mode == "fixed4") 4 else graft.ops.Adaptive.Auto)
           pairs = pairs.persist(); pairs.count()
         }
         val found = pairs.count()
         val hit = planted.join(pairs, Seq("vec_a", "vec_b")).count()
         println(s"""{"op":"neardup_$mode","vecs":$n,"sec":${f"$t%.2f"},""" +
-          s""""planes":$ppt,"pairs":$found,"planted":$nPlanted,""" +
+          s""""planes":$ppt,"tables":$tables,"pairs":$found,"planted":$nPlanted,""" +
           s""""planted_recall":${f"${hit.toDouble / nPlanted}%.3f"}}""")
         pairs.unpersist(false)
       }

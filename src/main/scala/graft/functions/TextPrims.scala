@@ -177,8 +177,20 @@ object AnnPrims {
   }
 
   /** Sign-bucket of a vector under planes [firstPlane, firstPlane+n): bit j
-    * set iff dot(v, plane) > 0. */
-  def signBucket(vec: Column, firstPlane: Int, nPlanes: Int, dim: Int = 64): Column = {
+    * set iff dot(v, plane) > 0. Evaluated by the codegen'd [[SignBucket]]
+    * expression — one tight multiply-add loop per plane instead of
+    * nPlanes interpreted `aggregate(zip_with(...))` folds per row (the
+    * banding cost of every LSH op); [[signBucketHof]] is the spec twin. */
+  def signBucket(vec: Column, firstPlane: Int, nPlanes: Int, dim: Int = 64): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      SignBucket(org.apache.spark.sql.GraftSqlBridge.expression(vec),
+        firstPlane, nPlanes, dim))
+
+  /** The sign-bucket as pure higher-order functions — the spec twin
+    * ([[SignBucket]]'s null/length edge semantics replicate this form
+    * exactly: a null vector, a length≠dim vector, or any null element
+    * yields bucket 0, never null). */
+  def signBucketHof(vec: Column, firstPlane: Int, nPlanes: Int, dim: Int = 64): Column = {
     import org.apache.spark.sql.functions._
     (0 until nPlanes).map { j =>
       when(dotPlane(vec, firstPlane + j, dim) > 0.0, lit(1L << j)).otherwise(lit(0L))
