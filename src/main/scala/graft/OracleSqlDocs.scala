@@ -846,42 +846,27 @@ object OracleSqlDocs {
 
   /** The p23 multi-table-LSH embedding near-dup chain up to `sims`
     * (candidate pairs with exact cosine) — shared by p23 and the p59
-    * component closure so the two cannot drift apart. */
-  /** The banded-miner chain AFTER the vector CTE (`v(vec_id, e)` must
-    * already be in scope) — shared by the embeddings-table twins and the
-    * hashed-BoW text-embedding twins. */
-  private val embPairTail: String =
-    s"""bk0 AS (
-       |  SELECT vec_id, e, 0 AS tbl, ${bucket("e", 0, 4)} AS bucket FROM v
-       |  UNION ALL SELECT vec_id, e, 1, ${bucket("e", 4, 4)} FROM v
-       |  UNION ALL SELECT vec_id, e, 2, ${bucket("e", 8, 4)} FROM v
-       |  UNION ALL SELECT vec_id, e, 3, ${bucket("e", 12, 4)} FROM v
-       |),
-       |bksize AS (SELECT tbl, bucket FROM bk0 GROUP BY tbl, bucket
-       |           HAVING count(*) <= ${graft.text.TextDedup.DefaultMaxBucket}),
-       |bk AS (SELECT bk0.* FROM bk0 JOIN bksize USING (tbl, bucket)),
-       |cand AS (
-       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |),
-       |sims AS (
-       |  SELECT va AS vec_a, vb AS vec_b, ${cos("x.e", "y.e")} AS sim
-       |  FROM cand JOIN v x ON va = x.vec_id JOIN v y ON vb = y.vec_id
-       |)""".stripMargin
-
+    * component closure so the two cannot drift apart. Auto planes (the
+    * round-16 `nearDupPairs` default): the per-table plane count is
+    * derived in SQL from count(*) over the vector CTE. */
   private val embPairCtes: String =
-    "WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),\n" + embPairTail
+    "WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),\n" +
+      embPairTailAuto(tables = 4,
+        maxBucket = graft.text.TextDedup.DefaultMaxBucket)
 
-  /** p164's Auto-planes banded-miner tail (`v(vec_id, e)` must be in
-    * scope): the per-table plane count `p` is derived IN SQL from
+  /** The Auto-planes banded-miner tail (`v(vec_id, e)` must be in
+    * scope) — the twin of the `nearDupPairs` default configuration,
+    * shared by p23/p59 (embeddings table), p122/p127 (hashed-BoW text
+    * embeddings) and p164 (biting-cap config): the per-table plane
+    * count `p` is derived IN SQL from
     * count(*) over `v` — `least(20, greatest(4, length(bin(n−1)) − 4))`,
     * the integer-exact twin of [[graft.ops.Adaptive.lshPlanes]] at the
     * MINER occupancy target ([[graft.ops.Adaptive.MinerBucketRows]] = 16
     * = 2⁴ expected rows/bucket; floor 4, cap 20; AdaptiveSpec pins the
     * forms together) — and table t buckets over planes [t·p, t·p+p)
     * indexed dynamically into a `tables`×20-plane literal (the plane-cap
-    * supply). Same hot-bucket cap / candidate / exact-cosine tail as
-    * [[embPairTail]]. */
+    * supply), with the hot-bucket cap / DISTINCT candidate / exact-
+    * cosine tail after. */
   private def embPairTailAuto(tables: Int, maxBucket: Int): String = {
     val pls = (0 until tables * 20).map(planeLit).mkString("[", ",\n    ", "]")
     s"""np AS (SELECT least(CAST(20 AS BIGINT), greatest(CAST(4 AS BIGINT),
@@ -1251,14 +1236,19 @@ object OracleSqlDocs {
          |FROM ranked WHERE rn <= 5 ORDER BY query_id, knn_rank""".stripMargin),
 
     // p122's idf-weighted config: the same banded-miner tail
-    "p127_text_embed_neardup_idf" -> (hashedEmbIdfCte + ",\n" + embPairTail +
+    "p127_text_embed_neardup_idf" -> (hashedEmbIdfCte + ",\n" +
+      embPairTailAuto(tables = 4,
+        maxBucket = graft.text.TextDedup.DefaultMaxBucket) +
       s"""
          |SELECT vec_a, vec_b, sim FROM sims
          |WHERE sim >= CAST(0.9 AS DOUBLE) ORDER BY vec_a, vec_b""".stripMargin),
 
     // embedding-cosine near-dup over TEXT: constructed vectors + the
-    // banded-miner tail at cosine >= 0.9
-    "p122_text_embed_neardup" -> (hashedEmbCte + ",\n" + embPairTail +
+    // banded-miner tail at cosine >= 0.9 (Auto planes — the round-16
+    // default; the twin derives the plane count from count(*) in SQL)
+    "p122_text_embed_neardup" -> (hashedEmbCte + ",\n" +
+      embPairTailAuto(tables = 4,
+        maxBucket = graft.text.TextDedup.DefaultMaxBucket) +
       s"""
          |SELECT vec_a, vec_b, sim FROM sims
          |WHERE sim >= CAST(0.9 AS DOUBLE) ORDER BY vec_a, vec_b""".stripMargin),

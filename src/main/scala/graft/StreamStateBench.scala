@@ -114,17 +114,24 @@ object StreamStateBench {
     // read the surviving versions: per batch, rows written (the delta)
     // vs the cumulative table a full rewrite would have written. Under
     // production compaction older versions are PRUNED, so cumulative is
-    // only exact in the suppressed-compaction (r9 measurement) mode.
+    // only exact in the suppressed-compaction (r9 measurement) mode —
+    // the JSON line carries the mode ("compact_every") and omits the
+    // full-rewrite baseline when compaction is active, so a downstream
+    // record can't quote an undercounted baseline (round-16 advice).
+    val compactionActive = compactEvery > 0
     val vs = VersionedState.versions(spark, stateDir).sortBy(_.id)
     var cumulative = 0L
     vs.foreach { v =>
       val rows = spark.read.parquet(v.path.toString).count()
       cumulative += rows
       val kind = if (v.compact) "compact" else "delta"
+      val baseline =
+        if (compactionActive) s""""compact_every":$compactEvery"""
+        else s""""full_rewrite_rows":$cumulative"""
       println(s"""{"op":"span_dedup_stream_state","batch":${v.id},""" +
         s""""kind":"$kind","rows_written":$rows,""" +
         s""""state_bytes":${dirBytes(spark, v.path)},""" +
-        s""""full_rewrite_rows":$cumulative}""")
+        baseline + "}")
     }
     // cumulative distinct seen-key count — the soak's x-axis
     val seenKeys = SpanDedupStream.latestState(spark, stateDir)

@@ -12,9 +12,13 @@ import org.apache.spark.sql.SparkSession
   * listener is attached per timed scope and detached after, so each
   * figure covers exactly one operator's jobs.
   *
-  * The listener bus is asynchronous; [[TaskStats.scoped]] settles for
-  * one second after the action returns before snapshotting — a dev-bench
-  * tolerance (the documented caveat), not a correctness mechanism.
+  * The listener bus is asynchronous; [[TaskStats.scoped]] drains it
+  * (`LiveListenerBus.waitUntilEmpty`, reflectively — it is
+  * `private[spark]`) after the action returns and before snapshotting,
+  * and counts only SUCCESSFUL task attempts, so failed/speculative
+  * retries don't skew the percentiles or double-count bytes. Tasks from
+  * concurrently running jobs in other threads would still be attributed
+  * to the scope — the dev benches run their measured actions serially.
   */
 final class TaskStats extends SparkListener {
   private val durs = new ConcurrentLinkedQueue[java.lang.Long]()
@@ -26,7 +30,10 @@ final class TaskStats extends SparkListener {
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
     val m = e.taskMetrics
-    if (m != null && e.taskInfo != null) {
+    // successful attempts only (round-16 advice): failed and killed
+    // speculative attempts would otherwise skew the duration percentiles
+    // and double-count shuffle/spill bytes the retry re-pays
+    if (m != null && e.taskInfo != null && e.taskInfo.successful) {
       durs.add(e.taskInfo.duration)
       lock.synchronized {
         shufWrite += m.shuffleWriteMetrics.bytesWritten
@@ -80,8 +87,23 @@ object TaskStats {
     val t0 = System.nanoTime()
     val a = f
     val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(1000) // let the async listener bus drain (dev-bench tolerance)
+    drainListenerBus(spark)
     spark.sparkContext.removeSparkListener(l)
     (wall, a, l.snapshot())
   }
+
+  /** Drain the async listener bus before snapshotting: LiveListenerBus
+    * exposes `waitUntilEmpty` only as `private[spark]`, which is public
+    * at the JVM level — invoked reflectively (a fixed 1 s sleep, the
+    * previous form, can undercount on a loaded bus; round-16 advice).
+    * Falls back to the sleep if the internal API moves. */
+  private def drainListenerBus(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        .invoke(bus, java.lang.Long.valueOf(30000L))
+    } catch {
+      case scala.util.control.NonFatal(_) => Thread.sleep(1000)
+    }
 }

@@ -517,20 +517,26 @@ object Similarity {
     * exchange. Nothing is persisted. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    minSim: Double = 0.4, tables: Int = 4,
-                   planesPerTable: Int = 4, dim: Int = 64,
+                   planesPerTable: Int = graft.ops.Adaptive.Auto, dim: Int = 64,
                    maxBucket: Int = graft.text.TextDedup.DefaultMaxBucket)
       : DataFrame = {
-    // planes per table is RESULT-AFFECTING (a different quantization
-    // returns different candidate pairs), so — like knnIvf's nCells and
-    // per the Adaptive doctrine — the occupancy derivation is OPT-IN
-    // (pass Adaptive.Auto), not the default: a first attempt at making
-    // Auto the default diverged from the 4-plane oracle twin at sf0.1.
-    // Auto targets the MINER occupancy (Adaptive.MinerBucketRows = 16
-    // expected rows/bucket, not the kNN search target 64): an all-pairs
-    // pass pays Σ m² per bucket, and the 64-row target measured ~1B
-    // candidates at 1M vectors. With a fixed 4-plane (16-bucket)
-    // table every bucket is hot by construction at ≥1M vectors — at that
-    // scale pass Auto (and accept the recall shift) or raise tables.
+    // The plane count DEFAULTS to the occupancy derivation
+    // (Adaptive.lshPlanes at the MINER target, Adaptive.MinerBucketRows
+    // = 16 expected rows/bucket — not the kNN search target 64: an
+    // all-pairs pass pays Σ m² per bucket, and the 64-row target
+    // measured ~1B candidates at 1M vectors). This is a deliberate
+    // exception to the Adaptive doctrine's "result-affecting knobs are
+    // opt-in" rule, adjudicated round 16: a FIXED default plane count is
+    // a silent-empty trap at scale — with 4 planes (16 buckets/table)
+    // every bucket exceeds any sane hot-bucket cap at ≥1M vectors, so
+    // 100% of banded rows were cap-stranded and the miner returned an
+    // EMPTY frame with no diagnostic. A default must degrade loudly or
+    // adapt; this one adapts, and the oracle twins replay the derivation
+    // in SQL (`least(20, greatest(4, length(bin(n−1)) − 4))`, the
+    // integer-exact ⌈log2(n/16)⌉ — p23/p59/p122/p127/p164 gate it at
+    // both scales, where the derived counts are 5/7/9, ≠ the old 4).
+    // Fixed plane counts remain available for pinned-quantization
+    // callers; the eager cost of the default is one columnar count().
     // The bucket cap is the banded-miner hot-bucket bound (see
     // TextDedup.DefaultMaxBucket) — embedding clusters make hot
     // sign-buckets on real data, and the OR-construction across tables

@@ -907,16 +907,14 @@ object DocAnalytics {
       Similarity.nearDupPairs(
         TextStats.hashedEmbeddingIdf(docs(s, d), "doc_id", "text").localCheckpoint(),
         "vec_id", "e", minSim = 0.9)),
-    // the Auto-planes configuration of p122 (the ≥1M-vector mode): the
-    // per-table plane count derives from the corpus size at the MINER
-    // occupancy target (Adaptive.lshPlanes bucketRows 16, floor 4 —
-    // sf0.01's 500 docs derive 5, sf0.1's 5000 derive 9, so the config
-    // genuinely diverges from the fixed-4 twin at BOTH gate scales),
-    // under a deliberately BITING hot-bucket cap (100, the p91/p123
-    // convention), so both the derivation and the skip semantics it
-    // must coexist with are oracle-pinned. The oracle replays the
-    // derivation itself: p = least(20, greatest(4,
-    // length(bin(n−1)) − 4)), the integer-exact ⌈log2(n/16)⌉.
+    // p122 under a deliberately BITING hot-bucket cap (100, the
+    // p91/p123 convention): same Auto-planes derivation (sf0.01's 500
+    // docs derive 5, sf0.1's 5000 derive 9 — Auto has been the
+    // nearDupPairs DEFAULT since round 16, so p122/p127 gate the
+    // derivation at the standard cap and this config gates the skip
+    // semantics it must coexist with. The oracle replays the derivation
+    // itself: p = least(20, greatest(4, length(bin(n−1)) − 4)), the
+    // integer-exact ⌈log2(n/16)⌉.
     "p164_text_embed_neardup_auto" -> ((s, d) =>
       Similarity.nearDupPairs(
         TextStats.hashedEmbedding(docs(s, d), "doc_id", "text").localCheckpoint(),

@@ -61,14 +61,29 @@ class PlanShapeSpec extends SparkSpec {
       }
     }
     // the dedup (and sort) exchanges exist and are post-scoring: their
-    // output must carry a non-key payload — `sim` itself, or the dedup
-    // aggregate's partial_first(sim) buffer — while the superseded
-    // candidate-distinct exchange shuffled BARE (vec_a, vec_b) keys
+    // output must carry the SCORE specifically — `sim` itself, or the
+    // dedup aggregate's partial first(sim) buffer — while the superseded
+    // candidate-distinct exchange shuffled BARE (vec_a, vec_b) keys.
+    // Requiring "some non-key payload" was too weak (round-16 advice):
+    // a regression that shuffles unscored pairs still CARRYING the ea/eb
+    // vectors — the same Σ m² blow-up with fatter rows — would have had
+    // a payload column and passed. So: the payload must include a sim
+    // column, and no pair exchange may carry a float-array (vector)
+    // column at all.
     pairShuffles should not be empty
     pairShuffles.foreach { e =>
-      withClue(s"unscored pair exchange:\n$e\n") {
-        e.child.output.map(_.name)
-          .filterNot(Set("vec_a", "vec_b", "tbl", "bucket")) should not be empty
+      val out = e.child.output
+      withClue(s"pair exchange without a score column:\n$e\n") {
+        // `sim` itself, or the dedup aggregate's partial first(sim)
+        // buffer (attribute name: bare "first")
+        out.map(_.name.toLowerCase)
+          .exists(n => n.contains("sim") || n == "first") shouldBe true
+      }
+      withClue(s"pair exchange carrying a vector column:\n$e\n") {
+        out.filter(_.dataType == ArrayType(FloatType, containsNull = true))
+          .map(_.name) shouldBe empty
+        out.filter(_.dataType == ArrayType(FloatType, containsNull = false))
+          .map(_.name) shouldBe empty
       }
     }
   }
