@@ -275,6 +275,129 @@ object OracleSqlRel {
          |  AND l_shipdate < TIMESTAMP '1998-01-01'
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // Q6-shaped pure-scan revenue forecast (p175): three pushed
+    // predicates, one global aggregate, revenue = Σ ep·d exact units.
+    "p175_forecast_revenue" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+         |           * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)
+         |    / CAST(10000 AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin,
+
+    // Q7-shaped volume shipping (p176): revenue between two named
+    // nations per ship year, the cross-pair disjunction as a residual.
+    "p176_volume_shipping" ->
+      s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  CAST(sum($rev) AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+         |    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // Q8-shaped national market share (p177): one nation's fraction of
+    // the STANDARD-part volume sold into ASIA, per order year — the
+    // share divides two exactly-summed integer totals.
+    "p177_nation_market_share" ->
+      s"""WITH vol AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    ns.n_name AS supp_nation, $rev AS v
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |  JOIN region ON nc.n_regionkey = r_regionkey
+         |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01'
+         |), a AS (
+         |  SELECT o_year,
+         |    sum(CASE WHEN supp_nation = 'NATION_7' THEN v ELSE 0 END) AS nat_units,
+         |    sum(v) AS tot_units
+         |  FROM vol GROUP BY 1
+         |)
+         |SELECT o_year,
+         |  CAST(nat_units AS DOUBLE) / CAST(10000 AS DOUBLE) AS nation_volume,
+         |  CAST(tot_units AS DOUBLE) / CAST(10000 AS DOUBLE) AS total_volume,
+         |  CAST(nat_units AS DOUBLE) / CAST(tot_units AS DOUBLE) AS mkt_share
+         |FROM a ORDER BY o_year""".stripMargin,
+
+    // Q9-shaped product-type profit (p178): profit per supplier nation
+    // per order year on name-matched parts; unit cost = 60% of
+    // p_retailprice (the derived-lattice stand-in), all exact units.
+    "p178_product_type_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum($rev
+         |      - CAST(round(p_retailprice*100) AS BIGINT)
+         |        * CAST(l_quantity AS BIGINT) * 60) AS DOUBLE)
+         |    / CAST(10000 AS DOUBLE) AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    // Q10-shaped returned-item report (p179): top-20 customers by
+    // returned-line revenue for one order quarter.
+    "p179_returned_item_report" ->
+      s"""SELECT c_custkey, c_name,
+         |  CAST(sum($rev) AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue,
+         |  c_acctbal, n_name
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-04-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // Q13-shaped customer order-count distribution (p180): left outer
+    // join into a two-level rollup, k = 0 customers included.
+    "p180_customer_order_distribution" ->
+      s"""WITH co AS (
+         |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+         |  FROM customer LEFT OUTER JOIN orders
+         |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+         |  GROUP BY c_custkey
+         |)
+         |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         |FROM co GROUP BY c_count
+         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // Q15-shaped top supplier (p181): max-over-view with the equality on
+    // EXACT integer units (no 1-ulp max trap).
+    "p181_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, CAST(sum($rev) AS BIGINT) AS total_units
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY l_suppkey
+         |)
+         |SELECT s_suppkey, s_name,
+         |  CAST(total_units AS DOUBLE) / CAST(10000 AS DOUBLE) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_units = (SELECT max(total_units) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
     // Q19-shaped disjunctive revenue (p174): the OR of brand × quantity
     // conjunctions across the join, revenue in exact integer units.
     "p174_disjunctive_revenue" ->

@@ -482,6 +482,219 @@ object RelAnalytics {
         asDollars4(sum(col("rev_units"))).as("revenue"))
   }
 
+  /** p175 — Q6-shaped forecasting revenue change: the purest scan query
+    * in the suite — no join at all, three pushable predicates (ship
+    * year, discount band, quantity cap) straight onto the parquet scan,
+    * one global aggregate. The plan IS the test: FileScan with all three
+    * PushedFilters, a 2-column ReadSchema... plus one partial→final agg;
+    * anything more is a regression. Revenue = Σ ep·d in exact 10⁻⁴-
+    * dollar units (cents × discount points). */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(cents(col("l_extendedprice")) * pct(col("l_discount")))
+          .cast("double") / lit(10000.0)).as("revenue"))
+  }
+
+  /** p176 — Q7-shaped volume shipping: revenue flowing between TWO named
+    * nations per ship year — the join-order-sensitivity test. The two
+    * 1-nation dimension slices prune supplier and customer BEFORE either
+    * touches a fact (broadcast semi-shaped inner joins: supplier and the
+    * nation pair are bounded), so the big lineitem⋈orders join runs over
+    * pre-filtered keys; the cross-pair predicate (N1→N2 or N2→N1) rides
+    * after both dimension attachments as a residual. Year extraction
+    * stays post-filter (never in a pushed predicate). */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val pair = broadcast(Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select("n_nationkey", "n_name"))
+    val s = Tables.supplier(spark, dir)
+      .join(pair, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(spark, dir)
+      .join(pair, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        discUnits(col("l_extendedprice"), col("l_discount")).as("rev_units"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("rev_units")).as("rev_units"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        asDollars4(col("rev_units")).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** p177 — Q8-shaped national market share: of the STANDARD-part volume
+    * sold to one region's customers over two order years, the fraction
+    * supplied by ONE nation — the two-sided-dimension-filter shape
+    * (customer side restricted by region, part side by type, supplier
+    * side merely LABELED). The share divides two exactly-summed integer
+    * unit totals once per year row; the supplier nation label joins
+    * through the broadcast-bounded nation table. */
+  def nationMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"),
+        "left_semi")
+      .select("c_custkey")
+    val p = Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
+      .select("p_partkey")
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      discUnits(col("l_extendedprice"), col("l_discount")).as("vol_units"))
+    l.join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === "NATION_7", col("vol_units"))
+          .otherwise(0L)).as("nat_units"),
+        sum(col("vol_units")).as("tot_units"))
+      .select(col("o_year"),
+        asDollars4(col("nat_units")).as("nation_volume"),
+        asDollars4(col("tot_units")).as("total_volume"),
+        (col("nat_units").cast("double") / col("tot_units").cast("double"))
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** p178 — Q9-shaped product-type profit: per supplier nation per order
+    * year, profit on parts whose name contains one token. The schema
+    * ships no partsupp, so unit cost is the deterministic stand-in
+    * 60% of p_retailprice — profit = ep·(1−d) − 0.6·retail·qty, every
+    * term in exact 10⁻⁴-dollar units (cents·60·qty). The name filter is
+    * a pushable `contains`; it prunes the part dimension BEFORE the fact
+    * join (a broadcast at bench scale, a shuffle at 100 TB — size-based
+    * either way); nation is the only hinted broadcast. */
+  def productTypeProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_name").contains("gear"))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("retail_cents"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "nation")
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_quantity").cast("long").as("qty"),
+      discUnits(col("l_extendedprice"), col("l_discount")).as("rev_units"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("nation", "o_year")
+      .agg(sum(col("rev_units") - col("retail_cents") * col("qty") * lit(60L))
+        .as("profit_units"))
+      .select(col("nation"), col("o_year"),
+        asDollars4(col("profit_units")).as("sum_profit"))
+      .orderBy(col("nation"), desc("o_year"))
+  }
+
+  /** p179 — Q10-shaped returned-item reporting: the top-20 customers by
+    * revenue on RETURNED lines for one order quarter — the classic
+    * "who should sales call" query. Both fact filters push to their
+    * scans (quarter → orders, returnflag → lineitem); the customer
+    * rollup groups by the full display tuple (key, name, balance,
+    * nation) so the aggregate emits report rows directly; top-20 plans
+    * as TakeOrderedAndProject. */
+  def returnedItemReport(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        discUnits(col("l_extendedprice"), col("l_discount")).as("rev_units"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("cn_key"), col("n_name"))),
+        col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(col("rev_units")).as("rev_units"))
+      .select(col("c_custkey"), col("c_name"),
+        asDollars4(col("rev_units")).as("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  /** p180 — Q13-shaped customer order-count distribution: how many
+    * customers placed exactly k qualifying orders, INCLUDING k = 0 —
+    * the suite's one left-outer-join-into-histogram shape. The order
+    * filter (priority actually specified — the schema's stand-in for
+    * Q13's comment NOT LIKE) applies BEFORE the outer join, so
+    * non-matching customers survive with a null key and count(o_orderkey)
+    * = 0; two aggregates chain (custkey rollup → count histogram), each
+    * with map-side partials. */
+  def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** p181 — Q15-shaped top supplier: the max-over-view shape — every
+    * supplier's revenue for one ship quarter, keeping the row(s) equal
+    * to the global maximum. The max is a 1-row broadcast over the
+    * rollup itself (the p171/p157 scalar pattern: the fact scans once,
+    * no self-join of the view), and the equality compares EXACT integer
+    * units — the reason Q15's notorious "max over doubles misses by
+    * 1 ulp" trap cannot fire here. Supplier name joins after the gate. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(discUnits(col("l_extendedprice"), col("l_discount")))
+        .as("total_units"))
+    val mx = rev.agg(max(col("total_units")).as("m"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_units") === col("m"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        asDollars4(col("total_units")).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p68_pricing_summary" -> (pricingSummary _),
     "p69_top_orders" -> (topOrders _),
@@ -498,5 +711,12 @@ object RelAnalytics {
     "p171_important_parts" -> (importantParts _),
     "p172_order_priority_check" -> (orderPriorityCheck _),
     "p173_priority_ship_split" -> (priorityShipSplit _),
-    "p174_disjunctive_revenue" -> (disjunctiveRevenue _))
+    "p174_disjunctive_revenue" -> (disjunctiveRevenue _),
+    "p175_forecast_revenue" -> (forecastRevenue _),
+    "p176_volume_shipping" -> (volumeShipping _),
+    "p177_nation_market_share" -> (nationMarketShare _),
+    "p178_product_type_profit" -> (productTypeProfit _),
+    "p179_returned_item_report" -> (returnedItemReport _),
+    "p180_customer_order_distribution" -> (customerOrderDistribution _),
+    "p181_top_supplier" -> (topSupplier _))
 }

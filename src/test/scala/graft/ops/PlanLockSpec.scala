@@ -201,6 +201,117 @@ class PlanLockSpec extends SparkSpec {
     planStr should include regex "Filter .*l_quantity"
   }
 
+  /** Full PushedFilters text across every parquet scan of the EXECUTED
+    * plan — plan.toString elides long filter lists past
+    * spark.sql.maxMetadataStringLength, so the earlier locks' substring-
+    * on-toString idiom silently can't see late list entries. */
+  private def pushedFilters(df: DataFrame): String =
+    executedNodes(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.mkString("; ")
+
+  "forecastRevenue (p175)" should "run join-free with all three predicates pushed to the scan" in {
+    val df = RelAnalytics.forecastRevenue(spark, sfDir)
+    val nodes = executedNodes(df)
+    nodes.count {
+      case _: SortMergeJoinExec | _: BroadcastHashJoinExec |
+           _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    } shouldBe 0
+    val pf = pushedFilters(df)
+    pf should include("GreaterThanOrEqual(l_shipdate")
+    pf should include("GreaterThanOrEqual(l_discount")
+    pf should include("LessThan(l_quantity")
+  }
+
+  "volumeShipping (p176)" should "prune both fact sides through broadcast dimension joins, never a theta join" in {
+    // sf0.01 (the p170 convention): at sf0.001 the nation-pair slice
+    // matches no cross-nation order, and AQE's empty-relation propagation
+    // eliminates every join, leaving no node to pin
+    val df = RelAnalytics.volumeShipping(spark, "/root/testdata/sf0.01")
+    val nodes = executedNodes(df)
+    nodes.count {
+      case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    } shouldBe 0
+    // the nation-pair slices ride explicit broadcasts into supplier and
+    // customer before either touches a fact
+    nodes.count { case _: BroadcastHashJoinExec => true; case _ => false } should be >= 2
+    pushedFilters(df) should include("GreaterThanOrEqual(l_shipdate")
+  }
+
+  "nationMarketShare (p177)" should "semi-join the two dimension filters onto the fact, never a theta join" in {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val df = RelAnalytics.nationMarketShare(spark, sfDir)
+    val nodes = executedNodes(df)
+    nodes.count {
+      case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    } shouldBe 0
+    // the STANDARD-part and ASIA-customer gates are stated semi joins
+    nodes.collect {
+      case j: SortMergeJoinExec => j.joinType
+      case j: BroadcastHashJoinExec => j.joinType
+    }.count(_ == LeftSemi) should be >= 2
+    pushedFilters(df) should include("GreaterThanOrEqual(o_orderdate")
+  }
+
+  "productTypeProfit (p178)" should "push the name filter to the part scan, never a theta join" in {
+    val df = RelAnalytics.productTypeProfit(spark, sfDir)
+    val nodes = executedNodes(df)
+    nodes.count {
+      case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    } shouldBe 0
+    // contains() reaches parquet as StringContains
+    pushedFilters(df) should include("StringContains(p_name,gear)")
+  }
+
+  "returnedItemReport (p179)" should "push both fact filters and plan the top-20 as TakeOrdered" in {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val df = RelAnalytics.returnedItemReport(spark, sfDir)
+    val nodes = executedNodes(df)
+    nodes.count {
+      case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    } shouldBe 0
+    nodes.count {
+      case _: TakeOrderedAndProjectExec => true
+      case _ => false
+    } should be >= 1
+    val pf = pushedFilters(df)
+    pf should include("GreaterThanOrEqual(o_orderdate")
+    pf should include("EqualTo(l_returnflag,R)")
+  }
+
+  "customerOrderDistribution (p180)" should "keep the outer join and chain two partial-aggregated rollups" in {
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    val nodes = executedNodes(
+      RelAnalytics.customerOrderDistribution(spark, sfDir))
+    nodes.count {
+      case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    } shouldBe 0
+    nodes.collect {
+      case j: SortMergeJoinExec => j.joinType
+      case j: BroadcastHashJoinExec => j.joinType
+    }.count(_ == LeftOuter) should be >= 1
+  }
+
+  "topSupplier (p181)" should "broadcast only the 1-row max over the rollup — no view self-join" in {
+    val df = RelAnalytics.topSupplier(spark, sfDir)
+    val nodes = executedNodes(df)
+    nodes.count { case _: CartesianProductExec => true; case _ => false } shouldBe 0
+    // the global max rides the p171/p157 1-row-broadcast pattern; that
+    // single BNLJ is the only nested-loop-family node allowed
+    nodes.count {
+      case _: BroadcastNestedLoopJoinExec => true
+      case _ => false
+    } should be <= 1
+    pushedFilters(df) should include("GreaterThanOrEqual(l_shipdate")
+  }
+
   "contamination (p42)" should "broadcast the benchmark gram vocabulary" in {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val nodes = executedNodes(graft.text.TextCuration.contamination(
