@@ -25,16 +25,21 @@ object CcBench {
     val n = args.headOption.map(_.toLong).getOrElse(30000000L)
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val spark = DevBench.session()
+    // per-round walls on stdout (the [cc] lines) + rep-level exchange/
+    // spill totals — the round-16 rung record quotes both
+    System.setProperty("graft.cc.debug", "1")
     for (rep <- 1 to reps) {
       val edges = ScaleCorpusBench.synthEdges(spark, n).persist()
       edges.count()
       val gc0 = gcMillis()
-      val sec = DevBench.time(DevBench.mat(
-        TextDedup.duplicateGroups(edges, "doc_a", "doc_b")))
+      val (sec, _, snap) = TaskStats.scoped(spark) {
+        DevBench.mat(TextDedup.duplicateGroups(edges, "doc_a", "doc_b"))
+      }
       val gcSec = (gcMillis() - gc0) / 1000.0
       edges.unpersist(true)
       println(f"""{"op":"dedup_groups_cc","edges":$n,"rep":$rep,""" +
-        f""""sec":$sec%.2f,"gc_sec":$gcSec%.2f,"rounds":${TextDedup.lastRounds}}""")
+        f""""sec":$sec%.2f,"gc_sec":$gcSec%.2f,""" +
+        f""""rounds":${TextDedup.lastRounds},${snap.json}}""")
     }
     spark.stop()
   }

@@ -328,7 +328,7 @@ object Similarity {
     graft.functions.CellArgmax(vec, cents)
 
   /** Fused (cos DESC, cent_id ASC) probe list (see [[scoredCellsOf]]). */
-  private[ann] def probeCellsOf(vec: Column, cents: Array[(Long, Array[Float])],
+  private[graft] def probeCellsOf(vec: Column, cents: Array[(Long, Array[Float])],
                                 nProbe: Int): Column =
     graft.functions.CellProbes(vec, cents, nProbe)
 
