@@ -238,10 +238,15 @@ object Media {
     * quadratic pair mass — the candidates the cap refuses to enumerate. */
   def perceptualCapBite(assets: Dataset[MediaAsset], maxHamming: Int,
                         maxBucket: Int): DataFrame = {
-    val capped = perceptualNearDup(assets, maxHamming, maxBucket)
+    // one hash pass for BOTH configs: the capped and uncapped miners
+    // differ only in the bucket-eligibility filter, so they share the
+    // materialized hash frame (each miner alone reads it 3×, see
+    // perceptualNearDup — 6 synthesis+hash passes collapse to 1)
+    val h = perceptualHashes(assets).localCheckpoint()
+    val capped = aHashNearDupFromHashes(h, maxHamming, maxBucket)
       .agg(count(lit(1)).as("n_pairs"))
       .select(lit("capped").as("config"), col("n_pairs"))
-    val uncapped = perceptualNearDup(assets, maxHamming, Int.MaxValue)
+    val uncapped = aHashNearDupFromHashes(h, maxHamming, Int.MaxValue)
       .agg(count(lit(1)).as("n_pairs"))
       .select(lit("uncapped").as("config"), col("n_pairs"))
     capped.unionByName(uncapped).orderBy("config")
@@ -398,7 +403,8 @@ object Media {
                    maxHamming: Int = 6,
                    maxBucket: Int = graft.text.TextDedup.DefaultMaxBucket)
       : DataFrame = {
-    val h = phashes(assets)
+    // localCheckpoint: same 3-consumer hash reuse as perceptualNearDup
+    val h = phashes(assets).localCheckpoint()
     val banded = h.select(col("asset_id"), explode(array(
       (0 until 8).map { j =>
         val word = col(s"p${j / 2}")
@@ -442,7 +448,9 @@ object Media {
       : DataFrame = {
     val a = perceptualHashes(assets)
     val p = phashes(assets)
-    val h = a.join(p, "asset_id")
+    // localCheckpoint: base and dith both read this frame, and the two
+    // opaque hashing passes would otherwise run twice each
+    val h = a.join(p, "asset_id").localCheckpoint()
     val base = h.columns.foldLeft(h)((d, c) =>
       if (c == "asset_id") d else d.withColumnRenamed(c, c + "_x"))
     val dith = h.columns.foldLeft(h)((d, c) =>
@@ -481,8 +489,20 @@ object Media {
   def perceptualNearDup(assets: Dataset[MediaAsset],
                         maxHamming: Int = 6,
                         maxBucket: Int = graft.text.TextDedup.DefaultMaxBucket)
-      : DataFrame = {
-    val h = perceptualHashes(assets)
+      : DataFrame =
+    // localCheckpoint: the hash frame feeds the banding AND both rejoin
+    // sides, and the hashing mapPartitions is opaque to exchange reuse —
+    // uncheckpointed, the asset synthesis + hashing pass runs 3×. The
+    // frame is 5 fixed-width ints per asset, never payload-sized, so
+    // materializing it once is the decode-once contract of guide §8.
+    aHashNearDupFromHashes(perceptualHashes(assets).localCheckpoint(),
+      maxHamming, maxBucket)
+
+  /** [[perceptualNearDup]] over an already-materialized
+    * [[perceptualHashes]] frame — shared with [[perceptualCapBite]] so
+    * the capped and uncapped configs hash the corpus ONCE between them. */
+  private def aHashNearDupFromHashes(h: DataFrame, maxHamming: Int,
+                                     maxBucket: Int): DataFrame = {
     val banded = h.select(col("asset_id"), explode(array(
       (0 until 8).map { j =>
         val word = col(s"a${j / 2}")

@@ -288,7 +288,11 @@ object DocAnalytics {
     // related documents land in the same packed sequence
     "p152_semantic_packing" -> ("pack", (s, d, onPhase) => {
       val ds = docs(s, d)
-      val he = TextStats.hashedEmbedding(ds, "doc_id", "text")
+      // localCheckpoint (the p122/p127 pattern): the embedding build —
+      // tokenize + two exchanges — is consumed by the trainer's init pass,
+      // every Lloyd iteration, AND the final assignment; materialized once
+      // it is 1 fixed-width row/doc instead of 5 corpus-scale rebuilds
+      val he = TextStats.hashedEmbedding(ds, "doc_id", "text").localCheckpoint()
       val cents = Similarity.trainIvfCentroids(he, "vec_id", "e")
       persistCentroids(s, cents, P152CentroidsPath)
       onPhase("train")
@@ -301,7 +305,8 @@ object DocAnalytics {
     // characteristic terms per cell under the rational cell-idf surrogate
     "p154_cell_topterms" -> ("label", (s, d, onPhase) => {
       val ds = docs(s, d)
-      val he = TextStats.hashedEmbedding(ds, "doc_id", "text")
+      // localCheckpoint: same 5-consumer embedding reuse as p152 above
+      val he = TextStats.hashedEmbedding(ds, "doc_id", "text").localCheckpoint()
       val cents = Similarity.trainIvfCentroids(he, "vec_id", "e")
       persistCentroids(s, cents, P154CentroidsPath)
       onPhase("train")

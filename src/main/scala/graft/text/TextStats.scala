@@ -590,7 +590,13 @@ object TextStats {
     val scored = lmSurprisalRaw(df, idCol, textCol, holdoutMod)
     val langs = df.select(col(idCol).cast("long").as("doc_id"),
       col(langCol).as("lang"))
-    val base = scored.join(langs, Seq("doc_id"))
+    // localCheckpoint: four consumers read this frame (the rank-select
+    // bounds collect, its histogram and target-bin branches, and the
+    // final bucket join), and each would otherwise re-run the whole
+    // LM train+score pipeline — the bigram exchange 4×. The frame is
+    // one fixed-width row per document (never occurrence-sized), so
+    // materializing it is the cheap side of that trade at any scale.
+    val base = scored.join(langs, Seq("doc_id")).localCheckpoint()
     val thr = graft.ops.Percentiles.exactRankSelect(
         base.filter(col("n_bigrams") > 0L)
           .select(col("lang"), col("bits_per_bigram")),
@@ -626,20 +632,33 @@ object TextStats {
     * carry a null verdict. Output: (doc_id, lang, quality_score,
     * lang_threshold, keep) by doc_id. */
   def langQualityGate(df: DataFrame, idCol: String, textCol: String,
-                      langCol: String, dropQ: Double = QualityGateQ): DataFrame =
-    langQualityGateWith(df, idCol, textCol, langCol,
-      langQualityThresholds(df, idCol, textCol, langCol, dropQ))
+                      langCol: String, dropQ: Double = QualityGateQ): DataFrame = {
+    // localCheckpoint: the threshold estimation (rank-select bounds
+    // collect + histogram + target-bin join) and the final gate would
+    // otherwise each re-run the stats() scoring pass — four tokenize
+    // scans of the corpus for one row-local score per document. The
+    // scored frame is one fixed-width row per document, so materializing
+    // it once is the cheap side at any scale (the surprisalBuckets
+    // pattern).
+    val scored = gateScored(df, idCol, textCol, langCol).localCheckpoint()
+    gateFromScored(scored, thresholdsFromScored(scored, langCol, dropQ))
+  }
 
   /** The gate's threshold-estimation half — the offline TRAIN step a
     * deployment runs on the reference corpus and ships to ingest workers
     * (≤C rows). Null-quality documents are excluded from estimation. */
   def langQualityThresholds(df: DataFrame, idCol: String, textCol: String,
                             langCol: String,
-                            dropQ: Double = QualityGateQ): DataFrame = {
+                            dropQ: Double = QualityGateQ): DataFrame =
+    thresholdsFromScored(gateScored(df, idCol, textCol, langCol), langCol,
+      dropQ)
+
+  private def thresholdsFromScored(scored: DataFrame, langCol: String,
+                                   dropQ: Double): DataFrame = {
     require(dropQ > 0 && dropQ <= 1,
       s"langQualityGate: dropQ must be in (0, 1], got $dropQ")
     graft.ops.Percentiles.exactRankSelect(
-        gateScored(df, idCol, textCol, langCol)
+        scored
           .filter(col("quality_score").isNotNull)
           .select(col("lang"), col("quality_score")),
         "lang", "quality_score", Seq(dropQ))
@@ -651,7 +670,11 @@ object TextStats {
     * and stream cannot drift on the verdict rule. */
   def langQualityGateWith(df: DataFrame, idCol: String, textCol: String,
                           langCol: String, thresholds: DataFrame): DataFrame =
-    gateScored(df, idCol, textCol, langCol)
+    gateFromScored(gateScored(df, idCol, textCol, langCol), thresholds)
+
+  private def gateFromScored(scored: DataFrame,
+                             thresholds: DataFrame): DataFrame =
+    scored
       .join(broadcast(thresholds), Seq("lang"), "left")
       .select(col("doc_id"), col("lang"), col("quality_score"),
         col("lang_threshold"),
