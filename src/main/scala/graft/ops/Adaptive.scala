@@ -131,12 +131,21 @@ object Adaptive {
   def withRangeBucket(n: org.apache.spark.sql.DataFrame, idCol: String,
                       numRanges: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, count, expr, lit, max, min}
-    val b = n.agg(min(col(idCol)), max(col(idCol)), count(lit(1))).head()
+    // localCheckpoint before the bounds action: every prefix-sum operator
+    // built on this prelude executes `n` THREE times (this eager bounds
+    // aggregate, the per-bucket totals pass, and the final offset join) —
+    // and `n` is often an expensive derivation (a tokenize pass, a
+    // trained-scorer join), while this operator's input contract is a
+    // NARROW fixed-width frame (id, key?, weight) that is always cheaper
+    // to materialize once than to rebuild twice. Values are unchanged:
+    // the checkpoint preserves rows, partitioning and order.
+    val nCk = n.localCheckpoint()
+    val b = nCk.agg(min(col(idCol)), max(col(idCol)), count(lit(1))).head()
     val (lo, span) =
       if (b.isNullAt(0)) (0L, 1L)
       else (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
     val nR = math.min(span, resolveRanges(numRanges, b.getLong(2)).toLong)
-    n.withColumn("__b", expr(s"(($idCol - $lo) * $nR) div $span"))
+    nCk.withColumn("__b", expr(s"(($idCol - $lo) * $nR) div $span"))
   }
 
   /** Ceiling on the driver-side tables the low-cardinality-key operators

@@ -98,7 +98,15 @@ object AsOfJoin {
 
     val (l, r) = tagged(left, right, keys, leftTime, rightTime, payload, strict)
     val lB = l.withColumn("__rng", rng(col("__t")))
-    val rB = r.withColumn("__rng", rng(col("__t")))
+    // localCheckpoint: the right side feeds BOTH the per-range
+    // latest-snapshot aggregate (whose seeds re-derive from it) and the
+    // union itself — and it is typically a derived series (p44: a
+    // windowed cumulative aggregate), not a raw scan. The frame is
+    // (keys, payload struct, time, tag) — snapshot-series-sized, so one
+    // materialization beats re-running the derivation per consumer. The
+    // left side is consumed once by the union (its bounds aggregate is a
+    // column-pruned scan), so it stays lazy.
+    val rB = r.withColumn("__rng", rng(col("__t"))).localCheckpoint()
     // latest right row per (key, range) → the seed for every LATER range
     // that has no fresher snapshot: explode each to the ranges it could
     // seed (≤ numRanges² tiny rows per key), keep the freshest per target.

@@ -1261,8 +1261,13 @@ object DocAnalytics {
         .filter(col("doc_id") =!= col("group_id")).select("doc_id")
       val canon = kdd.join(dupMembers, Seq("doc_id"), "left_anti")
         .repartition(col("doc_id"))
+      // localCheckpoint: keepq feeds both the n_quality count and the
+      // split join, and unlike kdd/canon (whose trailing repartition
+      // exchanges AQE stage-reuse dedupes) it ends row-local — without
+      // the boundary the RepetitionStats scan over canon runs twice
       val keepq = TextCuration.repetitionStats(canon, "doc_id", "text")
         .filter(col("keep")).select(col("id").as("doc_id"))
+        .localCheckpoint()
       val splits = TextCuration.hashSplit(canon.join(keepq, "doc_id"), "doc_id", "text")
       def c1(df: DataFrame, name: String) = df.agg(count(lit(1)).as(name))
       c1(ds, "n_total")

@@ -48,8 +48,18 @@ object Percentiles {
     // key's count feeds the Auto bucket derivation without a second
     // aggregation job over df.
     val spark = df.sparkSession
+    // localCheckpoint: this operator executes its input THREE times (the
+    // bounds collect below, then `binned` once per consumer — histogram
+    // and target-bin join). The input contract is a narrow (key, value)
+    // frame, but callers feed DERIVED frames (p52: the session-pairing
+    // window; p139/p162: trained scorer outputs), so one materialization
+    // beats three derivations. NOTE this is not the round-8 repartition
+    // experiment (5.9 → 33 s at 10M rows): that routed every row through
+    // an extra SHUFFLE; a local checkpoint materializes the computed
+    // partitions in place with no exchange.
+    val dfCk = df.localCheckpoint()
     val boundRows = Adaptive.boundedCollect(
-      df.groupBy(key)
+      dfCk.groupBy(key)
         .agg(min(value).as("__lo"), max(value).as("__hi"), count(lit(1)).as("__n")),
       s"exactRankSelect key cardinality (column '$key')",
       "the plain window form: row_number() over (partition by key order " +
@@ -80,7 +90,7 @@ object Percentiles {
     // all, so a repartition "reuse" exchange would shuffle every row to
     // save two cheap scans — measured 5.9 s → 33 s at 10M rows when
     // tried (round 8). Scans are cheap; full-data shuffles are not.
-    val binned = df.join(broadcast(bounds), key)
+    val binned = dfCk.join(broadcast(bounds), key)
       .withColumn("__bin", least(lit(nBuckets - 1), floor(
         (col(value).cast("double") - col("__lo").cast("double")) * nBuckets /
           (col("__hi").cast("double") - col("__lo").cast("double") + 1.0))).cast("int"))
