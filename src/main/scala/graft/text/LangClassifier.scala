@@ -33,11 +33,12 @@ import graft.functions.TextPrims._
   * a narrow projection; the model aggregate map-side-combines to
   * ≤ [[NumBuckets]]·C rows per task before a tiny (bucket, lang) shuffle;
   * the per-class totals collect is bounded at C rows (the language count
-  * — the lowestIdCentroids collect class); the ≤[[NumBuckets]]-row vote
-  * table broadcasts onto the occurrence rows; and the per-document rollup
-  * partial-aggregates to ≤ C+1 fixed-width rows per document before the
-  * id exchange. Three narrow corpus passes (class totals, model, score) —
-  * no full-data shuffle, no window funnel, no unbounded collect.
+  * — the lowestIdCentroids collect class) and RE-AGGREGATES the
+  * materialized model table, never the corpus; the ≤[[NumBuckets]]-row
+  * vote table broadcasts onto the occurrence rows; and the per-document
+  * rollup partial-aggregates to ≤ C+1 fixed-width rows per document
+  * before the id exchange. TWO narrow corpus passes (model, score) — no
+  * full-data shuffle, no window funnel, no unbounded collect.
   *
   * Reference scope: the reference has no classifier of any kind; this is
   * part of the beyond-reference LLM-pipeline surface the brief requires
@@ -79,12 +80,8 @@ object LangClassifier {
     * n_train_occurrences) list — C rows; `trainCond` picks the training
     * rows (folded into the aggregate as conditional sums, not a WHERE —
     * the p88 canonical-plan lesson). */
-  private def votedTable(ex: DataFrame, classTotals: Seq[(String, Long)],
-                         trainCond: Column): DataFrame = {
-    // a (b, lang) pair seen only in holdout rows keeps a c=0 row, which
-    // the class grid below erases any difference of
-    val model0 = ex.groupBy("b", "label_lang")
-      .agg(sum(when(trainCond, 1L).otherwise(0L)).as("c"))
+  private def votedTable(model0: DataFrame,
+                         classTotals: Seq[(String, Long)]): DataFrame = {
     val perB = model0.groupBy("b")
       .agg(collect_list(struct(col("label_lang").as("lang"), col("c"))).as("present"),
         sum("c").as("total"))
@@ -147,8 +144,21 @@ object LangClassifier {
     * a given training condition. */
   private def votedFrom(ex: DataFrame, langCol: String,
                         trainCond: Column): DataFrame = {
+    // The (bucket, lang) count table is bounded at NumBuckets·C rows at
+    // ANY corpus size — the one frame worth materializing: the class
+    // totals now derive from it by re-aggregation (n = Σ_b c, exact
+    // integer sums — one full tokenize pass over the corpus saved vs the
+    // separate filter+count this replaces) and the vote table reads the
+    // same materialized rows. Classes with zero training occurrences are
+    // filtered out, exactly reproducing their absence from the old
+    // train-filtered aggregate. A (b, lang) pair seen only in holdout
+    // rows keeps a c=0 row, which the class grid erases any difference of.
+    val model0 = ex.groupBy("b", "label_lang")
+      .agg(sum(when(trainCond, 1L).otherwise(0L)).as("c"))
+      .localCheckpoint()
     val classTotals = graft.ops.Adaptive.boundedCollect(
-      ex.filter(trainCond).groupBy("label_lang").agg(count(lit(1)).as("n")),
+      model0.groupBy("label_lang").agg(sum(col("c")).as("n"))
+        .filter(col("n") > 0L),
       "langScorer class cardinality (column '" + langCol + "')",
       "a lower-cardinality label column — classes must be enumerable")
       .map { r =>
@@ -156,7 +166,7 @@ object LangClassifier {
           s"label column '$langCol' contains nulls — class labels must be non-null")
         r.getString(0) -> r.getLong(1)
       }.sortBy(_._1)
-    votedTable(ex, classTotals, trainCond)
+    votedTable(model0, classTotals)
   }
 
   /** The frozen model as a standalone table (b, oov, vlang), trained on
