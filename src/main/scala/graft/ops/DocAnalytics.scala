@@ -269,6 +269,31 @@ object DocAnalytics {
         .otherwise(col("text")).as("text"))
   }
 
+  /** recall@k rollup shared by the p106/p110/p119/p130 recall queries:
+    * per-query hit counts of `approx` against the exact brute-force top-k
+    * plus the possible-count denominator. `bf` is consumed by TWO plan
+    * branches (the hits join and the denominator aggregate), and exchange
+    * reuse does not dedupe the O(|queries|·corpus) brute-force subtree
+    * under them — the round-16 before plans show the
+    * BroadcastNestedLoopJoin + top-k aggregate duplicated per consumer —
+    * so the bf frame is localCheckpointed: bounded at |queries|·k
+    * (id, id) rows by the ANN-query charter, it materializes once and
+    * both branches read the blocks (guide §2.4 remove-the-second-pass /
+    * §5 cut-lineage; the p122/p152 materialization convention). */
+  private def recallRollup(bfIn: DataFrame, approx: DataFrame): DataFrame = {
+    val bf = bfIn.localCheckpoint()
+    val hits = bf.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    bf.groupBy("query_id").agg(count(lit(1)).as("n_possible"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_possible"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_possible")).as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
   /** Multi-phase pipelines (training + search), keyed by registered query
     * name: `(finalPhaseLabel, fn)` where `fn`'s callback fires with each
     * completed phase's label at its boundary. The bench times phases
@@ -475,16 +500,7 @@ object DocAnalytics {
           k = 30, nProbe = 8),
         e, "vec_id", "embedding", queries)
         .select("query_id", "neighbor_id")
-      val hits = bf.join(rr, Seq("query_id", "neighbor_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-      bf.groupBy("query_id").agg(count(lit(1)).as("n_possible"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          col("n_possible"),
-          (coalesce(col("n_hits"), lit(0L)).cast("double") /
-            col("n_possible")).as("recall_at_k"))
-        .orderBy("query_id")
+      recallRollup(bf, rr)
     }),
     // the residual tier's compression quality: recall@5 of residual ADC
     // probing ALL 8 cells (= exhaustive, since the residual distance is
@@ -502,16 +518,7 @@ object DocAnalytics {
       val pq = graft.ann.ProductQuantizer.knnIvfPqResidual(e, "vec_id",
         "embedding", col("vec_id") < QueryMaxId, cents, cb, nProbe = 8)
         .select("query_id", "neighbor_id")
-      val hits = bf.join(pq, Seq("query_id", "neighbor_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-      bf.groupBy("query_id").agg(count(lit(1)).as("n_possible"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          col("n_possible"),
-          (coalesce(col("n_hits"), lit(0L)).cast("double") /
-            col("n_possible")).as("recall_at_k"))
-        .orderBy("query_id")
+      recallRollup(bf, pq)
     }),
     // BPE subword tokenizer: merge rules trained on the word vocabulary
     // (deterministic integer argmax — spec-pinned against the hand-
@@ -620,16 +627,7 @@ object DocAnalytics {
       val pq = graft.ann.ProductQuantizer.knnIvfPqResidual(e, "vec_id",
         "embedding", col("vec_id") < QueryMaxId, cents, cb, nProbe = 8)
         .select("query_id", "neighbor_id")
-      val hits = bf.join(pq, Seq("query_id", "neighbor_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-      bf.groupBy("query_id").agg(count(lit(1)).as("n_possible"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          col("n_possible"),
-          (coalesce(col("n_hits"), lit(0L)).cast("double") /
-            col("n_possible")).as("recall_at_k"))
-        .orderBy("query_id")
+      recallRollup(bf, pq)
     }),
     // PQ compression quality as an oracle-checked QUERY: per-query
     // recall@5 of the exhaustive ADC scan (IndexPQ) against exact brute
@@ -643,16 +641,7 @@ object DocAnalytics {
         col("vec_id") < QueryMaxId).select("query_id", "neighbor_id")
       val pq = graft.ann.ProductQuantizer.knnPq(e, "vec_id", "embedding",
         col("vec_id") < QueryMaxId, cb).select("query_id", "neighbor_id")
-      val hits = bf.join(pq, Seq("query_id", "neighbor_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-      bf.groupBy("query_id").agg(count(lit(1)).as("n_possible"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          col("n_possible"),
-          (coalesce(col("n_hits"), lit(0L)).cast("double") /
-            col("n_possible")).as("recall_at_k"))
-        .orderBy("query_id")
+      recallRollup(bf, pq)
     }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -879,9 +868,13 @@ object DocAnalytics {
     // the text → vector → ANN loop closed WITHOUT a model: hashed-BoW
     // signed-projection embeddings (integer sums, oracle-exact) fed to
     // the same cosine machinery as the embeddings table
+    // localCheckpoint: knnBruteForce consumes its input from BOTH join
+    // sides (corpus + query set), so the lazy form re-ran the tokenize +
+    // two-exchange embedding build twice (the p122 rationale, two
+    // consumers instead of six)
     "p121_text_knn" -> ((s, d) =>
       Similarity.knnBruteForce(
-        TextStats.hashedEmbedding(docs(s, d), "doc_id", "text"),
+        TextStats.hashedEmbedding(docs(s, d), "doc_id", "text").localCheckpoint(),
         "vec_id", "e", col("vec_id") < QueryMaxId)),
     // embedding-cosine near-dup over TEXT (the north-star list's last
     // uncomposed entry): LSH-banded pair mining over the hashed-BoW
@@ -902,9 +895,11 @@ object DocAnalytics {
     // the idf-weighted configs of p121/p122: log2-quantized integer idf
     // down-weights stop-token mass (bench_records/r14_idf_embed.md
     // quotes the precision delta vs the unweighted bootstrap)
+    // same localCheckpoint as p121 — the idf build (df join + weighting)
+    // is strictly heavier, so the once-not-twice win is larger here
     "p126_text_knn_idf" -> ((s, d) =>
       Similarity.knnBruteForce(
-        TextStats.hashedEmbeddingIdf(docs(s, d), "doc_id", "text"),
+        TextStats.hashedEmbeddingIdf(docs(s, d), "doc_id", "text").localCheckpoint(),
         "vec_id", "e", col("vec_id") < QueryMaxId)),
     // same localCheckpoint as p122 — the idf build is strictly heavier
     // (df join + weighting), so the once-not-six win is larger here
@@ -1090,8 +1085,11 @@ object DocAnalytics {
     // twin (which recomputes all three top-k sets) matches bit-for-bit.
     "p58_ann_recall" -> ((s, d) => {
       val e = emb(s, d)
+      // four consumers (hits + possible per method) — materialize the
+      // |queries|·k-row exact top-k once (the recallRollup rationale)
       val bf = Similarity.knnBruteForce(e, "vec_id", "embedding",
         col("vec_id") < QueryMaxId).select("query_id", "neighbor_id")
+        .localCheckpoint()
       def recallRow(m: DataFrame, name: String): DataFrame = {
         val hits = bf.join(m.select("query_id", "neighbor_id"),
           Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("n_hits"))
