@@ -369,7 +369,16 @@ object TextDedup {
                      minJaccard: Double = 0.8,
                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val r = numHashes / bands
-    val docs = shingleFrame(df, idCol, textCol, shingleK)
+    // localCheckpoint: three consumers (the signature barrier and both
+    // verification join sides) sit on distinct plan branches whose scan
+    // subtrees are not canonically identical (the join sides carry
+    // inferred isnotnull/size filters), so exchange reuse cannot dedupe
+    // them and the submitted plan tokenizes + shingles the corpus once
+    // per branch. The checkpointed (id, sh) frame is one fixed-width-ish
+    // row per document — strictly cheaper than the rebuilds at any scale
+    // (the p122/p152 materialization convention); hash(id) partitioning
+    // from the repartition survives into the checkpoint blocks.
+    val docs = shingleFrame(df, idCol, textCol, shingleK).localCheckpoint()
     // banded (id, band, bucket) only — 3 small columns; the shingle sets
     // rejoin for verification instead of riding through the self-join. The
     // signature is computed once per row behind a barrier (each of the
@@ -428,7 +437,10 @@ object TextDedup {
     // Hashed shingles: every index below shuffles fixed-width longs, not
     // n-gram strings — at web scale that is the difference between
     // shuffling hashes and shuffling the corpus.
-    val docs = shingleFrame(df, idCol, textCol, shingleK)
+    // localCheckpoint: the counting join reads the shingle frame from four
+    // branches (index x/y sides, set sizes, df-cap filter) whose subtrees
+    // differ by inferred filters — see the minhashNearDup note.
+    val docs = shingleFrame(df, idCol, textCol, shingleK).localCheckpoint()
     ngramJaccardCounting(docs, minJaccard, maxShingleDf.value)
   }
 
@@ -579,7 +591,9 @@ object TextDedup {
                        maxShingleDf: MaxDf, shingleK: Int = 3,
                        minContainment: Double = 0.9,
                        minShingles: Int = 5): DataFrame = {
-    val docs = shingleFrame(df, idCol, textCol, shingleK)
+    // localCheckpoint: four consumers (index x/y sides, both size join
+    // sides) — see the minhashNearDup note.
+    val docs = shingleFrame(df, idCol, textCol, shingleK).localCheckpoint()
     val exAll = docs.select(col("id"), size(col("sh")).cast("long").as("n"),
       explode(col("sh")).as("g"))
     val sizes = exAll.groupBy("id").agg(count(lit(1)).as("n"))
