@@ -15,7 +15,7 @@ object FinalPlan {
     val df = SparkEntry.queries(name)(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     DevBench.mat(df)
     println("=== FINAL PLAN " + name + " ===")
-    println(df.queryExecution.executedPlan.toString.take(20000))
+    println(df.queryExecution.executedPlan.toString.take(400000))
     spark.stop()
   }
 }

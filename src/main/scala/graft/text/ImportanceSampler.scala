@@ -60,19 +60,28 @@ object ImportanceSampler {
     * occurrence, each carrying the document's 0/1 target flag so the
     * model aggregate needs no doc-table rejoin. Null ids carry nothing. */
   private def occurrences(df: DataFrame, idCol: String, textCol: String,
-                          targetPred: Column): DataFrame = {
+                          targetPred: Column): DataFrame =
+    explodeBuckets(bucketArrays(df, idCol, textCol, targetPred))
+
+  /** (id, tgt, bs) per-document hashed-bigram-bucket arrays — the
+    * pre-explode half of [[occurrences]] (the QualityScorer split). */
+  private def bucketArrays(df: DataFrame, idCol: String, textCol: String,
+                           targetPred: Column): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"),
       col(textCol).as("__t"),
       when(targetPred, 1).otherwise(0).cast("int").as("tgt"))
     val n = Barrier.once(base, Seq("id", "tgt"), "norm" -> normText(col("__t")))
     val th = Barrier.once(n, Seq("id", "tgt"),
       "th" -> transform(split(col("norm"), " "), charHash _))
-    val bs = Barrier.once(th, Seq("id", "tgt"),
+    Barrier.once(th, Seq("id", "tgt"),
       "bs" -> transform(hashedWindowKeys(col("th"), 2),
         g => pmod(g, lit(NumBuckets))))
+  }
+
+  /** Explode a [[bucketArrays]] frame to (id, tgt, b) occurrence rows. */
+  private def explodeBuckets(bs: DataFrame): DataFrame =
     bs.select(col("id"), col("tgt"), explode(col("bs")).as("b"))
       .filter(col("id").isNotNull)
-  }
 
   /** The voted importance model as a standalone table: per hashed-bigram
     * bucket, the SIGN of the smoothed target/raw log-ratio — (b, v) with
@@ -124,7 +133,11 @@ object ImportanceSampler {
   def dsirSelect(df: DataFrame, idCol: String, textCol: String,
                  targetPred: Column, k: Int = DefaultK): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val ex = occurrences(df, idCol, textCol, targetPred)
+    // localCheckpoint: model aggregate + raw-side score rollup share the
+    // tokenize+bigram-hash projection — one materialized pass, exploded
+    // per consumer (the QualityScorer rationale)
+    val ex = explodeBuckets(
+      bucketArrays(df, idCol, textCol, targetPred).localCheckpoint())
     val model = ex.groupBy("b").agg(
       sum(when(col("tgt") === 1, 1L).otherwise(0L)).as("c_t"),
       sum(when(col("tgt") === 0, 1L).otherwise(0L)).as("c_r"))

@@ -59,18 +59,27 @@ object LangClassifier {
   /** (id, label_lang, b) hashed-bucket occurrence rows — one per token
     * occurrence. */
   private def occurrences(df: DataFrame, idCol: String, textCol: String,
-                          langCol: String): DataFrame = {
+                          langCol: String): DataFrame =
+    explodeBuckets(bucketArrays(df, idCol, textCol, langCol))
+
+  /** (id, label_lang, bs) per-document hashed-bucket arrays — the
+    * pre-explode half of [[occurrences]] (the QualityScorer split). */
+  private def bucketArrays(df: DataFrame, idCol: String, textCol: String,
+                           langCol: String): DataFrame = {
     val n = Barrier.once(
       df.select(col(idCol).cast("long").as("id"),
         col(langCol).as("label_lang"), col(textCol).as("__t")),
       Seq("id", "label_lang"), "norm" -> normText(col("__t")))
     val t = Barrier.once(n, Seq("id", "label_lang"),
       "t" -> split(col("norm"), " "))
-    val bs = Barrier.once(t, Seq("id", "label_lang"),
+    Barrier.once(t, Seq("id", "label_lang"),
       "bs" -> transform(col("t"), tok => pmod(charHash(tok), lit(NumBuckets))))
+  }
+
+  /** Explode a [[bucketArrays]] frame to (id, label_lang, b) rows. */
+  private def explodeBuckets(bs: DataFrame): DataFrame =
     bs.select(col("id"), col("label_lang"), explode(col("bs")).as("b"))
       .filter(col("id").isNotNull)
-  }
 
   private def trainRow: Column = pmod(col("id"), lit(HoldoutMod.toLong)) =!= 0L
 
@@ -114,7 +123,11 @@ object LangClassifier {
     * n_oov, top_votes, predicted_lang, label_lang) by doc_id. */
   def langScorer(df: DataFrame, idCol: String, textCol: String,
                  langCol: String): DataFrame = {
-    val ex = occurrences(df, idCol, textCol, langCol)
+    // localCheckpoint: the model aggregate and the score rollup share the
+    // normText+tokenize+hash projection — materialize the per-document
+    // bucket arrays once, explode per pass (the QualityScorer rationale)
+    val ex = explodeBuckets(
+      bucketArrays(df, idCol, textCol, langCol).localCheckpoint())
     val voted = votedFrom(ex, langCol, trainRow)
     val occ = ex.join(broadcast(voted), Seq("b"), "left")
       .select(col("id"), col("label_lang"),

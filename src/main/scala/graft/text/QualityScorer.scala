@@ -88,14 +88,22 @@ object QualityScorer {
       when(quality >= QualityThreshold, 1).otherwise(0).cast("int").as("hiq"))
   }
 
-  /** (id, hiq, b) hashed-bucket occurrence rows — one per token occurrence
-    * (multinomial counts, not presence). Null ids/texts carry nothing. */
-  private def occurrences(lab: DataFrame): DataFrame = {
-    val bs = Barrier.once(lab, Seq("id", "hiq"),
+  /** (id, hiq, bs) per-document hashed-bucket ARRAYS — the pre-explode
+    * half of [[occurrences]], split out so the fused train+score path can
+    * materialize ONE tokenize+hash pass and explode it per consumer. */
+  private def bucketArrays(lab: DataFrame): DataFrame =
+    Barrier.once(lab, Seq("id", "hiq"),
       "bs" -> transform(col("t"), tok => pmod(charHash(tok), lit(NumBuckets))))
+
+  /** Explode a [[bucketArrays]] frame to (id, hiq, b) occurrence rows. */
+  private def explodeBuckets(bs: DataFrame): DataFrame =
     bs.select(col("id").cast("long").as("id"), col("hiq"), explode(col("bs")).as("b"))
       .filter(col("id").isNotNull)
-  }
+
+  /** (id, hiq, b) hashed-bucket occurrence rows — one per token occurrence
+    * (multinomial counts, not presence). Null ids/texts carry nothing. */
+  private def occurrences(lab: DataFrame): DataFrame =
+    explodeBuckets(bucketArrays(lab))
 
   /** Per-bucket class counts over `ex`, training only rows passing
     * `trainRow` (folded into the aggregate as conditional sums, not a
@@ -168,7 +176,15 @@ object QualityScorer {
     * predicted_hiq, label_hiq). ≡ [[qualityScore]] over
     * [[qualityModel]] of the labeled train split — spec-pinned. */
   def qualityScorer(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = occurrences(labeled(df, idCol, textCol))
+    // localCheckpoint: the model aggregate and the score rollup are two
+    // corpus passes over the SAME occurrence rows (inherently sequential —
+    // scoring needs the trained votes), but the expensive part of each
+    // pass is the shared normText+tokenize+hash projection. Materializing
+    // the per-document bucket arrays (one narrow row per document) runs
+    // that projection ONCE; both passes re-read the blocks and pay only
+    // the explode + aggregate (the shingle-miner convention, batch 2).
+    val ex = explodeBuckets(
+      bucketArrays(labeled(df, idCol, textCol)).localCheckpoint())
     scoreFrame(df, idCol, ex,
       modelFrom(ex, pmod(col("id"), lit(HoldoutMod.toLong)) =!= 0L),
       withLabel = true)
