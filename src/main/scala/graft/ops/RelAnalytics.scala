@@ -291,10 +291,18 @@ object RelAnalytics {
       .groupBy("l_partkey", "l_suppkey").agg(min(col("c")).as("cost_cents"))
       .join(wantedParts, col("l_partkey") === col("p_partkey"))
       .join(eur, col("l_suppkey") === col("s_suppkey"))
-    val minPer = ps.groupBy(col("l_partkey").as("mk"))
-      .agg(min(col("cost_cents")).as("min_cost"))
-    ps.join(minPer,
-        col("l_partkey") === col("mk") && col("cost_cents") === col("min_cost"))
+    // the correlated min as a per-part WINDOW over the lattice, not a
+    // separate aggregate joined back: the aggregate+self-join form
+    // re-derived the whole lattice subtree (fact aggregate + both
+    // dimension joins — 20 parquet scans in the submitted plan) for the
+    // min side, because the two consumers sit on branches exchange reuse
+    // cannot unify. The window computes the identical per-part min (rows
+    // tied at the min survive either way) over ONE lattice computation,
+    // for one extra hash(l_partkey) exchange; per-part partitions are
+    // bounded by suppliers-per-part, so the window never funnels.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    ps.withColumn("min_cost", min(col("cost_cents")).over(w))
+      .filter(col("cost_cents") === col("min_cost"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_name"),
         (col("cost_cents").cast("double") / lit(100.0)).as("supply_cost"))
