@@ -134,6 +134,16 @@ object TextPrims {
     * CollapseProject contract as the shingle fold: `th` MUST come from a
     * materialized (Barrier'd) column. */
   def hashedWindowKeys(th: Column, k: Int): Column =
+    WindowKeys(th, k)
+
+  /** The declarative HOF twin of [[WindowKeys]] — kept as the executable
+    * spec (WindowKeysSpec pins bit-equality) and as the formulation the
+    * DuckDB oracles mirror. Not used on the hot path: the fold lambdas
+    * evaluate interpreted (HigherOrderFunction is CodegenFallback), one
+    * frame per element per window — ~16 µs/window at the 1M-doc Zipf
+    * rung, which made decontamination 72% of the round-16 10M-doc
+    * funnel wall before the codegen node replaced it. */
+  def hashedWindowKeysHof(th: Column, k: Int): Column =
     when(size(th) >= k,
       transform(sequence(lit(1), size(th) - (k - 1)), i => {
         val w = slice(th, i, lit(k))
