@@ -41,6 +41,35 @@ object Adaptive {
     math.min(cap.toLong, math.max(floor.toLong, want)).toInt
   }
 
+  /** Shuffle-partition count for an ITERATIVE loop whose per-round
+    * join/aggregate state is linear in `rows`: under the session's
+    * constant (tuned to the core count for the sub-second bench queries),
+    * per-task sort/hash state grows linearly with the input until it
+    * spills — the r16 500M-edge CC rung measured 222 GB of disk spill and
+    * superlinear tail rounds from exactly this (47M rows per task at 32
+    * partitions). ~4M narrow rows per partition keeps per-task state
+    * ~128 MB (inside a standard 4 GB / 4-core executor's per-task share),
+    * the floor — the CURRENT session setting — leaves every plan at
+    * bench scale bit-identical, and the cap bounds the per-round shuffle
+    * block count (cap² blocks; guide §2.2).
+    *
+    * EXPERIMENT-ONLY for now: wired into the CC loop behind
+    * `-Dgraft.cc.parts=adaptive`, because the r16 500M rung measured the
+    * derived count WORSE on a single-disk box (see
+    * [[graft.text.TextDedup]] iterativeGroups scaladoc and
+    * bench_records/r16_cc.md) — combine-free exchanges past the
+    * bypass-merge threshold rewrite every shuffle byte through the
+    * sort-based writer's spill-merge, doubling disk write volume. On a
+    * multi-disk cluster the trade may flip; re-measure there before
+    * promoting to a default. */
+  def loopShufflePartitions(rows: Long, current: Int,
+                            rowsPerPartition: Long = 4000000L,
+                            cap: Int = 4096): Int = {
+    require(current >= 1 && rowsPerPartition >= 1, "need positive inputs")
+    val want = (rows + rowsPerPartition - 1) / rowsPerPartition
+    math.min(math.max(want, current.toLong), math.max(cap, current).toLong).toInt
+  }
+
   /** IVF quantizer size by the standard `nlist ≈ sqrt(n)` rule: per-query
     * probe work is nProbe·(n/cells) and the centroid table is cells·dim —
     * sqrt balances the two as n grows (100× corpus → 10× cells, 10×

@@ -885,8 +885,10 @@ object DocAnalytics {
     // pair-rejoin sides), so the lazy form re-derived the embedding
     // construction per consumer — truncating the lineage here computes
     // the embedding ONCE and every consumer scans the checkpointed
-    // blocks (the mmrGreedy convention; bench_records/r15_embed_ckpt.md
-    // records the wall delta). A 100 TB deployment goes further and
+    // blocks (the mmrGreedy convention; the wall delta is visible in the
+    // r14→r15 closing triplicates: p122 5.36 → 3.38 s, p127 6.51 →
+    // 3.55 s — bench_records/r15_close{1,2,3}.json). A 100 TB deployment
+    // goes further and
     // persists the embedding frame at ingest (the pqIndex convention).
     "p122_text_embed_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(

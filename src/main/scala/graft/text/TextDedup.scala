@@ -700,8 +700,9 @@ object TextDedup {
       // the threshold and take the loop — the local path exists because
       // paying ~30 scheduled stages on a graph that fits in one task is
       // pure overhead, at ANY cluster size.
-      if (e.count() <= localEdgeThreshold) localUnionFind(e)
-      else iterativeGroups(e, maxIters)
+      val edgeCount = e.count()
+      if (edgeCount <= localEdgeThreshold) localUnionFind(e)
+      else iterativeGroups(e, maxIters, edgeCount)
     } finally { e.unpersist(false) }
   }
 
@@ -747,8 +748,45 @@ object TextDedup {
   }
 
   /** The distributed path: iterative min-label propagation with pointer
-    * jumping over the (already persisted) edge list. */
-  private def iterativeGroups(e: DataFrame, maxIters: Int): DataFrame = {
+    * jumping over the (already persisted) edge list.
+    *
+    * Partitioning stays at the session's `spark.sql.shuffle.partitions`.
+    * The obvious "fix" for the 500M-edge rung's spill (222 GB disk spill
+    * from 47M-row tasks at the 32-partition session constant) — deriving
+    * the loop's partition count from the measured edge count
+    * ([[graft.ops.Adaptive.loopShufflePartitions]], ~4M sym rows per
+    * partition) — was implemented and MEASURED WORSE on the r16 rung:
+    * rounds 0/1 slowed 559/540 s vs 180/632 s and the run died of disk
+    * exhaustion mid-loop (bench_records/r16_cc.md). Plausible mechanism:
+    * at >200 reduce partitions the loop's combine-free exchanges
+    * (repartition, label-side join shuffles) leave the bypass-merge
+    * shuffle writer (`spark.shuffle.sort.bypassMergeThreshold`) for the
+    * sort-based writer, which buffers, spills and merge-rewrites every
+    * shuffle byte — doubling write volume on a single-disk box. The
+    * derivation is kept behind `-Dgraft.cc.parts=adaptive` (the CcBench
+    * experiment-knob convention, like graft.cc.sym/join/ckpt) for
+    * re-measurement on multi-disk clusters where the trade may flip;
+    * production default = the measured-good session constant. The knob
+    * scopes the conf for the loop and restores it on exit; results are
+    * partitioning-independent (min-label fixpoint; callers order). */
+  private def iterativeGroups(e: DataFrame, maxIters: Int,
+                              edgeCount: Long): DataFrame = {
+    if (!sys.props.get("graft.cc.parts").contains("adaptive"))
+      iterativeGroupsBody(e, maxIters)
+    else {
+      val spark = e.sparkSession
+      val partKey = "spark.sql.shuffle.partitions"
+      val sessionParts = spark.conf.get(partKey).toInt
+      // sym rows = 2·|E| + |V| ≤ 3·|E|: size to the loop's biggest table
+      val nPart = graft.ops.Adaptive.loopShufflePartitions(
+        3L * edgeCount, sessionParts)
+      spark.conf.set(partKey, nPart)
+      try iterativeGroupsBody(e, maxIters)
+      finally spark.conf.set(partKey, sessionParts)
+    }
+  }
+
+  private def iterativeGroupsBody(e: DataFrame, maxIters: Int): DataFrame = {
     val undirected = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     // Round-0 labels straight from the undirected edges: lab1 =
     // min(own id, min in-neighbor) = least(src, min(dst)) — no self-loops

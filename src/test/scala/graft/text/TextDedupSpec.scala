@@ -174,6 +174,27 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  it should "restore the session shuffle-partition setting after the iterative loop" in {
+    // under -Dgraft.cc.parts=adaptive the loop scopes
+    // spark.sql.shuffle.partitions to the edge-derived count
+    // (Adaptive.loopShufflePartitions) — a leak of that scoped value
+    // would silently re-partition every LATER query in the session
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    System.setProperty("graft.cc.parts", "adaptive")
+    try {
+      TextDedup.duplicateGroups(pairs, "doc_a", "doc_b",
+        localEdgeThreshold = Iterative).collect()
+      spark.conf.get(key) shouldBe before
+      // ...and restored even when the loop throws (non-convergence)
+      an[IllegalStateException] should be thrownBy
+        TextDedup.duplicateGroups(pairs, "doc_a", "doc_b", maxIters = 2,
+          localEdgeThreshold = Iterative)
+      spark.conf.get(key) shouldBe before
+    } finally System.clearProperty("graft.cc.parts")
+  }
+
   it should "return a lineage-truncated plan (no join survives the loop)" in {
     val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val out = TextDedup.duplicateGroups(pairs, "doc_a", "doc_b",
